@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every catalog query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+"sf": 0.1}``
+
+Methodology (BASELINE.md): warm session, 1 warm-up + N timed runs per query
+(default 3), report the median. Results are materialized with the ``noop``
+data source — full distributed execution, no driver collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+from pubic_multi_platform_to_postgres_spark.session import get_session
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_session(app_name="spark_graft_bench")
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        fn = REGISTRY[name].fn
+        try:
+            materialize(fn(spark, sf_dir))  # warm-up (also JIT + cache file footers)
+            runs = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 4)
+        except Exception as exc:  # noqa: BLE001 — a broken query must not kill the suite
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock_median_per_query_sum",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,620 @@
+"""Relational operator surface (SURVEY.md §2.8) as query/oracle pairs.
+
+The reference delegates all relational processing to Postgres/dbt consumers
+(`/root/reference/dbt/models/wrike/*.sql` is its entire SQL surface); the
+engine exposes the full built-in Spark DataFrame surface instead: joins
+(inner/left/semi/anti, broadcast), aggregations (+distinct), rollup/cube/
+grouping-sets, window functions, sorts/top-k, and set operations.
+
+Timestamps in query output are formatted to ISO strings — the reference
+lands all timestamps as ISO-8601 strings via ``format_date``
+(``tap_wrike/utility.py:242-245``), and strings hash identically across
+Spark and the DuckDB oracle.
+
+Scale notes (100 TB):
+- Dim tables (region/nation/supplier/part at TPC-H ratios) are broadcast —
+  no shuffle on the big fact side.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once; AQE
+  handles skew and coalesces output partitions.
+- All aggregations are expressed via ``groupBy().agg`` so Catalyst emits
+  partial (map-side) aggregation before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.queries.registry import (
+    davg,
+    dsum,
+    load,
+    query,
+    sql_davg,
+    sql_dsum,
+)
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def _fmt_ts(col: str, alias: str) -> F.Column:
+    return F.date_format(F.col(col), _TS_FMT_SPARK).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + 8-agg groupBy (hash agg, partial+final).
+
+    Catalyst pushes the shipdate predicate to the parquet scan and emits a
+    partial aggregation before the single shuffle on (returnflag, linestatus).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_order_durations",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+           strftime(l.l_shipdate, '%Y-%m-%d %H:%M:%S') AS ship_date,
+           ROUND(CAST(date_diff('second', o.o_orderdate, l.l_shipdate) AS DOUBLE)
+                 / 86400.0, 4) AS duration_in_days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND o.o_orderdate IS NOT NULL
+      AND l.l_shipdate IS NOT NULL
+      AND LOWER(o.o_orderpriority) LIKE '%urgent%'
+    """,
+)
+def q02_order_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the dbt duration-model semantics transplanted to fixtures.
+
+    Mirrors ``dbt/models/wrike/proposal_durations.sql:6-19`` (reference):
+    equality + NOT NULL + LOWER(...) LIKE filters (F7), then
+    ``ROUND(EXTRACT(EPOCH FROM (end - start)) / 86400, 4)`` (P11) — here
+    order→ship latency per lineitem. Filters push to the orders scan;
+    orders ⋈ lineitem shuffles on the order key (AQE-planned).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dur_sec = F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & F.col("o_orderdate").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+            & F.lower(F.col("o_orderpriority")).like("%urgent%")
+        )
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            _fmt_ts("o_orderdate", "order_date"),
+            _fmt_ts("l_shipdate", "ship_date"),
+            F.round(dur_sec.cast("double") / 86400.0, 4).alias("duration_in_days"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg) with min/max."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "rollup_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → priority → grand total)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims (all 2^2 grouping sets)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "grouping_sets_mixed",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-dim + grand total)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {sql_dsum("o_totalprice", "total_price")}
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+
+
+@query(
+    "join_topk_revenue",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def join_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+
+    Customer is small relative to the facts → broadcast; orders ⋈ lineitem
+    shuffles on the order key. ORDER BY is tie-broken by the unique order
+    key so LIMIT is deterministic.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(c.join(o, c.c_custkey == o.o_custkey).select(
+            "o_orderkey", "o_orderdate", "o_orderpriority")),
+            li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _fmt_ts("o_orderdate", "order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_region_revenue",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join, small dims broadcast.
+
+    region/nation/supplier/customer broadcast into the fact-side pipeline;
+    only orders ⋈ lineitem moves data. The local-supplier predicate
+    (s_nationkey = c_nationkey) rides on the supplier join.
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    cust_nation = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_nation), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "join_left_order_items",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+           CAST(COALESCE(SUM(CAST(l.l_quantity AS DECIMAL(30,10))), 0) AS DOUBLE)
+               AS total_qty
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_left_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving orders with zero lineitems."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .groupBy(o.o_orderkey)
+        .agg(
+            F.count(li.l_orderkey).alias("n_items"),
+            F.coalesce(
+                F.sum(F.col("l_quantity").cast("decimal(30,10)")).cast("double"),
+                F.lit(0.0),
+            ).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that placed at least one order."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_idle_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+
+
+@query(
+    "window_topk_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window (no global sort, no collect).
+
+    The canonical scale-safe top-k: one shuffle on the partition key, heap
+    per partition, filter — never a driver-side sort.
+    """
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_running_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per user over event time.
+
+    Decimal accumulation keeps the running sum bit-identical across
+    engines regardless of internal accumulation strategy.
+    """
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double")
+            .alias("running_value"),
+        )
+    )
+
+
+@query(
+    "window_lag_gap",
+    oracle="""
+    SELECT event_id, user_id,
+           date_diff('second',
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_seconds
+    FROM events
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG window: inter-event gap per user (sessionization building block)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            .alias("gap_seconds"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / sort
+
+
+@query(
+    "setop_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "setop_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two key sets."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): customer nations with no supplier."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "sort_limit_expensive_items",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit_expensive_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N by sort+limit (Spark plans TakeOrderedAndProject —
+    per-partition heaps, no full sort)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar / semi-structured (dbt-layer analogs)
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction from a string column.
+
+    The reference flattens nested API JSON before landing (P1/P2); this is
+    the in-engine equivalent for JSON that lands raw.
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "dates_monthly_orders",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def dates_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp truncation + calendar aggregation (P10 date-fn analog)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd")
+            .alias("month_start"),
+            "o_totalprice",
+        )
+        .groupBy("month_start")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@query(
+    "filter_pattern_documents",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(length(text) AS BIGINT) AS text_len,
+           upper(lang) AS lang_uc
+    FROM documents
+    WHERE lower(text) LIKE '%spark%' AND lang IS NOT NULL
+    """,
+)
+def filter_pattern_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 analog: equality/NOT NULL/LOWER-LIKE predicates + string funcs
+    (the dbt model filter shape, ``dbt/models/wrike/proposal_durations.sql:16-19``)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.lower(F.col("text")).like("%spark%") & F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            "n_chars",
+            F.length("text").cast("bigint").alias("text_len"),
+            F.upper("lang").alias("lang_uc"),
+        )
+    )

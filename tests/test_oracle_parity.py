@@ -1,0 +1,36 @@
+"""Run every registered query against its DuckDB oracle (driver-gate mirror).
+
+Parity runs at sf0.001 for speed; the driver's real gate runs sf0.01. Any
+query registered without an oracle gets a rows-only smoke check here, same
+as the driver's weaker check.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+from tests.oracle import assert_frames_match, run_oracle
+
+ALL = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, SF_SMOKE)
+    spark_pdf = sdf.toPandas()
+    if q.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only smoke: just runs
+        return
+    oracle_pdf = run_oracle(q.oracle, SF_SMOKE)
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
