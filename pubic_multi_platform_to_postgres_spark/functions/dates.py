@@ -1,0 +1,76 @@
+"""Timestamp/date functions matching the reference's utilities (P8-P10).
+
+Every function here is a composition of built-in ``pyspark.sql.functions``
+— JVM-side, codegen'd, no Python in the row path. Reference sites:
+
+- ``format_date`` (ISO-8601, 3-decimal ms, trailing Z):
+  ``tap_wrike/utility.py:242-245`` (same in the other taps)
+- ``to_wrike_date`` (ms stripped): ``tap_wrike/utility.py:198-206``
+- ``iso_to_unix`` / ``parse_unix_string``: ``tap_wrike/utility.py:248-265``
+- epoch-ms → ISO (form submissions): ``tap_hubspot/fetch.py:224-228``
+- ``/Date(ms±offset)/`` .NET parse: ``parse_xero_date``,
+  ``tap_xero/utility.py:354-372`` — the numeric offset is split off and
+  DISCARDED (epoch ms treated as UTC); reproduced exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ISO_MS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+ISO_SEC_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+_DOTNET_RE = r"/Date\((-?\d+)"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def format_date_ms(c: Column | str) -> Column:
+    """Timestamp → ISO-8601 string with millisecond precision + 'Z'
+    (the reference's canonical landed-timestamp format)."""
+    return F.date_format(_col(c), ISO_MS_FMT)
+
+
+def to_wrike_date(c: Column | str) -> Column:
+    """Timestamp → ISO-8601 seconds precision + 'Z' (Wrike query params)."""
+    return F.date_format(_col(c), ISO_SEC_FMT)
+
+
+def iso_to_unix(c: Column | str) -> Column:
+    """ISO string/timestamp → unix epoch seconds (long)."""
+    return F.unix_timestamp(_col(c))
+
+
+def epoch_ms_to_ts(c: Column | str) -> Column:
+    """Epoch milliseconds (long) → timestamp (P8, form submittedAt)."""
+    return F.timestamp_millis(_col(c).cast("long"))
+
+
+def epoch_ms_to_iso(c: Column | str) -> Column:
+    """Epoch milliseconds → ISO ms string (the landed representation)."""
+    return format_date_ms(epoch_ms_to_ts(c))
+
+
+def parse_dotnet_date(c: Column | str) -> Column:
+    """P9: ``"/Date(1672531200000+0000)/"`` → timestamp.
+
+    The embedded value is epoch **milliseconds**; any ``+hhmm`` suffix is
+    discarded (reference splits on ``+``/``-`` and keeps the ms part only,
+    ``tap_xero/utility.py:360-366``). Non-matching strings fall through to
+    a plain ISO parse (the reference's passthrough branch).
+    """
+    col = _col(c)
+    ms = F.regexp_extract(col, _DOTNET_RE, 1)
+    return F.when(ms != "", F.timestamp_millis(ms.cast("long"))).otherwise(
+        F.try_to_timestamp(col)
+    )
+
+
+def parse_date_fallback(c: Column | str, fmts: tuple[str, ...]) -> Column:
+    """P10 ``parse_date``: try each format in order, first non-null wins."""
+    col = _col(c)
+    attempts = [F.try_to_timestamp(col, F.lit(f)) for f in fmts]
+    return F.coalesce(*attempts, F.try_to_timestamp(col))

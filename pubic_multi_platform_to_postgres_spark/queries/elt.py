@@ -1,0 +1,207 @@
+"""ELT-operator semantics as driver-checkable query/oracle pairs.
+
+The driver fixtures are flat parquet, so each query first *constructs* the
+nested shape the reference receives from its APIs (struct / array-of-struct
+columns), applies the real engine operator (flatten / substream split /
+key synthesis / date parse), and lands the flat result — which the oracle
+expresses directly over the flat tables. This proves the operator's
+semantics end-to-end, not just its plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.functions.dates import (
+    epoch_ms_to_iso,
+    format_date_ms,
+    parse_dotnet_date,
+)
+from pubic_multi_platform_to_postgres_spark.operators.flatten import flatten, merge_struct
+from pubic_multi_platform_to_postgres_spark.operators.unnest import (
+    rename_with_prefix,
+    split_substream,
+)
+from pubic_multi_platform_to_postgres_spark.plans.jsonschema import compile_schema
+from pubic_multi_platform_to_postgres_spark.queries.registry import load, query
+
+
+@query(
+    "elt_flatten_struct",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS "dates-start",
+           o_orderpriority AS "dates-type"
+    FROM orders
+    """,
+)
+def elt_flatten_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: recursive struct flatten with dash-joined names.
+
+    Builds the raw_wrike_task nested shape (FIXTURES.md §2) from orders,
+    then flattens ``dates.{start,type}`` → ``dates-start``/``dates-type``
+    exactly as ``flatten_json`` (``tap_wrike/utility.py:34-56``) would.
+    """
+    nested = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderdate").alias("start"),
+            F.col("o_orderpriority").alias("type"),
+        ).alias("dates"),
+    )
+    flat = flatten(nested)
+    return flat.select(
+        "o_orderkey",
+        format_date_ms(F.col("dates-start")).alias("dates-start"),
+        F.col("dates-type"),
+    )
+
+
+@query(
+    "elt_substream_split",
+    oracle="""
+    SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS id,
+           CAST(l_orderkey AS VARCHAR) AS parent_id,
+           l_linenumber,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    """,
+)
+def elt_substream_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+U3: child-stream split with parent back-ref + composite key.
+
+    Rolls lineitems up into a per-order array (the raw nested API shape),
+    then splits it back out through ``split_substream`` — each element
+    becomes a child row with ``parent_id`` and the synthesized key
+    ``parent_id_linenumber`` (``process_sub_streams`` +
+    ``tap_wrike/fetch.py:13-20`` semantics).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_linenumber", "l_quantity")).alias("lines")
+    )
+    child = split_substream(nested, "lines", "l_orderkey", key_parts=["l_linenumber"])
+    return child.select("id", "parent_id", "l_linenumber", "l_quantity")
+
+
+@query(
+    "elt_properties_merge",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           c_name
+    FROM customer
+    """,
+)
+def elt_properties_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: HubSpot one-level properties merge (struct wins on collision).
+
+    Packs customer attributes into a ``properties`` struct (with a
+    deliberately colliding stale top-level ``c_acctbal``), merges, and
+    checks the struct's value survives — ``row.update(row.pop(
+    "properties"))``, ``tap_hubspot/utility.py:99``.
+    """
+    nested = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(-1.0).alias("c_acctbal"),  # stale pre-merge value, must lose
+        F.struct(F.col("c_acctbal"), F.col("c_name")).alias("properties"),
+    )
+    return merge_struct(nested, "properties")
+
+
+@query(
+    "elt_dotnet_date_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS parsed_date
+    FROM orders
+    """,
+)
+def elt_dotnet_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: ``/Date(ms±offset)/`` parse (offset discarded, epoch-ms UTC).
+
+    Serializes each order date into the .NET wire format Xero emits —
+    with a nonzero zone suffix that must be ignored — and parses it back
+    via ``parse_dotnet_date`` (``tap_xero/utility.py:354-372`` parity).
+    """
+    o = load(spark, sf_dir, "orders")
+    wire = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("/Date("),
+            # parquet timestamps may infer as NTZ; unix_millis needs LTZ
+            F.unix_millis(F.col("o_orderdate").cast("timestamp_ltz")),
+            F.lit("+1300)/"),
+        ).alias("dotnet"),
+    )
+    return wire.select(
+        "o_orderkey",
+        format_date_ms(parse_dotnet_date("dotnet")).alias("parsed_date"),
+    )
+
+
+@query(
+    "elt_epoch_ms_to_iso",
+    oracle="""
+    SELECT event_id,
+           strftime(date_trunc('milliseconds', ts), '%Y-%m-%dT%H:%M:%S.%gZ')
+               AS submitted_at
+    FROM events
+    """,
+)
+def elt_epoch_ms_to_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: epoch-ms integer → ISO ms string (form submittedAt semantics,
+    ``tap_hubspot/fetch.py:224-228``)."""
+    ev = load(spark, sf_dir, "events")
+    as_ms = ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("submitted_ms"),
+    )
+    return as_ms.select("event_id", epoch_ms_to_iso("submitted_ms").alias("submitted_at"))
+
+
+@query(
+    "elt_prefix_rename",
+    oracle="""
+    SELECT n_nationkey AS companies_n_nationkey,
+           n_name AS companies_n_name,
+           n_regionkey AS companies_n_regionkey
+    FROM nation
+    """,
+)
+def elt_prefix_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: association key-prefix rename (``tap_hubspot/utility.py:202-206``)."""
+    return rename_with_prefix(load(spark, sf_dir, "nation"), "companies_")
+
+
+_PART_STREAM_SCHEMA = {
+    "type": "object",
+    "additionalProperties": False,
+    "properties": {
+        "p_partkey": {"type": ["null", "integer"]},
+        "p_name": {"type": ["null", "string"]},
+        "p_retailprice": {"type": ["null", "number"]},
+        "not_in_source": {"type": ["null", "string"]},
+    },
+}
+
+
+@query(
+    "elt_schema_projection",
+    oracle="""
+    SELECT p_partkey, p_name, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part
+    """,
+)
+def elt_schema_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: schema-driven projection — keep only columns declared in the
+    stream's JSON-Schema, silently drop the rest (``write_record``,
+    ``tap_wrike/utility.py:275-284``). Declared-but-absent fields are
+    skipped, extra source columns (p_brand/p_type/p_size) are pruned."""
+    st = compile_schema(_PART_STREAM_SCHEMA)
+    df = load(spark, sf_dir, "part")
+    keep = [f.name for f in st.fields if f.name in df.columns]
+    return df.select(*keep)
