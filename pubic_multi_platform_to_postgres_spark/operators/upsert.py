@@ -1,0 +1,182 @@
+"""Keyed dedup-upsert sink (K2): the engine's replacement for
+``pipelinewise-target-postgres``'s PK upsert.
+
+The reference pipes Singer RECORDs into a loader that upserts on
+``key_properties`` — re-delivered rows from the at-least-once bookmark
+overlap dedup by primary key (``runner/__init__.py:152-155`` assembles the
+pipe; the loader is the pinned external package, ``pyproject.toml:25``).
+
+Engine equivalents:
+
+- :func:`dedup_latest` — within one batch keep the newest row per key
+  (``row_number() OVER (PARTITION BY pk ORDER BY rk DESC) = 1``).
+- :class:`ParquetUpsertSink` — lake-native keyed merge: new batch wins
+  over existing rows on key collision. This is the primary correctness
+  path (SURVEY.md §7.2).
+- :func:`jdbc_upsert_sql` — the Postgres-parity path: staging table +
+  ``INSERT … ON CONFLICT DO UPDATE`` statement generation. Executing it
+  needs a live Postgres + JDBC driver (not in this container), so the
+  executable surface here is SQL generation + the same writer interface.
+
+Scale: the merge is one shuffle on the key columns (union + window dedup).
+On a real lake deployment the same interface maps to Delta/Iceberg
+``MERGE INTO``, which prunes untouched files; the parquet fallback
+rewrites the table but stays fully distributed (no driver collect). For
+100 TB tables, partition the sink path (``partition_by``) so a batch only
+rewrites partitions it touches.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def dedup_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep one row per key: the latest by ``order_col`` (NULLs last), or
+    an arbitrary-but-deterministic row when no order column exists.
+
+    ``_batch_seq`` (if present, added by the sink) breaks ties so that
+    later-delivered rows win — matching the loader's last-write-wins.
+    """
+    order = []
+    if order_col:
+        order.append(F.col(order_col).desc_nulls_last())
+    if "_batch_seq" in df.columns:
+        order.append(F.col("_batch_seq").desc())
+    if not order:
+        order.append(F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+class ParquetUpsertSink:
+    """Idempotent keyed upsert into a parquet table directory.
+
+    ``write(df)``: new rows replace existing rows with the same key;
+    within the batch the latest by ``order_col`` wins. Applying the same
+    batch twice is a no-op (the property the reference's run-time
+    bookmarks depend on).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | Path,
+        keys: list[str],
+        order_col: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        if not keys:
+            raise ValueError("upsert requires at least one key column")
+        self.spark = spark
+        self.path = Path(path)
+        self.keys = keys
+        self.order_col = order_col
+        self.partition_by = partition_by or []
+
+    def read(self) -> DataFrame | None:
+        if not self.path.exists():
+            return None
+        return self.spark.read.parquet(str(self.path))
+
+    def write(self, batch: DataFrame) -> None:
+        # batch rows outrank existing rows; within the batch, order_col then
+        # delivery order decides (Singer loaders apply records in order)
+        new = batch.withColumn("_batch_seq", F.lit(1))
+        existing = self.read()
+        if existing is not None:
+            existing = existing.select(*batch.columns).withColumn("_batch_seq", F.lit(0))
+            merged = new.unionByName(existing)
+        else:
+            merged = new
+        result = dedup_latest(merged, self.keys, self.order_col).drop("_batch_seq")
+
+        tmp = self.path.with_name(f"{self.path.name}__staging_{uuid.uuid4().hex[:8]}")
+        writer = result.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(str(tmp))
+        # swap: parquet can't overwrite its own input in one job
+        if self.path.exists():
+            shutil.rmtree(self.path)
+        tmp.rename(self.path)
+
+
+def jdbc_upsert_sql(
+    table: str,
+    staging_table: str,
+    columns: list[str],
+    keys: list[str],
+) -> str:
+    """Postgres-parity upsert statement (the SQL the JDBC path executes
+    after loading the deduped batch into ``staging_table``).
+
+    Mirrors the external loader's behavior: insert-or-update on the PK,
+    non-key columns overwritten from the staged batch.
+    """
+    non_keys = [c for c in columns if c not in keys]
+    cols = ", ".join(f'"{c}"' for c in columns)
+    conflict = ", ".join(f'"{k}"' for k in keys)
+    updates = ", ".join(f'"{c}" = EXCLUDED."{c}"' for c in non_keys)
+    action = f"DO UPDATE SET {updates}" if non_keys else "DO NOTHING"
+    return (
+        f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging_table} '
+        f"ON CONFLICT ({conflict}) {action}"
+    )
+
+
+class JdbcUpsertSink:
+    """Same writer interface against Postgres via JDBC.
+
+    Flow: ``dedup_latest`` the batch → ``df.write.jdbc`` into a staging
+    table → execute :func:`jdbc_upsert_sql` → drop staging. Requires the
+    Postgres JDBC driver on the Spark classpath and a reachable server —
+    neither exists in this container, so construction succeeds (for
+    pipeline wiring/tests) but ``write`` raises until configured.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        table: str,
+        keys: list[str],
+        order_col: str | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.url = url
+        self.table = table
+        self.keys = keys
+        self.order_col = order_col
+        self.properties = properties or {}
+
+    def write(self, batch: DataFrame) -> None:
+        deduped = dedup_latest(batch, self.keys, self.order_col)
+        staging = f"{self.table}__staging"
+        deduped.write.jdbc(self.url, staging, mode="overwrite", properties=self.properties)
+        sql = jdbc_upsert_sql(self.table, staging, deduped.columns, self.keys)
+        # execute via the JVM DriverManager (no Python pg driver in-container)
+        jvm = self.spark._sc._jvm  # noqa: SLF001
+        conn = jvm.java.sql.DriverManager.getConnection(
+            self.url, self.properties.get("user", ""), self.properties.get("password", "")
+        )
+        try:
+            stmt = conn.createStatement()
+            stmt.executeUpdate(sql)
+            stmt.executeUpdate(f"DROP TABLE IF EXISTS {staging}")
+        finally:
+            conn.close()

@@ -1,6 +1,10 @@
 """Query catalog package — importing this package registers all queries."""
 
-from pubic_multi_platform_to_postgres_spark.queries import elt, relational  # noqa: F401
+from pubic_multi_platform_to_postgres_spark.queries import (  # noqa: F401
+    elt,
+    incremental,
+    relational,
+)
 from pubic_multi_platform_to_postgres_spark.queries.registry import (  # noqa: F401
     REGISTRY,
     Query,

@@ -1,0 +1,207 @@
+"""Tests for bookmarks (§2.7), dedup-upsert (K2), and the view layer (K4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from pubic_multi_platform_to_postgres_spark.operators.upsert import (
+    ParquetUpsertSink,
+    dedup_latest,
+    jdbc_upsert_sql,
+)
+from pubic_multi_platform_to_postgres_spark.plans.views import ViewRegistry, reference_models
+from pubic_multi_platform_to_postgres_spark.sources.state import (
+    FORM_SUBMISSIONS_SENTINEL,
+    BookmarkManager,
+    filter_newer,
+    format_date,
+)
+
+# ---------------------------------------------------------------------------
+# Bookmarks / state
+
+
+def test_format_date_ms_precision():
+    d = dt.datetime(2026, 5, 1, 12, 30, 45, 123999, tzinfo=dt.timezone.utc)
+    assert format_date(d) == "2026-05-01T12:30:45.123Z"
+
+
+def test_run_start_bookmark_ignores_rows():
+    bm = BookmarkManager()
+    start = dt.datetime(2026, 5, 1, tzinfo=dt.timezone.utc)
+    out = bm.set_run_start("tasks", start)
+    assert out == "2026-05-01T00:00:00.000Z"
+    # unconditional: called again with an earlier start, still overwrites
+    earlier = dt.datetime(2026, 4, 1, tzinfo=dt.timezone.utc)
+    assert bm.set_run_start("tasks", earlier) == "2026-04-01T00:00:00.000Z"
+
+
+def test_analytics_max_bookmark():
+    bm = BookmarkManager({"marketings": "2026-01-15T00:00:00.000Z"})
+    bm.advance_max("marketings", "2026-01-10T00:00:00.000Z")  # older: no-op
+    assert bm.get("marketings") == "2026-01-15T00:00:00.000Z"
+    bm.advance_max("marketings", "2026-02-01T00:00:00.000Z")
+    assert bm.get("marketings") == "2026-02-01T00:00:00.000Z"
+
+
+def test_sentinel_and_roundtrip(tmp_path):
+    bm = BookmarkManager()
+    bm.set_sentinel("form_submissions")
+    bm.set_run_start("contacts", dt.datetime(2026, 5, 1, tzinfo=dt.timezone.utc))
+    p = tmp_path / "state_wrike.json"
+    bm.save(p)
+    doc = json.loads(p.read_text())
+    assert doc["type"] == "STATE"  # Singer envelope
+    loaded = BookmarkManager.load(p)
+    assert loaded.get("form_submissions") == FORM_SUBMISSIONS_SENTINEL
+    assert loaded.get("contacts") == "2026-05-01T00:00:00.000Z"
+    assert BookmarkManager.load(tmp_path / "missing.json").as_dict() == {}
+
+
+def test_merge_after_gather():
+    bm = BookmarkManager({"a": "2026-01-01T00:00:00.000Z"})
+    bm.merge({"b": "2026-02-01T00:00:00.000Z", "a": "2026-03-01T00:00:00.000Z"})
+    assert bm.as_dict() == {
+        "a": "2026-03-01T00:00:00.000Z",
+        "b": "2026-02-01T00:00:00.000Z",
+    }
+
+
+def test_filter_newer_string_strict(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id="1", updatedAt="2026-01-01T00:00:00.000Z"),
+            Row(id="2", updatedAt="2026-01-02T00:00:00.000Z"),
+            Row(id="3", updatedAt=None),
+        ]
+    )
+    out = filter_newer(df, "updatedAt", "2026-01-01T00:00:00.000Z")
+    assert [r["id"] for r in out.collect()] == ["2"]  # strictly greater; NULL dropped
+    no_bm = filter_newer(df, "updatedAt", None)
+    assert {r["id"] for r in no_bm.collect()} == {"1", "2"}
+
+
+def test_filter_newer_timestamp(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id="1", ts=dt.datetime(2026, 1, 1)),
+            Row(id="2", ts=dt.datetime(2026, 1, 2)),
+        ]
+    )
+    out = filter_newer(df, "ts", "2026-01-01T00:00:00.000Z")
+    assert [r["id"] for r in out.collect()] == ["2"]
+
+
+# ---------------------------------------------------------------------------
+# Dedup-upsert
+
+
+def test_dedup_latest_picks_newest(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id="A", v=1, updated="2026-01-01"),
+            Row(id="A", v=2, updated="2026-01-03"),
+            Row(id="A", v=3, updated="2026-01-02"),
+            Row(id="B", v=9, updated=None),
+        ]
+    )
+    out = {r["id"]: r["v"] for r in dedup_latest(df, ["id"], "updated").collect()}
+    assert out == {"A": 2, "B": 9}
+
+
+def test_parquet_upsert_idempotent_and_overwrites(spark, tmp_path):
+    path = tmp_path / "contacts"
+    sink = ParquetUpsertSink(spark, path, keys=["id"], order_col="updatedAt")
+
+    batch1 = spark.createDataFrame(
+        [Row(id="1", name="ann", updatedAt="2026-01-01"), Row(id="2", name="bob", updatedAt="2026-01-01")]
+    )
+    sink.write(batch1)
+    assert {r["name"] for r in sink.read().collect()} == {"ann", "bob"}
+
+    # property: re-applying the same batch is a no-op (run-twice == run-once)
+    sink.write(batch1)
+    rows = sink.read().collect()
+    assert len(rows) == 2
+
+    # newer batch overwrites on key collision, keeps unrelated rows
+    batch2 = spark.createDataFrame([Row(id="1", name="ANN", updatedAt="2026-02-01")])
+    sink.write(batch2)
+    out = {r["id"]: r["name"] for r in sink.read().collect()}
+    assert out == {"1": "ANN", "2": "bob"}
+
+    # within-batch duplicates: latest replication value wins
+    batch3 = spark.createDataFrame(
+        [Row(id="3", name="v1", updatedAt="2026-01-01"), Row(id="3", name="v2", updatedAt="2026-01-05")]
+    )
+    sink.write(batch3)
+    assert {r["name"] for r in sink.read().filter("id = '3'").collect()} == {"v2"}
+
+
+def test_jdbc_upsert_sql():
+    sql = jdbc_upsert_sql("hubspot.deals", "deals__staging", ["id", "amount", "dealname"], ["id"])
+    assert 'ON CONFLICT ("id")' in sql
+    assert '"amount" = EXCLUDED."amount"' in sql
+    assert jdbc_upsert_sql("t", "s", ["id"], ["id"]).endswith("DO NOTHING")
+
+
+# ---------------------------------------------------------------------------
+# View layer (dbt analog)
+
+
+def _tasks_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(
+                id="T1", title="Proposal for ACME", status="Completed",
+                createddate=dt.datetime(2026, 1, 1), updateddate=dt.datetime(2026, 1, 10),
+                completeddate=dt.datetime(2026, 1, 11),
+            ),
+            Row(
+                id="T2", title="Quote for Initech", status="Completed",
+                createddate=dt.datetime(2026, 1, 1), updateddate=dt.datetime(2026, 1, 2),
+                completeddate=dt.datetime(2026, 1, 2, 12),
+            ),
+            Row(
+                id="T3", title="Proposal draft", status="Active",
+                createddate=dt.datetime(2026, 1, 1), updateddate=None, completeddate=None,
+            ),
+        ]
+    )
+
+
+def test_reference_models_parity(spark):
+    _tasks_df(spark).createOrReplaceTempView("tasks")
+    reg = reference_models()
+    built = reg.materialize(spark)
+    assert built == ["proposal_durations", "quote_durations"]
+    props = spark.sql("SELECT * FROM proposal_durations").collect()
+    assert [r["id"] for r in props] == ["T1"]
+    assert props[0]["duration_in_days"] == 10.0
+    quotes = spark.sql("SELECT * FROM quote_durations").collect()
+    assert [r["id"] for r in quotes] == ["T2"]
+    assert quotes[0]["duration_in_days"] == 1.5
+
+
+def test_view_registry_dag_order(spark):
+    spark.createDataFrame([Row(x=1), Row(x=2)]).createOrReplaceTempView("base_src")
+    reg = ViewRegistry()
+    # registered out of dependency order on purpose
+    reg.model("m2", "SELECT x * 10 AS y FROM m1", depends_on=["m1"])
+    reg.model("m1", "SELECT x FROM base_src WHERE x > 1", depends_on=["base_src"])
+    assert reg.materialize(spark) == ["m1", "m2"]
+    assert [r["y"] for r in spark.sql("SELECT y FROM m2").collect()] == [20]
+    with pytest.raises(ValueError):
+        reg.model("m2", "SELECT 1")
+
+
+def test_view_registry_cycle_detection(spark):
+    reg = ViewRegistry()
+    reg.model("a", "SELECT * FROM b", depends_on=["b"])
+    reg.model("b", "SELECT * FROM a", depends_on=["a"])
+    with pytest.raises(ValueError, match="cycle"):
+        reg.materialize(spark)
