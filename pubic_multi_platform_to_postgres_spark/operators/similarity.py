@@ -1,0 +1,98 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Baseline: exact brute-force cosine top-k — one broadcast of the query
+vector, one map-side score projection, ``TakeOrderedAndProject`` for the
+top-k (no global sort, no collect).
+
+Scale path: random-hyperplane LSH bucketing. Vectors are assigned a
+bucket by the sign pattern of projections onto ``n_planes`` fixed random
+hyperplanes; queries probe only their own bucket (optionally with
+multi-probe neighbors). At 100 TB the bucketed table is written
+partitioned by bucket so a query touches one partition. The projection
+is a vectorized Pandas UDF (Arrow-batched numpy matmul) — the one place
+Python earns its keep here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.operators.dedup import cosine_sim
+
+
+def topk_cosine_bruteforce(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The query rides into the plan as a literal array (no join at all);
+    scoring is a projection and the top-k is a per-partition heap.
+    Deterministic tie-break on the id column.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine_sim(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (fixed seed → reproducible buckets)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    vec_col: str,
+    planes: np.ndarray,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-pattern LSH bucket id per vector (vectorized Pandas UDF).
+
+    ``bucket = Σ 2^i · [planes_i · v > 0]`` — an integer in
+    ``[0, 2^n_planes)``. Arrow-batched: each batch is one numpy matmul.
+    """
+    planes_list = planes.tolist()  # captured in the closure, broadcast with the task
+
+    @F.pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        p = np.asarray(planes_list)
+        mat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)).values)
+        signs = (mat @ p.T) > 0
+        weights = (1 << np.arange(p.shape[0])).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return df.withColumn(out_col, bucket_of(F.col(vec_col)))
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    Recall can be tuned with fewer planes (bigger buckets) or multi-probe;
+    the point is the *plan* shape — the scan prunes to one bucket
+    (partition pruning when the table is bucket-partitioned) and the
+    brute-force work drops by ~2^n_planes.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q_bucket = int(((planes @ q) > 0) @ (1 << np.arange(n_planes)).astype(np.int64))
+    bucketed = with_lsh_bucket(df, vec_col, planes)
+    candidates = bucketed.filter(F.col("bucket") == q_bucket)
+    return topk_cosine_bruteforce(candidates, vec_col, id_col, query_vec, k)

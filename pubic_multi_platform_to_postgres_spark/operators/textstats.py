@@ -1,0 +1,117 @@
+"""Text analysis operators: language-ID, quality scoring, token stats,
+document fingerprinting.
+
+All pure column expressions (regexp + array built-ins) — each operator is
+a shuffle-free projection a 1000-executor cluster runs at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.operators.dedup import tokenize
+
+# small high-frequency stopword sets per language (public knowledge)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "den"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "no", "un", "con", "por", "para"),
+}
+
+
+def _stopword_pattern(words: tuple[str, ...]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def stopword_count(text: Column, lang: str) -> Column:
+    """Occurrences of the language's stopwords in lowercased text."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit(_stopword_pattern(LANG_STOPWORDS[lang])), F.lit(0)
+        )
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    (ties broken by the fixed language order; zero hits → 'und')."""
+    langs = list(LANG_STOPWORDS)
+    counts = [stopword_count(text, lg) for lg in langs]
+    best = F.greatest(*counts)
+    out = F.lit("und")
+    # reversed so earlier languages win ties (first match in order)
+    for lg, cnt in reversed(list(zip(langs, counts))):
+        out = F.when((best > 0) & (cnt == best), F.lit(lg)).otherwise(out)
+    return out
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(text, lowercase=False))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation as
+    separate tokens (a BPE-flavored regex, not a trained tokenizer)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit(r"[a-z]{1,8}|[0-9]|[^\sa-z0-9]"), F.lit(0)
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features follow the standard corpus-filtering recipe: length, mean
+    token length, punctuation density, stopword density, uppercase ratio.
+    The composite is a transparent linear score in [0, 1] — the point is
+    the columnar feature plumbing, not the particular weights.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text, lowercase=False)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(toks).cast("double")
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens  # chars sans separators
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), F.lit(0))).cast("double")
+    upper = F.size(F.regexp_extract_all(text, F.lit(r"[A-Z]"), F.lit(0))).cast("double")
+    stop = stopword_count(text, "en").cast("double")
+    punct_ratio = punct / n_chars
+    upper_ratio = upper / n_chars
+    stop_ratio = stop / n_tokens
+    score = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    no_punct = F.regexp_replace(F.lower(text), r"[^\w\s]", "")
+    return F.trim(F.regexp_replace(no_punct, r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprints: md5 of the normalized text (cross-engine
+    reproducible canonical id) + xxhash64 (the cheap 64-bit rolling-hash
+    analog used for in-engine joins)."""
+    norm = normalize_text(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint_md5"),
+        F.xxhash64(norm).alias("fingerprint64"),
+    )

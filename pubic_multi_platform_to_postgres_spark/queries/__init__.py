@@ -3,6 +3,7 @@
 from pubic_multi_platform_to_postgres_spark.queries import (  # noqa: F401
     elt,
     incremental,
+    llmdata,
     relational,
 )
 from pubic_multi_platform_to_postgres_spark.queries.registry import (  # noqa: F401

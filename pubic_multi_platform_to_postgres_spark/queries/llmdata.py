@@ -1,0 +1,300 @@
+"""Training-data pipeline operators as driver-checkable queries.
+
+Dedup / similarity / text-analysis / multimodal over the ``documents``
+and ``embeddings`` fixtures. SQL-expressible operators carry a DuckDB
+oracle; MinHash/SimHash/LSH (engine-hash-specific) are registered
+rows-only, with their estimators verified in unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from pubic_multi_platform_to_postgres_spark.operators.multimodal import decode_blobs
+from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+    topk_cosine_bruteforce,
+    topk_cosine_lsh,
+)
+from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+    LANG_STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    normalize_text,
+    quality_features,
+    token_count,
+)
+from pubic_multi_platform_to_postgres_spark.queries.registry import load, query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+
+
+@query(
+    "dedup_exact_keep_min",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (hash computed map-side; the
+    shuffle carries (hash, id) only, never the text)."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("content_hash", "doc_id", "n_copies")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS grams
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs, blocked by (lang, length
+    bucket) so the pair join never goes quadratic in the corpus."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50)
+    )
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang", "len_bucket"], threshold=0.5, ngram=1
+    )
+
+
+@query("dedup_minhash_pairs", oracle=None)
+def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle→signature→band→bucket
+    join). Engine-hash-specific → rows-only check here; the Jaccard
+    estimator itself is unit-tested against exact Jaccard."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.4
+    )
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (rows-only: xxhash64 is
+    Spark-specific)."""
+    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                   AS cosine
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.95
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by cluster label (the
+    blocking key stands in for an LSH/IVF bucket at corpus scale)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "embedding", "vec_id", block_cols=["label"], threshold=0.95
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The probe vector: embedding of the lowest vec_id (deterministic)."""
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1)
+    SELECT e.vec_id,
+           list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+               AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10: literal query vector, map-side scoring,
+    TakeOrderedAndProject top-k (no global sort)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_cosine_bruteforce(emb, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10)
+
+
+@query("sim_topk_lsh", oracle=None)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 probing only the query's random-hyperplane LSH
+    bucket (rows-only: bucketing uses seeded numpy hyperplanes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_cosine_lsh(
+        emb, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10, n_planes=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+
+_STOP_SQL = {
+    lg: "\\b(" + "|".join(ws) + ")\\b" for lg, ws in LANG_STOPWORDS.items()
+}
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(length(text) AS DOUBLE) AS n_chars_measured,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nt,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+               CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper,
+               CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}')) AS DOUBLE)
+                   AS stop
+        FROM documents
+    )
+    SELECT doc_id,
+           n_chars_measured,
+           CAST(nt AS BIGINT) AS n_tokens,
+           (n_chars_measured - (nt - 1)) / nt AS mean_token_len,
+           punct / n_chars_measured AS punct_ratio,
+           upper / n_chars_measured AS upper_ratio,
+           stop / nt AS stopword_ratio,
+           least(nt / 64.0, 1.0) * 0.4
+             + least((stop / nt) * 4.0, 1.0) * 0.4
+             + (1.0 - least((punct / n_chars_measured) * 10.0, 1.0)) * 0.2
+               AS quality_score
+    FROM f
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality features + composite score (shuffle-free projection)."""
+    return quality_features(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _langid_oracle() -> str:
+    langs = list(LANG_STOPWORDS)
+    cnt = {
+        lg: f"CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL[lg]}')) AS BIGINT)"
+        for lg in langs
+    }
+    best = "greatest(" + ", ".join(cnt[lg] for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:  # first language in order wins ties, like the Spark side
+        case += f"WHEN {best} > 0 AND {cnt[lg]} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+    SELECT doc_id, lang AS declared_lang, {case} AS detected_lang
+    FROM documents
+    """
+
+
+@query("text_langid", oracle=_langid_oracle())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID vs the declared label."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]{1,8}|[0-9]|[^\\sa-z0-9]'))
+                AS INTEGER) AS n_bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex sub-word counts."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                                   '\\s+', ' ', 'g'))) AS fingerprint_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5 canonical id; the xxhash64
+    rolling variant is engine-side only)."""
+    out = fingerprint(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return out.select("doc_id", "fingerprint_md5")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: treat UTF-8 text bytes as an opaque blob,
+    run the Arrow-batched mapInPandas decoder (stubbed deterministic
+    metadata), land typed columns. The checksum column is engine-side
+    only; byte length and first byte are oracle-checked."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    decoded = decode_blobs(docs, "blob", "doc_id")
+    return decoded.select("id", "n_bytes", "first_byte")

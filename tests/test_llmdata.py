@@ -1,0 +1,153 @@
+"""Unit tests for dedup/similarity/text/multimodal operators — especially
+the engine-hash-specific ones the driver can only rows-check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+    tokenize,
+)
+from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+    decode_blobs,
+    decode_image_stub,
+    fake_decode,
+    with_media_meta,
+)
+from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+    hyperplanes,
+    topk_cosine_bruteforce,
+    topk_cosine_lsh,
+    with_lsh_bucket,
+)
+from pubic_multi_platform_to_postgres_spark.operators.textstats import lang_id
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find some food for the long cold winter"
+)
+NEAR_DUP = BASE.replace("quick", "fast")  # one token differs
+UNRELATED = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized operators shuffling data across executors"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE),
+            Row(doc_id=2, text=NEAR_DUP),
+            Row(doc_id=3, text=UNRELATED),
+            Row(doc_id=4, text=BASE),  # exact copy of 1
+        ]
+    )
+
+
+def test_exact_dedup_collapses_copies(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id == {1: 2, 2: 1, 3: 1}  # doc 4 collapsed into 1 (min id kept)
+
+
+def test_minhash_estimator_tracks_exact_jaccard(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=128)
+    s = {r["doc_id"]: r["signature"] for r in sigs.collect()}
+    assert s[1] == s[4]  # identical docs -> identical signatures
+    est_near = sum(a == b for a, b in zip(s[1], s[2])) / 128
+    est_far = sum(a == b for a, b in zip(s[1], s[3])) / 128
+    # exact shingle jaccard for the near pair
+    sh = docs.select(
+        "doc_id", word_shingles(tokenize(F.col("text")), 3).alias("g")
+    ).collect()
+    g = {r["doc_id"]: set(r["g"]) for r in sh}
+    exact = len(g[1] & g[2]) / len(g[1] | g[2])
+    assert abs(est_near - exact) < 0.15  # 128 hashes -> sigma ~0.04
+    assert est_far < 0.2 < est_near
+
+
+def test_minhash_lsh_finds_the_dup_pair(spark):
+    pairs = minhash_dedup_pairs(
+        _docs(spark), "text", "doc_id", num_hashes=64, bands=16, threshold=0.4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in found            # exact dup always collides
+    assert (1, 2) in found or (2, 4) in found  # near dup shares a band
+    assert not any(3 in p for p in found)      # unrelated doc never pairs
+
+
+def test_simhash_hamming_property(spark):
+    out = {r["doc_id"]: r["simhash64"] for r in simhash(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == out[4]
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_lsh_bucket_matches_numpy(spark):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, v=[1.0, 0.0, 0.0]), Row(vec_id=2, v=[-1.0, 0.0, 0.0])]
+    )
+    planes = hyperplanes(3, n_planes=4, seed=7)
+    out = {r["vec_id"]: r["bucket"] for r in with_lsh_bucket(df, "v", planes).collect()}
+    expect = {
+        vid: int(((planes @ np.array(v)) > 0) @ (1 << np.arange(4)))
+        for vid, v in [(1, [1.0, 0.0, 0.0]), (2, [-1.0, 0.0, 0.0])]
+    }
+    assert out == expect
+
+
+def test_lsh_topk_subset_of_bruteforce_universe(spark):
+    vecs = [
+        Row(vec_id=i, v=[float(i == j) + 0.1 * j for j in range(4)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs)
+    q = [0.5, 0.1, 0.2, 0.3]
+    brute = topk_cosine_bruteforce(df, "v", "vec_id", q, k=5).collect()
+    assert len(brute) == 5
+    assert brute[0]["cosine"] == max(r["cosine"] for r in brute)
+    approx = topk_cosine_lsh(df, "v", "vec_id", q, k=5, n_planes=2).collect()
+    assert 0 < len(approx) <= 5
+    assert {r["vec_id"] for r in approx} <= set(range(20))
+
+
+def test_langid_multilingual(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is in the house and it is warm"),
+            Row(doc_id=2, text="der Hund ist nicht in das Haus und die Katze"),
+            Row(doc_id=3, text="le chat est dans la maison et les chiens"),
+            Row(doc_id=4, text="el perro es un animal y la casa es grande"),
+            Row(doc_id=5, text="xyzzy plugh"),
+        ]
+    )
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_multimodal_decode_pipeline(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=b"\x89PNG fake bytes"), Row(doc_id=2, payload=b"")]
+    )
+    with_meta = with_media_meta(df, "payload", "image/png")
+    assert with_meta.schema["media_meta"].dataType["media_type"].dataType.typeName() == "string"
+    out = {r["id"]: r for r in decode_blobs(with_meta, "payload", "doc_id").collect()}
+    assert out[1]["n_bytes"] == 15
+    assert out[1]["first_byte"] == 0x89
+    assert out[2]["n_bytes"] == 0 and out[2]["first_byte"] == -1
+    assert out[1]["checksum"] == fake_decode(b"\x89PNG fake bytes")[2]  # deterministic
+
+
+def test_decode_stub_is_honest():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"anything")
