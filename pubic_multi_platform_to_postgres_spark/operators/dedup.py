@@ -73,23 +73,33 @@ def minhash_signatures(
     shingle_size: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: ``signature[i] = min over shingles
-    of xxhash64(i || shingle)``.
+    of xxhash64(i, shingle)``.
 
     One pass, no shuffle: shingling + hashing happen inside a projection.
+    The shingle array is materialized in its own projection first —
+    embedding it in all ``num_hashes`` min-expressions would make every
+    row rebuild the shingle set ``num_hashes`` times (Catalyst's
+    CollapseProject keeps a non-cheap alias consumed many times).
+
+    Per-seed ``array_min(transform(...))`` executes fastest (primitive
+    loops per seed); its analyzer cost — 64 lambda resolutions — is paid
+    once because callers reuse this single projection (see
+    ``minhash_dedup_pairs``: signatures ride through the band explode
+    instead of being re-instantiated per join branch).
     """
     tokens = tokenize(F.col(text_col))
-    shingles = word_shingles(tokens, shingle_size)
+    shingled = df.select(
+        F.col(id_col), word_shingles(tokens, shingle_size).alias("_shingles")
+    )
     sig = F.array(
         *[
             F.array_min(
-                F.transform(
-                    shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}_"), s))
-                )
+                F.transform(F.col("_shingles"), lambda s, i=i: F.xxhash64(F.lit(i), s))
             )
             for i in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return shingled.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_buckets(
@@ -97,12 +107,14 @@ def lsh_buckets(
     id_col: str,
     bands: int = 16,
     rows_per_band: int = 4,
+    keep_signature: bool = False,
 ) -> DataFrame:
     """Banded LSH: hash each signature band → (id, band, bucket) rows.
 
     Two docs sharing any (band, bucket) are candidates. Output is
     ``bands`` rows per doc — linear blow-up, then the candidate join
-    shuffles on (band, bucket) only.
+    shuffles on (band, bucket) only. With ``keep_signature`` the full
+    signature rides along (lets the verifier skip a back-join).
     """
     entries = F.array(
         *[
@@ -114,8 +126,9 @@ def lsh_buckets(
             for b in range(bands)
         ]
     )
-    return sig_df.select(F.col(id_col), F.explode(entries).alias("e")).select(
-        id_col, "e.band", "e.bucket"
+    keep = ["signature"] if keep_signature else []
+    return sig_df.select(F.col(id_col), *keep, F.explode(entries).alias("e")).select(
+        id_col, *keep, "e.band", "e.bucket"
     )
 
 
@@ -136,33 +149,30 @@ def minhash_dedup_pairs(
     Scale: candidates come only from shared LSH buckets; the quadratic
     term is bounded per-bucket (skewed buckets → AQE skew handling, or
     raise ``bands``/``rows_per_band`` to sharpen the threshold curve).
+    Signatures ride through the band explode so the pair join needs no
+    back-joins (the shuffle carries ``bands × num_hashes`` longs per doc —
+    a few KB — in exchange for two fewer shuffles and a single
+    instantiation of the signature expression).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-    buckets = lsh_buckets(sigs, id_col, bands, rows_per_band)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col(f"a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    buckets = lsh_buckets(sigs, id_col, bands, rows_per_band, keep_signature=True)
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), "band", "bucket", F.col("signature").alias("sig_a")
     )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), "band", "bucket", F.col("signature").alias("sig_b")
+    )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.lit(float(num_hashes))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
@@ -216,17 +226,22 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Per-token xxhash64 once, then 64 bit-votes folded over the token-hash
-    array (sum of ±1 per bit), fingerprint = Σ 2^i·[vote_i > 0]. Pure
-    projection — no shuffle; near-dup search is then a Hamming-distance
-    join on fingerprint prefixes (same banding idea as LSH).
+    Per-token xxhash64 once (materialized projection — see
+    ``minhash_signatures`` for why), then 64 bit-votes folded over the
+    token-hash array (sum of ±1 per bit), fingerprint =
+    Σ 2^i·[vote_i > 0]. Pure projection — no shuffle; near-dup search is
+    then a Hamming-distance join on fingerprint prefixes (same banding
+    idea as LSH).
     """
-    hashes = F.transform(tokenize(F.col(text_col)), lambda w: F.xxhash64(w))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokenize(F.col(text_col)), lambda w: F.xxhash64(w)).alias("_h"),
+    )
 
     def vote(i: int) -> Column:
         bit = lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long"))  # noqa: E731
         return F.aggregate(
-            hashes,
+            F.col("_h"),
             F.lit(0).cast("long"),
             lambda acc, h: acc + F.when(bit(h) == 1, 1).otherwise(-1),
         )
@@ -240,7 +255,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             for i in range(64)
         ],
     )
-    return df.select(F.col(id_col), fingerprint.alias("simhash64"))
+    return hashed.select(F.col(id_col), fingerprint.alias("simhash64"))
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
