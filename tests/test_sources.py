@@ -1,0 +1,404 @@
+"""Extraction-source tests: pagination scans, throttle/retry/auth, and the
+end-to-end sync pipeline (mock API → flatten/unnest → keyed upsert →
+bookmarks), including the idempotency property the reference's run-time
+bookmark contract depends on (SURVEY.md §5 test strategy #2/#3)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.operators.flatten import flatten
+from pubic_multi_platform_to_postgres_spark.operators.unnest import split_substream
+from pubic_multi_platform_to_postgres_spark.plans.catalog import Catalog
+from pubic_multi_platform_to_postgres_spark.sources.auth import OAuth2RefreshAuth
+from pubic_multi_platform_to_postgres_spark.sources.pipeline import (
+    Pipeline,
+    StreamSpec,
+    run_sequence,
+)
+from pubic_multi_platform_to_postgres_spark.sources.rest import (
+    Fetcher,
+    RateLimiter,
+    RetryPolicy,
+    scan_analytics,
+    scan_cursor,
+    scan_full,
+    scan_keyed,
+    scan_numbered,
+    scan_token,
+    scan_windowed,
+    year_windows,
+)
+
+
+class MockTransport:
+    """Canned-response transport; records every request."""
+
+    def __init__(self, responses):
+        # responses: callable(url, params, headers) -> Any, or dict url->Any
+        self.responses = responses
+        self.calls: list[tuple[str, dict | None, dict | None]] = []
+        self.posts: list[tuple[str, dict | None]] = []
+
+    def get(self, url, params=None, headers=None):
+        self.calls.append((url, dict(params) if params else None, headers))
+        if callable(self.responses):
+            return self.responses(url, params or {}, headers or {})
+        return self.responses[url]
+
+    def post(self, url, data=None, headers=None):
+        self.posts.append((url, data))
+        return self.responses(url, data or {}, headers or {})
+
+
+def fetcher(responses) -> Fetcher:
+    return Fetcher(transport=MockTransport(responses), retry=RetryPolicy(sleep=lambda s: None))
+
+
+# ---------------------------------------------------------------------------
+# Pagination scans
+
+
+def test_scan_cursor_follows_after_until_absent():
+    pages = {
+        None: {"results": [{"id": 1}, {"id": 2}], "paging": {"next": {"after": "A"}}},
+        "A": {"results": [{"id": 3}], "paging": {"next": {"after": "B"}}},
+        "B": {"results": [{"id": 4}], "paging": {}},
+    }
+    f = fetcher(lambda url, p, h: pages[p.get("after")])
+    rows = list(scan_cursor(f, "objects/deals", page_size=2))
+    assert [r["id"] for r in rows] == [1, 2, 3, 4]
+    # limit pushed on every request
+    assert all(c[1]["limit"] == 2 for c in f.transport.calls)
+
+
+def test_scan_token_stops_on_empty_response_size():
+    pages = {
+        None: {"data": [{"id": "a"}], "nextPageToken": "T1", "responseSize": 1},
+        "T1": {"data": [{"id": "b"}], "nextPageToken": "T2", "responseSize": 0},
+        "T2": {"data": [{"id": "never"}]},
+    }
+    f = fetcher(lambda url, p, h: pages[p.get("nextPageToken")])
+    rows = list(scan_token(f, "tasks", page_size=1000))
+    # responseSize == 0 stops even though a token was returned (Wrike quirk)
+    assert [r["id"] for r in rows] == ["a", "b"]
+    assert all(c[1]["pageSize"] == 1000 for c in f.transport.calls)
+
+
+def test_scan_numbered_yields_all_pages_including_first():
+    def respond(url, p, h):
+        page = p["page"]
+        return {
+            "pagination": {"page": page, "pageCount": 3},
+            "Invoices": [{"InvoiceID": f"p{page}"}],
+        }
+
+    f = fetcher(respond)
+    rows = list(scan_numbered(f, "invoices", results_key="Invoices"))
+    # fidelity fix: the reference drops page 1 (tap_xero/utility.py:89-102);
+    # we yield every page exactly once
+    assert [r["InvoiceID"] for r in rows] == ["p1", "p2", "p3"]
+    assert [c[1]["page"] for c in f.transport.calls] == [1, 2, 3]
+
+
+def test_scan_numbered_single_page_yields_rows():
+    f = fetcher(lambda url, p, h: {"pagination": {"pageCount": 1}, "Items": [{"k": 1}]})
+    assert list(scan_numbered(f, "items", results_key="Items")) == [{"k": 1}]
+
+
+def test_year_windows_cover_range_without_overlap():
+    ws = list(year_windows("2021-01-01", datetime(2023, 4, 1)))
+    assert ws == [
+        ("2021-01-01", "2022-01-01"),
+        ("2022-01-01", "2023-01-01"),
+        ("2023-01-01", "2023-04-01"),
+    ]
+
+
+def test_scan_windowed_fetches_each_key_per_window():
+    f = fetcher(lambda url, p, h: {"Budgets": [{"b": url, "from": p["DateFrom"]}]})
+    rows = list(
+        scan_windowed(
+            f, lambda k: f"Budgets/{k}", ["B1", "B2"], "2021-01-01", datetime(2022, 6, 1)
+        )
+    )
+    assert len(rows) == 2 * 2  # 2 keys x 2 windows
+    assert {r["b"] for r in rows} == {"Budgets/B1", "Budgets/B2"}
+
+
+def test_scan_keyed_stamps_driving_key():
+    f = fetcher(lambda url, p, h: {"results": [{"conversionId": "c1"}], "paging": {}})
+    rows = list(
+        scan_keyed(f, lambda k: f"forms/{k}", ["F1", "F2"], key_field="form_id")
+    )
+    assert [(r["form_id"], r["conversionId"]) for r in rows] == [("F1", "c1"), ("F2", "c1")]
+
+
+def test_scan_analytics_yields_date_buckets():
+    f = fetcher(lambda url, p, h: {"2024-01-01": [{"v": 1}], "2024-01-02": [{"v": 2}]})
+    pairs = dict(scan_analytics(f, "reports/daily"))
+    assert set(pairs) == {"2024-01-01", "2024-01-02"}
+
+
+def test_scan_full_handles_dict_and_list_payloads():
+    assert list(scan_full(fetcher(lambda u, p, h: {"data": [{"x": 1}]}), "contacts")) == [{"x": 1}]
+
+
+# ---------------------------------------------------------------------------
+# Throttle / retry / auth
+
+
+def test_rate_limiter_enforces_rate_with_fake_clock():
+    now = [0.0]
+    waits: list[float] = []
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        waits.append(s)
+        now[0] += s
+
+    rl = RateLimiter(rate=2.0, capacity=1.0, clock=clock, sleep=sleep)
+    for _ in range(4):
+        rl.acquire()
+    # 1 free token, then 3 waits of ~0.5s at 2 req/s
+    assert len(waits) == 3
+    assert all(abs(w - 0.5) < 1e-9 for w in waits)
+
+
+def test_retry_backoff_sequence_and_reraise():
+    waits: list[float] = []
+    policy = RetryPolicy(attempts=5, wait_initial=1.0, wait_max=10.0, sleep=waits.append)
+    calls = [0]
+
+    def flaky():
+        calls[0] += 1
+        raise ConnectionError("boom")
+
+    with pytest.raises(ConnectionError):
+        policy.call(flaky)
+    assert calls[0] == 5
+    assert waits == [1.0, 2.0, 4.0, 8.0]
+
+
+def test_retry_succeeds_midway():
+    calls = [0]
+
+    def flaky():
+        calls[0] += 1
+        if calls[0] < 3:
+            raise TimeoutError
+        return "ok"
+
+    assert RetryPolicy(sleep=lambda s: None).call(flaky) == "ok"
+    assert calls[0] == 3
+
+
+def test_oauth_refresh_and_tenant_discovery():
+    clock = [1000.0]
+
+    def respond(url, payload, headers):
+        if url == "https://id/token":
+            assert payload["grant_type"] == "refresh_token"
+            return {"access_token": f"AT{len(t.posts)}", "refresh_token": "RT2", "expires_in": 1800}
+        if url == "https://api/connections":
+            assert headers["Authorization"].startswith("Bearer AT")
+            return [{"tenantId": "T1", "tenantName": "Acme"}]
+        raise AssertionError(url)
+
+    t = MockTransport(respond)
+    auth = OAuth2RefreshAuth(
+        transport=t,
+        token_url="https://id/token",
+        client_id="cid",
+        client_secret="sec",
+        tokens={"refresh_token": "RT1"},
+        connections_url="https://api/connections",
+        clock=lambda: clock[0],
+    )
+    tok1 = auth.access_token()  # expired (no expires_at) -> refresh
+    assert tok1 == "AT1" and auth.tokens["refresh_token"] == "RT2"
+    assert auth.access_token() == "AT1"  # cached, no second refresh
+    assert len(t.posts) == 1
+    tenants = auth.discover_tenants()
+    assert tenants == [{"id": "T1", "name": "Acme"}]
+    clock[0] += 3600  # expire -> next use refreshes again
+    assert auth.access_token() == "AT2"
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline: mock API -> flatten -> substream -> upsert -> bookmarks
+
+
+TASKS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "id": {"type": "string"},
+        "title": {"type": ["null", "string"]},
+        "updatedDate": {"type": ["null", "string"], "format": "date-time"},
+        "dates-start": {"type": ["null", "string"]},
+    },
+    "additionalProperties": False,
+}
+
+CONTACTS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "id": {"type": "string"},
+        "firstName": {"type": ["null", "string"]},
+    },
+    "additionalProperties": False,
+}
+
+PROFILES_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "id": {"type": "string"},
+        "parent_id": {"type": ["null", "string"]},
+        "accountId": {"type": ["null", "string"]},
+        "email": {"type": ["null", "string"]},
+    },
+    "additionalProperties": False,
+}
+
+
+def _raw_tasks(n=4, updated="2024-06-01T00:00:00.000Z"):
+    return [
+        {
+            "id": f"t{i}",
+            "title": f"Task {i}",
+            "updatedDate": updated,
+            "dates": {"start": f"2024-05-0{i + 1}"},
+            "ignored_extra": "dropped by projection",
+        }
+        for i in range(n)
+    ]
+
+
+def _raw_contacts():
+    return [
+        {
+            "id": "c1",
+            "firstName": "Ada",
+            "profiles": [
+                {"accountId": "A1", "email": "ada@a1.example"},
+                {"accountId": "A2", "email": "ada@a2.example"},
+            ],
+        },
+        {"id": "c2", "firstName": "Grace", "profiles": []},
+    ]
+
+
+def _make_pipeline(spark, tmp_path, extracted: dict[str, list]):
+    cat = Catalog()
+    cat.register_json_schema(
+        "tasks", TASKS_SCHEMA, key_properties=["id"], replication_key="updatedDate",
+        source="wrike",
+    )
+    cat.register_json_schema("contacts", CONTACTS_SCHEMA, key_properties=["id"], source="wrike")
+    cat.register_json_schema(
+        "contacts_profiles", PROFILES_SCHEMA, key_properties=["id"], parent="contacts",
+        source="wrike",
+    )
+
+    def tasks_transform(df):
+        if not df.columns:
+            return {"tasks": df}
+        return {"tasks": flatten(df)}
+
+    def contacts_transform(df):
+        if "profiles" not in df.columns:
+            return {"contacts": df}
+        profiles = split_substream(df, "profiles", parent_key="id", key_parts=["accountId"])
+        return {"contacts": df.drop("profiles"), "contacts_profiles": profiles}
+
+    specs = [
+        StreamSpec(cat.get("tasks"), lambda bm: extracted["tasks"], tasks_transform,
+                   client_filter=True),
+        StreamSpec(cat.get("contacts"), lambda bm: extracted["contacts"], contacts_transform,
+                   bookmark_mode="run_start"),
+    ]
+    return Pipeline("wrike", cat, specs, tmp_path / "lake")
+
+
+def test_pipeline_end_to_end_and_idempotent_rerun(spark, tmp_path):
+    extracted = {"tasks": _raw_tasks(), "contacts": _raw_contacts()}
+    pipe = _make_pipeline(spark, tmp_path, extracted)
+
+    reports = {r.stream: r for r in pipe.run(spark)}
+    assert all(r.ok for r in reports.values()), [r.error for r in reports.values()]
+    assert reports["tasks"].tables == {"tasks": 4}
+    assert reports["contacts"].tables == {"contacts": 2, "contacts_profiles": 2}
+
+    lake = tmp_path / "lake"
+    tasks = spark.read.parquet(str(lake / "tasks"))
+    # flatten produced dash-joined names; projection dropped the extra key
+    assert sorted(tasks.columns) == ["dates-start", "id", "title", "updatedDate"]
+    profiles = spark.read.parquet(str(lake / "contacts_profiles"))
+    got = {r["id"] for r in profiles.collect()}
+    assert got == {"c1_A1", "c1_A2"}  # surrogate key U3: parent_id + accountId
+
+    # state file: Singer envelope with run-start bookmarks
+    state = json.loads((lake / "state_wrike.json").read_text())
+    assert state["type"] == "STATE" and "tasks" in state["value"]
+
+    # property test (§5 #3): re-running with the same data is a no-op
+    before = sorted(tasks.collect(), key=lambda r: r["id"])
+    reports2 = {r.stream: r for r in pipe.run(spark)}
+    # second run: bookmark now newer than every updatedDate -> 0 rows pass F3
+    assert reports2["tasks"].tables["tasks"] == 0
+    after = sorted(spark.read.parquet(str(lake / "tasks")).collect(), key=lambda r: r["id"])
+    assert before == after
+
+
+def test_pipeline_upsert_overwrites_on_pk(spark, tmp_path):
+    extracted = {"tasks": _raw_tasks(2), "contacts": _raw_contacts()}
+    pipe = _make_pipeline(spark, tmp_path, extracted)
+    pipe.run(spark)
+    # same PK, newer timestamp, changed title -> replaces
+    extracted["tasks"] = [
+        {"id": "t0", "title": "Task 0 v2", "updatedDate": "2030-01-01T00:00:00.000Z",
+         "dates": {"start": "2024-05-01"}}
+    ]
+    pipe.run(spark)
+    tasks = {r["id"]: r["title"] for r in spark.read.parquet(str(tmp_path / "lake/tasks")).collect()}
+    assert tasks == {"t0": "Task 0 v2", "t1": "Task 1"}
+
+
+def test_pipeline_failure_isolation(spark, tmp_path):
+    extracted = {"tasks": _raw_tasks(1), "contacts": _raw_contacts()}
+    pipe = _make_pipeline(spark, tmp_path, extracted)
+
+    def exploding(bm):
+        raise RuntimeError("api down")
+
+    pipe.specs[0] = StreamSpec(pipe.specs[0].stream, exploding, pipe.specs[0].transform)
+    reports = {r.stream: r for r in pipe.run(spark)}
+    assert not reports["tasks"].ok and "api down" in reports["tasks"].error
+    assert reports["contacts"].ok  # O6: other streams unaffected
+    # failed stream gets no bookmark; successful one does
+    state = json.loads((tmp_path / "lake/state_wrike.json").read_text())
+    assert "tasks" not in state["value"] and "contacts" in state["value"]
+
+
+def test_run_sequence_cycles_and_after_cycle(spark, tmp_path):
+    extracted = {"tasks": _raw_tasks(2), "contacts": _raw_contacts()}
+    pipe = _make_pipeline(spark, tmp_path, extracted)
+    slept: list[float] = []
+    cycles_seen: list[int] = []
+
+    results = list(
+        run_sequence(
+            spark, [pipe], cycles=2, interval=7.0,
+            after_cycle=lambda s: cycles_seen.append(1),
+            sleep=slept.append,
+        )
+    )
+    assert len(results) == 2 and all("wrike" in r for r in results)
+    assert cycles_seen == [1, 1]  # view layer ran after each cycle (O1)
+    assert slept == [7.0]  # sleeps between cycles, not after the last
