@@ -5,6 +5,7 @@ from pubic_multi_platform_to_postgres_spark.queries import (  # noqa: F401
     incremental,
     llmdata,
     relational,
+    streamwin,
 )
 from pubic_multi_platform_to_postgres_spark.queries.registry import (  # noqa: F401
     REGISTRY,

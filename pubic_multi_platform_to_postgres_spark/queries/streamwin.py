@@ -1,0 +1,123 @@
+"""Event-time window queries over ``events`` — the batch faces of the
+streaming operators (``streaming/windows.py``).
+
+Each runs the SAME window builder the streaming path uses (batch and
+streaming share the plan constructs), so the DuckDB oracle here plus the
+batch≡streaming equivalence tests in ``tests/test_streaming.py`` jointly
+verify the streaming operators end-to-end.
+
+Window boundaries are epoch-microsecond longs: exact, order-insensitive,
+timezone-proof (SURVEY.md §2.8 streaming row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.queries.registry import (
+    dsum,
+    load,
+    query,
+    sql_dsum,
+)
+from pubic_multi_platform_to_postgres_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@query(
+    "stream_tumbling_hourly",
+    oracle=f"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start,
+           epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact value sum.
+    Single shuffle on (window, event_type); map-side partial aggregation
+    applies as usual."""
+    return tumbling_agg(
+        load(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+    )
+
+
+@query(
+    "stream_sliding_30m_15m",
+    oracle=f"""
+    WITH slid AS (
+        SELECT (FLOOR(epoch_us(ts) / 900000000) - k) * 900000000 AS window_start,
+               value
+        FROM events, (VALUES (0), (1)) offs(k)
+    )
+    SELECT CAST(window_start AS BIGINT) AS window_start,
+           CAST(window_start + 1800000000 AS BIGINT) AS window_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM slid
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 30-minute windows every 15 minutes (each event in exactly
+    two windows). The oracle reproduces Spark's epoch-aligned window set
+    arithmetically: starts at floor(ts/15min)·15min and 15min earlier."""
+    return sliding_agg(
+        load(spark, sf_dir, "events"),
+        "ts",
+        "30 minutes",
+        "15 minutes",
+        [],
+        [F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+    )
+
+
+@query(
+    "stream_session_30m",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT epoch_us(MIN(ts)) AS session_start,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (session_end = last event + gap). The oracle is the classic
+    gaps-and-islands construction — an independent derivation of Spark's
+    session_window semantics."""
+    return session_agg(
+        load(spark, sf_dir, "events"),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
+    )

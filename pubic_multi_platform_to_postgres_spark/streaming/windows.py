@@ -1,0 +1,101 @@
+"""Event-time window operators: tumbling / sliding / session.
+
+The reference has no streaming engine — its only streaming notion is the
+micro-batch scheduler loop (O1, ``scheduler.py:158-225``); SURVEY.md §2.8
+commits these as the Structured-Streaming-native completion of that gap.
+
+Every builder here works on BOTH a batch DataFrame and a streaming
+DataFrame — ``window()`` / ``session_window()`` are plan-level constructs;
+the same function is used by the oracle-checked batch queries
+(``queries/streamwin.py``) and the streaming equivalence tests, which is
+exactly how correctness is established for the streaming path.
+
+Scale notes: windowed aggregation shuffles on (window, keys) — at 100 TB
+the partition count follows from AQE; session windows additionally require
+a sort within (key) partitions, which Spark's session-window exec handles
+with spillable buffers. Watermarks bound state: without one, a streaming
+session/tumbling agg keeps all windows open forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data bound for streaming inputs; identity on batch frames
+    (watermarks are meaningless in batch and Spark rejects them there)."""
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed windows: one aggregate row per (window, keys).
+
+    Output carries ``window_start``/``window_end`` as epoch-microsecond
+    longs — exact, timezone-proof, cross-engine comparable.
+    """
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    out = df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys).agg(*aggs)
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("window_start"),
+        F.unix_micros(F.col("w.end")).alias("window_end"),
+        *keys,
+        *[c for c in out.columns if c != "w" and c not in keys],
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows (each event lands in ``duration/slide`` of
+    them); same output contract as :func:`tumbling_agg`."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    out = df.groupBy(
+        F.window(F.col(ts_col), duration, slide).alias("w"), *keys
+    ).agg(*aggs)
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("window_start"),
+        F.unix_micros(F.col("w.end")).alias("window_end"),
+        *keys,
+        *[c for c in out.columns if c != "w" and c not in keys],
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: a session extends while consecutive events per key
+    arrive within ``gap``; ``session_end`` = last event + gap (Spark's
+    session_window contract, reproduced by the gaps-and-islands oracle)."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    out = df.groupBy(
+        F.session_window(F.col(ts_col), gap).alias("w"), *keys
+    ).agg(*aggs)
+    return out.select(
+        F.unix_micros(F.col("w.start")).alias("session_start"),
+        F.unix_micros(F.col("w.end")).alias("session_end"),
+        *keys,
+        *[c for c in out.columns if c != "w" and c not in keys],
+    )

@@ -1,0 +1,132 @@
+"""Streaming-path tests: the same window builders that pass the DuckDB
+oracle in batch mode must produce identical results when driven as a
+Structured Streaming query through the foreachBatch keyed-upsert sink,
+across multiple micro-batches (SURVEY.md §2.8 streaming completion)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.operators.upsert import ParquetUpsertSink
+from pubic_multi_platform_to_postgres_spark.queries.registry import dsum, load
+from pubic_multi_platform_to_postgres_spark.streaming.runner import (
+    run_available_now_cycle,
+    stream_from_directory,
+)
+from pubic_multi_platform_to_postgres_spark.streaming.windows import (
+    session_agg,
+    tumbling_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    # registry.load handles the TIMESTAMP(NANOS) parquet quirk
+    return load(spark, SF, "events").cache()
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory, events_batch):
+    """events sf0.001 rewritten as 3 time-ordered parquet files.
+
+    Time-ordering matters: micro-batches arriving in event-time order mean
+    (a) nothing falls behind the watermark mid-test and (b) a session's
+    start is fixed by its first batch, so the upsert key stays stable while
+    later batches extend the session. The file source processes files in
+    modification-time order, hence the separate sequential writes.
+    """
+    import time as _time
+
+    d = tmp_path_factory.mktemp("events_stream_src")
+    lo, hi = events_batch.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    cuts = [lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3]
+    ranges = [
+        events_batch.filter(F.col("ts") <= F.lit(cuts[0])),
+        events_batch.filter((F.col("ts") > F.lit(cuts[0])) & (F.col("ts") <= F.lit(cuts[1]))),
+        events_batch.filter(F.col("ts") > F.lit(cuts[1])),
+    ]
+    for chunk in ranges:
+        chunk.coalesce(1).write.mode("append").parquet(str(d))
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+    return d
+
+
+def _collect_sorted(df, cols):
+    return sorted(
+        [tuple(r[c] for c in cols) for r in df.collect()],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def test_streaming_tumbling_equals_batch(spark, events_dir, events_batch, tmp_path):
+    aggs = lambda: [F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")]  # noqa: E731
+    batch_result = tumbling_agg(events_batch, "ts", "1 hour", ["event_type"], aggs())
+
+    stream = stream_from_directory(
+        spark, events_dir, events_batch.schema, max_files_per_trigger=1
+    )
+    windowed = tumbling_agg(
+        stream, "ts", "1 hour", ["event_type"], aggs(), watermark="2 hours"
+    )
+    sink = ParquetUpsertSink(
+        spark, tmp_path / "agg", keys=["window_start", "event_type"]
+    )
+    run_available_now_cycle(windowed, sink, tmp_path / "ckpt")
+
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    got = _collect_sorted(spark.read.parquet(str(tmp_path / "agg")), cols)
+    want = _collect_sorted(batch_result, cols)
+    assert got == want  # update-mode upsert across 3 micro-batches == batch
+
+
+def test_streaming_cycle_is_incremental(spark, events_dir, events_batch, tmp_path):
+    """Second AvailableNow cycle with no new files processes nothing —
+    the checkpoint is the bookmark (K3's streaming analog)."""
+    stream = stream_from_directory(spark, events_dir, events_batch.schema)
+    windowed = tumbling_agg(
+        stream, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")], watermark="2 hours",
+    )
+    sink = ParquetUpsertSink(spark, tmp_path / "agg", keys=["window_start", "event_type"])
+    run_available_now_cycle(windowed, sink, tmp_path / "ckpt")
+    first = spark.read.parquet(str(tmp_path / "agg")).count()
+
+    # rerun: same checkpoint, no new input files
+    stream2 = stream_from_directory(spark, events_dir, events_batch.schema)
+    windowed2 = tumbling_agg(
+        stream2, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n_events")], watermark="2 hours",
+    )
+    run_available_now_cycle(windowed2, sink, tmp_path / "ckpt")
+    assert spark.read.parquet(str(tmp_path / "agg")).count() == first
+
+
+def test_streaming_session_equals_batch(spark, events_dir, events_batch, tmp_path):
+    """Session windows are mergeable state: sessions split across
+    micro-batches must coalesce to the batch answer. Streaming session
+    aggregation supports append/complete only (update is rejected); in
+    complete mode every batch re-emits the merged state, so the final
+    upsert holds exactly the batch answer."""
+    aggs = lambda: [F.count(F.lit(1)).alias("n_events")]  # noqa: E731
+    batch_result = session_agg(events_batch, "ts", "30 minutes", ["user_id"], aggs())
+
+    stream = stream_from_directory(
+        spark, events_dir, events_batch.schema, max_files_per_trigger=1
+    )
+    sessions = session_agg(
+        stream, "ts", "30 minutes", ["user_id"], aggs(), watermark="365 days"
+    )
+    sink = ParquetUpsertSink(
+        spark, tmp_path / "sess", keys=["user_id", "session_start"]
+    )
+    run_available_now_cycle(sessions, sink, tmp_path / "ckpt", output_mode="complete")
+
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    got = _collect_sorted(spark.read.parquet(str(tmp_path / "sess")), cols)
+    want = _collect_sorted(batch_result, cols)
+    assert got == want
