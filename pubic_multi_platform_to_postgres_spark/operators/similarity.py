@@ -73,6 +73,81 @@ def with_lsh_bucket(
     return df.withColumn(out_col, bucket_of(F.col(vec_col)))
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means centroids over (a sample of) the
+    corpus via ``pyspark.ml.clustering.KMeans`` (distributed Lloyd's).
+
+    At 100 TB you train on a small sample (``sample_fraction``) — centroid
+    quality needs thousands of vectors, not billions — then assign the
+    full corpus in one vectorized pass (:func:`with_ivf_cell`).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.sample(sample_fraction, seed=seed) if sample_fraction else df
+    feats = train.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return np.asarray(model.clusterCenters())
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector its nearest centroid id (one Arrow-batched
+    matmul per batch — same shape as the LSH bucketing pass)."""
+    cents = centroids.tolist()
+
+    @F.pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        c = np.asarray(cents)  # (k, dim)
+        mat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)).values)
+        # nearest by L2: argmin ||v-c||^2 = argmin (||c||^2 - 2 v·c)
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (mat @ c.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, cell_of(F.col(vec_col)))
+
+
+def topk_cosine_ivf(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``nprobe`` cells whose
+    centroids are nearest the query.
+
+    The scale contract: the corpus is written partitioned by ``cell``, so
+    a query scans ``nprobe/n_cells`` of the data (partition pruning on the
+    cell filter); recall is tuned by ``nprobe``. Training cost is paid
+    once per corpus snapshot, not per query — pass precomputed
+    ``centroids`` for the served path.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(df, vec_col, n_cells, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = (centroids * centroids).sum(axis=1) - 2.0 * (centroids @ q)
+    probe = [int(i) for i in np.argsort(d)[:nprobe]]
+    celled = with_ivf_cell(df, vec_col, centroids)
+    candidates = celled.filter(F.col("cell").isin(probe))
+    return topk_cosine_bruteforce(candidates, vec_col, id_col, query_vec, k)
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     vec_col: str,

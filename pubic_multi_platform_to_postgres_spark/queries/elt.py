@@ -22,6 +22,8 @@ from pubic_multi_platform_to_postgres_spark.operators.flatten import flatten, me
 from pubic_multi_platform_to_postgres_spark.operators.unnest import (
     rename_with_prefix,
     split_substream,
+    unnest_association,
+    unnest_budget_lines,
 )
 from pubic_multi_platform_to_postgres_spark.plans.jsonschema import compile_schema
 from pubic_multi_platform_to_postgres_spark.queries.registry import load, query
@@ -175,6 +177,131 @@ def elt_epoch_ms_to_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
 def elt_prefix_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: association key-prefix rename (``tap_hubspot/utility.py:202-206``)."""
     return rename_with_prefix(load(spark, sf_dir, "nation"), "companies_")
+
+
+@query(
+    "elt_budget_lines_unnest",
+    oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) || '_' || CAST(o_orderkey AS VARCHAR)
+               || '_' || CAST(l_linenumber AS VARCHAR) AS "ID",
+           CAST(o_custkey AS VARCHAR) AS parent_id,
+           CAST(o_orderkey AS VARCHAR) AS "AccountCode",
+           CAST(o_totalprice AS DOUBLE) AS line_amount,
+           l_linenumber AS "Period",
+           CAST(l_quantity AS DOUBLE) AS balance_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """,
+)
+def elt_budget_lines_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: Xero two-level budget-line unnest with field merge.
+
+    Reconstructs the nested ``Budget → BudgetLines[] → BudgetBalances[]``
+    wire shape from orders/lineitem (customer=budget, order=line,
+    lineitem=balance), then runs ``unnest_budget_lines`` — each line ×
+    balance pair lands flat with ``parent_id`` and the composite
+    ``ID = parent_id_AccountCode_Period`` (``process_budget_lines``,
+    ``tap_xero/utility.py:243-292``; key at ``tap_xero/fetch.py:100-104``).
+    """
+    o, li = load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    balances = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_linenumber").alias("Period"),
+                     F.col("l_quantity").alias("balance_qty"))
+        ).alias("BudgetBalances")
+    )
+    lines = (
+        o.join(balances, o.o_orderkey == balances.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").cast("string").alias("AccountCode"),
+                    F.col("o_totalprice").alias("line_amount"),
+                    F.col("BudgetBalances"),
+                )
+            ).alias("BudgetLines")
+        )
+    )
+    return unnest_budget_lines(lines, parent_key="o_custkey")
+
+
+@query(
+    "elt_association_unnest",
+    oracle="""
+    SELECT CAST(r_regionkey AS VARCHAR) || '_' || CAST(n_nationkey AS VARCHAR) AS id,
+           CAST(r_regionkey AS VARCHAR) AS parent_id,
+           n_nationkey AS companies_id,
+           n_name AS companies_name
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    """,
+)
+def elt_association_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+P5+U3: HubSpot association unnest.
+
+    Rebuilds the ``associations.companies.results`` nested wire shape
+    (region=parent object, nations=associated companies), explodes it,
+    prefixes child keys, and synthesizes ``id = parent_id_companies_id``
+    (``process_sub_streams``, ``tap_hubspot/utility.py:151-226``).
+    """
+    r, n = load(spark, sf_dir, "region"), load(spark, sf_dir, "nation")
+    assoc = n.groupBy("n_regionkey").agg(
+        F.collect_list(
+            F.struct(F.col("n_nationkey").alias("id"), F.col("n_name").alias("name"))
+        ).alias("results")
+    )
+    nested = r.join(assoc, r.r_regionkey == assoc.n_regionkey).select(
+        "r_regionkey",
+        F.struct(F.struct(F.col("results")).alias("companies")).alias("associations"),
+    )
+    return unnest_association(nested, "companies", "r_regionkey")
+
+
+@query(
+    "elt_analytics_explode",
+    oracle="""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') || '-' || event_type AS id,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') || ' 00:00:00.000' AS date_parsed,
+           event_type AS breakdown,
+           COUNT(*) AS visits
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def elt_analytics_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+P7: pre-aggregated analytics map explode + row synthesis.
+
+    Builds the ``{date_key: [rows-by-breakdown]}`` response shape (one map
+    — the API returns one dict per request), explodes it back to rows, and
+    synthesizes ``id = date_key-breakdown`` plus the reference's ms-precision
+    date re-format (``tap_hubspot/utility.py:109-116``, ``fetch.py:131-135``).
+    At scale the map is per-response, so the explode is bounded per request.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_day = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("date_key"), "event_type")
+        .groupBy("date_key", "event_type")
+        .agg(F.count(F.lit(1)).alias("visits"))
+        .groupBy("date_key")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("event_type").alias("breakdown"), F.col("visits"))
+            ).alias("rows")
+        )
+    )
+    response = per_day.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("date_key", "rows"))
+        ).alias("payload")
+    )
+    exploded = response.select(
+        F.explode("payload").alias("date_key", "rows")
+    ).select("date_key", F.explode("rows").alias("r"))
+    return exploded.select(
+        F.concat_ws("-", "date_key", "r.breakdown").alias("id"),
+        F.concat(F.col("date_key"), F.lit(" 00:00:00.000")).alias("date_parsed"),
+        F.col("r.breakdown").alias("breakdown"),
+        F.col("r.visits").alias("visits"),
+    )
 
 
 _PART_STREAM_SCHEMA = {

@@ -21,6 +21,7 @@ from pubic_multi_platform_to_postgres_spark.operators.dedup import (
 from pubic_multi_platform_to_postgres_spark.operators.multimodal import decode_blobs
 from pubic_multi_platform_to_postgres_spark.operators.similarity import (
     topk_cosine_bruteforce,
+    topk_cosine_ivf,
     topk_cosine_lsh,
 )
 from pubic_multi_platform_to_postgres_spark.operators.textstats import (
@@ -158,6 +159,18 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject top-k (no global sort)."""
     emb = load(spark, sf_dir, "embeddings")
     return topk_cosine_bruteforce(emb, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10)
+
+
+@query("sim_topk_ivf", oracle=None)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF: k-means coarse quantizer, probe the 4
+    nearest of 16 cells (rows-only: centroids are engine-trained; recall
+    vs brute force is unit-tested)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_cosine_ivf(
+        emb, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10,
+        n_cells=16, nprobe=4,
+    )
 
 
 @query("sim_topk_lsh", oracle=None)
