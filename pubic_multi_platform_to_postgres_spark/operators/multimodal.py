@@ -109,3 +109,123 @@ def decode_blobs(
             )
 
     return cols.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """Resize every image blob to (width, height) — decode/resize STUBBED.
+
+    The stand-in "resize" emits a deterministic fixed-size payload (the
+    first ``width·height // 64`` bytes, cycled) so batch shape, output
+    schema (binary out!) and memory behavior are the real thing; swap the
+    inner function for a Pillow/torchvision call in production. Output
+    rows: (id, resized blob, width, height).
+    """
+    cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    out_len = max(1, width * height // 64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake_resize(b):
+                if b is None or len(b) == 0:
+                    return bytes(out_len)
+                reps = out_len // len(b) + 1
+                return (bytes(b) * reps)[:out_len]
+
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "resized": pdf["blob"].apply(fake_resize),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return cols.mapInPandas(run, schema="id long, resized binary, width int, height int")
+
+
+def sample_frames(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    frame_bytes: int = 64,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Sample frames from every video blob — codec STUBBED, expansion real.
+
+    One input row fans out to ``min(max_frames, n_bytes // frame_bytes)``
+    frame rows — the row-expanding ``mapInPandas`` shape a real
+    ffmpeg-backed sampler needs (yielded batches need not be 1:1 with
+    input batches). The stand-in "frame" is the byte-slice at the frame's
+    offset. Output: (frame_id, id, frame_idx, frame_offset, frame).
+    """
+    cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for _, row in pdf.iterrows():
+                blob = row["blob"]
+                n = 0 if blob is None else len(blob)
+                for i in range(min(max_frames, n // frame_bytes)):
+                    ids.append(row["id"])
+                    idxs.append(i)
+                    offs.append(i * frame_bytes)
+                    frames.append(bytes(blob[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "frame_id": [f"{a}_{b}" for a, b in zip(ids, idxs)],
+                    "id": ids,
+                    "frame_idx": idxs,
+                    "frame_offset": offs,
+                    "frame": frames,
+                }
+            )
+
+    return cols.mapInPandas(
+        run,
+        schema="frame_id string, id long, frame_idx int, frame_offset long, frame binary",
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    dim: int = 16,
+) -> DataFrame:
+    """Feature-extract every blob into a dense ``array<float>`` — model
+    STUBBED with a deterministic byte-histogram projection.
+
+    The stand-in embedding is the L2-normalized histogram of byte values
+    folded into ``dim`` buckets — deterministic, content-sensitive, and
+    shaped exactly like a real encoder output, so the downstream
+    similarity/dedup operators (``operators/similarity.py``) compose with
+    it unchanged. Swap for a real model via the same mapInPandas contract
+    (the model loads once per partition, not per row).
+    """
+    import numpy as np
+
+    cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a real encoder would be constructed HERE, once per partition
+        def embed(b):
+            v = np.zeros(dim, dtype=np.float64)
+            if b:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                np.add.at(v, arr % dim, 1.0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    v /= n
+            return [float(x) for x in v]
+
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"], "embedding": pdf["blob"].apply(embed)})
+
+    return cols.mapInPandas(run, schema="id long, embedding array<float>")

@@ -18,7 +18,10 @@ from pubic_multi_platform_to_postgres_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from pubic_multi_platform_to_postgres_spark.operators.multimodal import decode_blobs
+from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+    decode_blobs,
+    sample_frames,
+)
 from pubic_multi_platform_to_postgres_spark.operators.similarity import (
     topk_cosine_bruteforce,
     topk_cosine_ivf,
@@ -314,3 +317,31 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = decode_blobs(docs, "blob", "doc_id")
     return decoded.select("id", "n_bytes", "first_byte")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT CAST(b.id AS VARCHAR) || '_' || CAST(g.i AS VARCHAR) AS frame_id,
+           b.id,
+           CAST(g.i AS INTEGER) AS frame_idx,
+           CAST(g.i * 64 AS BIGINT) AS frame_offset
+    FROM b, generate_series(0, 3) g(i)
+    WHERE g.i < least(4, n_bytes // 64)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-expanding multimodal op: each blob ("video") fans out to up to
+    4 fixed-size frame rows via mapInPandas (codec stubbed, the Spark
+    plumbing — fan-out batches, binary output, surrogate frame ids — is
+    real). The frame payload itself is engine-side only; the oracle
+    checks the expansion arithmetic."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    frames = sample_frames(docs, "blob", "doc_id", frame_bytes=64, max_frames=4)
+    return frames.select("frame_id", "id", "frame_idx", "frame_offset")

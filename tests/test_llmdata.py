@@ -151,3 +151,34 @@ def test_multimodal_decode_pipeline(spark):
 def test_decode_stub_is_honest():
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"anything")
+
+
+def test_resize_and_feature_extract_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    blobs = _docs(spark).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    resized = resize_images(blobs, "blob", "doc_id", width=32, height=32).collect()
+    assert len(resized) == 4
+    assert all(len(r["resized"]) == 32 * 32 // 64 for r in resized)
+    assert all(r["width"] == 32 and r["height"] == 32 for r in resized)
+
+    frames = sample_frames(blobs, "blob", "doc_id", frame_bytes=16, max_frames=3)
+    rows = frames.collect()
+    # every doc here is >= 48 bytes -> full 3 frames each, contiguous slices
+    assert len(rows) == 12
+    one = next(r for r in rows if r["frame_id"] == "1_1")
+    assert one["frame_offset"] == 16 and len(one["frame"]) == 16
+
+    feats = extract_features(blobs, "blob", "doc_id", dim=8).collect()
+    by_id = {r["id"]: r["embedding"] for r in feats}
+    assert by_id[1] == by_id[4]  # identical bytes -> identical embedding
+    norm = sum(x * x for x in by_id[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5  # L2-normalized
