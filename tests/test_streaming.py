@@ -130,3 +130,53 @@ def test_streaming_session_equals_batch(spark, events_dir, events_batch, tmp_pat
     got = _collect_sorted(spark.read.parquet(str(tmp_path / "sess")), cols)
     want = _collect_sorted(batch_result, cols)
     assert got == want
+
+
+def test_stateful_running_totals_equals_batch(spark, events_dir, events_batch, tmp_path):
+    """applyInPandasWithState: per-user running totals accumulated across
+    micro-batches must converge to the batch groupBy answer."""
+    from pubic_multi_platform_to_postgres_spark.queries.registry import dsum
+    from pubic_multi_platform_to_postgres_spark.streaming.stateful import (
+        apply_running_totals,
+    )
+
+    batch = (
+        events_batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    want = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in batch.collect()
+    }
+
+    stream = stream_from_directory(
+        spark, events_dir, events_batch.schema, max_files_per_trigger=1
+    )
+    totals = apply_running_totals(stream, "user_id", "value")
+    sink = ParquetUpsertSink(spark, tmp_path / "totals", keys=["user_id"])
+    run_available_now_cycle(totals, sink, tmp_path / "ckpt")
+
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(str(tmp_path / "totals")).collect()
+    }
+    assert got == want
+
+
+def test_stateful_first_seen_filter_drops_replays(spark, events_dir, events_batch, tmp_path):
+    """In-flight replay dedup: re-delivering the same keys in later
+    micro-batches emits nothing new."""
+    from pubic_multi_platform_to_postgres_spark.streaming.stateful import (
+        first_seen_filter,
+    )
+
+    stream = stream_from_directory(
+        spark, events_dir, events_batch.schema, max_files_per_trigger=1
+    )
+    firsts = first_seen_filter(stream, "user_id", ["event_type"])
+    sink = ParquetUpsertSink(spark, tmp_path / "firsts", keys=["user_id"])
+    run_available_now_cycle(firsts, sink, tmp_path / "ckpt")
+
+    out = spark.read.parquet(str(tmp_path / "firsts"))
+    n_users = events_batch.select("user_id").distinct().count()
+    assert out.count() == n_users
+    assert out.select("user_id").distinct().count() == n_users
