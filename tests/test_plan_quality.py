@@ -1,0 +1,85 @@
+"""Physical-plan regression suite: the plan properties that make queries
+scale are asserted, not assumed (the 100 TB contract — a correct plan that
+re-introduces a cartesian product or loses pushdown should fail CI, not
+a cluster).
+
+Checked at sf0.01 (plan shapes are scale-invariant for these queries;
+AQE may further improve them at runtime but cannot introduce the
+regressions we guard against)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pubic_multi_platform_to_postgres_spark.queries.registry import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    return REGISTRY[name].fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query may plan a cartesian/nested-loop product: every join in
+    the catalog is equi-keyed (the one 1×N literal cross in
+    sim_topk_* rides in as a literal, not a join)."""
+    offenders = []
+    for name in REGISTRY:
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_region_revenue", "join_topk_revenue", "join_semi_active_customers",
+     "join_anti_idle_customers", "join_left_order_items"],
+)
+def test_dimension_joins_broadcast(spark, name):
+    """Small-side joins must broadcast (no shuffle of the fact table onto
+    dimension keys). AQE converts to broadcast at runtime too, but the
+    static plan should already get it right from size stats."""
+    assert "BroadcastHashJoin" in plan_of(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        ("q01_pricing_summary", "LessThanOrEqual(l_shipdate"),
+        ("join_topk_revenue", "EqualTo(c_mktsegment,BUILDING)"),
+        ("join_region_revenue", "GreaterThanOrEqual(o_orderdate"),
+    ],
+)
+def test_filters_push_to_parquet_scan(spark, name, expected):
+    """Predicates must reach the parquet reader (PushedFilters), not run
+    post-scan — at 100 TB this is the difference between reading a
+    row-group and reading the table."""
+    assert expected in plan_of(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name", ["join_topk_revenue", "sort_limit_expensive_items", "sim_topk_bruteforce"]
+)
+def test_topk_avoids_global_sort(spark, name):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge of k rows), never a full global sort."""
+    plan = plan_of(spark, name)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_prunes_columns(spark):
+    """Column pruning: a 2-column projection over lineitem must not read
+    the full 16-column schema."""
+    plan = plan_of(spark, "sort_limit_expensive_items")
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "l_comment" not in scan and "l_shipinstruct" not in scan
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark):
+    """The exact-dedup groupBy must shuffle (hash, id) only — the document
+    text never crosses the wire."""
+    plan = plan_of(spark, "dedup_exact_keep_min")
+    exchange = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange and all("text" not in ln for ln in exchange)
