@@ -1,0 +1,85 @@
+"""As-of join: for each left row, the latest right row at-or-before its
+timestamp, per key.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do). The naive formulations
+are a non-equi range join (quadratic blow-up per key) or a per-key
+collect + binary search (driver-bound). The scalable formulation is the
+**union + window** trick:
+
+1. Tag both sides and union them on (key, ts) — one schema, right-side
+   payload columns nulled on left rows.
+2. One window pass per key ordered by (ts, side): ``last_value(payload,
+   ignorenulls) over rows unbounded preceding`` — each left row picks up
+   the most recent right payload at or before it (right rows sort before
+   left rows at equal ts, so ties resolve to "at-or-before" inclusive).
+3. Keep only left rows.
+
+Cost: ONE shuffle on the key (the window partition), a per-partition
+sort, zero row blow-up — the plan a 100 TB as-of join needs. Skewed keys
+fall to AQE or pre-salting like any windowed op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join: all left columns + the latest right ``payload_cols``
+    with ``right_ts <= left_ts`` (or ``<`` when ``strict``) per key.
+
+    Left rows with no prior right row keep NULL payloads (left-outer
+    semantics, matching ``ASOF LEFT JOIN``). If several right rows share a
+    key's greatest qualifying timestamp, the window order among them is
+    unspecified — give the right side unique (key, ts) pairs (true for
+    event streams with point timestamps) or pre-dedup with
+    ``dedup_latest``.
+    """
+    lcols = left.columns
+    # side marker: right rows must sort before left rows at the same ts for
+    # inclusive (<=) semantics, after left rows for strict (<)
+    right_rank = 0 if not strict else 1
+    left_rank = 1 - right_rank
+
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(left_rank).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(right_rank).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == left_rank).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+    )

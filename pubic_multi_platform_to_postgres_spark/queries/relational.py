@@ -641,3 +641,37 @@ def filter_pattern_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("lang").alias("lang_uc"),
         )
     )
+
+
+@query(
+    "join_asof_latest_event",
+    oracle="""
+    SELECT o.o_orderkey,
+           e.event_type AS last_event_type,
+           CAST(e.value AS DOUBLE) AS last_event_value
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively, composed scalably
+    (operators/asof.py): per order, the customer's latest event at or
+    before the order date; orders without prior events keep NULLs. One
+    shuffle on the key (union + window), no range-join blow-up; DuckDB's
+    native ASOF JOIN is the oracle."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value")
+    joined = asof_join(
+        orders, events,
+        left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        payload_cols=["event_type", "value"],
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_event_value"),
+    )
