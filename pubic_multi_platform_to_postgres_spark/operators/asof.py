@@ -83,3 +83,53 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """Interval join: pairs with ``right_ts ∈ [left_ts + lower_s,
+    left_ts + upper_s]`` per key, without the quadratic per-key product.
+
+    A plain ``a.join(b, key & range)`` plans the range predicate as a
+    post-join filter on the full per-key product. Here both sides are
+    assigned coarse time buckets of width ``bucket_s`` (default: the
+    window span, so each left row probes ≤ 2–3 buckets); the equi-join
+    runs on (key, bucket) — hash shuffle, codegen, AQE — and the exact
+    range predicate filters the small bucket-local candidate set. This is
+    the standard bucketed range-join decomposition (what Databricks'
+    range-join hints do under the hood).
+    """
+    span = upper_s - lower_s
+    if span <= 0:
+        raise ValueError("upper_s must exceed lower_s")
+    bucket = bucket_s or span
+
+    l = left.withColumn(
+        "_lb", (F.unix_timestamp(F.col(left_ts)) + lower_s) / F.lit(bucket)
+    ).withColumn("_lb", F.floor("_lb"))
+    # left probes every bucket its window overlaps
+    n_probe = span // bucket + 2
+    l = l.withColumn(
+        "_bucket", F.explode(F.array(*[F.col("_lb") + i for i in range(n_probe)]))
+    ).drop("_lb")
+    r = right.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / F.lit(bucket))
+    )
+
+    lo = F.unix_timestamp(F.col(left_ts)) + lower_s
+    hi = F.unix_timestamp(F.col(left_ts)) + upper_s
+    rts = F.unix_timestamp(F.col(right_ts))
+    return (
+        l.join(r, (F.col(left_key) == F.col(right_key)) & (l["_bucket"] == r["_bucket"]))
+        .filter((rts >= lo) & (rts <= hi))
+        .drop("_bucket")
+    )

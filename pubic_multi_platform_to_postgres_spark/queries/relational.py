@@ -675,3 +675,42 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value").alias("last_event_value"),
     )
+
+
+@query(
+    "join_range_followup_events",
+    oracle="""
+    SELECT a.event_id AS id_a,
+           b.event_id AS id_b,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 3600 SECOND
+     AND a.event_id <> b.event_id
+    """,
+)
+def join_range_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — follow-up events by the same user within an
+    hour, via the bucketed decomposition (operators/asof.py range_join):
+    equi-join on (key, time bucket) + exact range filter, never the
+    per-key quadratic product a naive range predicate plans. DuckDB's
+    range join is the oracle."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import range_join
+
+    ev = load(spark, sf_dir, "events")
+    a = ev.select(
+        F.col("event_id").alias("id_a"), F.col("user_id").alias("uid_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"), F.col("user_id").alias("uid_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    joined = range_join(
+        a, b, left_key="uid_a", right_key="uid_b",
+        left_ts="ts_a", right_ts="ts_b", lower_s=0, upper_s=3600,
+    )
+    return joined.filter(F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b",
+        (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).alias("gap_s"),
+    )
