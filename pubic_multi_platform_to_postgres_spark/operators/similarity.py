@@ -156,18 +156,28 @@ def topk_cosine_lsh(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket.
+    """Approximate top-k: probe the query's LSH bucket plus (multi-probe)
+    the ``multiprobe`` neighbor buckets with the lowest flip margin.
 
-    Recall can be tuned with fewer planes (bigger buckets) or multi-probe;
-    the point is the *plan* shape — the scan prunes to one bucket
-    (partition pruning when the table is bucket-partitioned) and the
-    brute-force work drops by ~2^n_planes.
+    Multi-probe flips the sign bits whose hyperplane projection is
+    closest to zero — the buckets a near-neighbor most plausibly fell
+    into — trading a linear increase in scanned buckets for the recall an
+    extra hash table would cost memory for. The plan stays prunable: the
+    candidate filter is ``bucket IN (probe set)`` (partition pruning when
+    the table is written partitioned by bucket).
     """
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     q = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = int(((planes @ q) > 0) @ (1 << np.arange(n_planes)).astype(np.int64))
+    proj = planes @ q
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    q_bucket = int((proj > 0) @ weights)
+    probes = [q_bucket]
+    # flip bits in order of |projection| (smallest margin first)
+    for bit in np.argsort(np.abs(proj))[: max(0, multiprobe)]:
+        probes.append(q_bucket ^ int(weights[bit]))
     bucketed = with_lsh_bucket(df, vec_col, planes)
-    candidates = bucketed.filter(F.col("bucket") == q_bucket)
+    candidates = bucketed.filter(F.col("bucket").isin(probes))
     return topk_cosine_bruteforce(candidates, vec_col, id_col, query_vec, k)

@@ -332,3 +332,31 @@ def elt_schema_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load(spark, sf_dir, "part")
     keep = [f.name for f in st.fields if f.name in df.columns]
     return df.select(*keep)
+
+
+def _manifest_oracle() -> str:
+    from pubic_multi_platform_to_postgres_spark.queries.registry import TABLES
+
+    parts = [
+        f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows FROM {t}" for t in TABLES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("catalog_table_manifest", oracle=_manifest_oracle())
+def catalog_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 discovery surface: one manifest row per registered source table
+    (name + row count) — the engine's analog of the reference's
+    ``--discover`` catalog listing (``tap_wrike/internal.py:66-90``),
+    grounded against the physical data."""
+    from functools import reduce
+
+    from pubic_multi_platform_to_postgres_spark.queries.registry import TABLES
+
+    frames = [
+        load(spark, sf_dir, t).groupBy().agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        ).select("table_name", "n_rows")
+        for t in TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames)
