@@ -161,17 +161,16 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_approx_distinct", oracle=None)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct count (§2.8) next to the exact
-    value. Rows-only: sketch estimates are engine-specific; the ≤5%
-    relative-error contract is asserted in tests/test_relational_extra.py.
-    At scale this is THE distinct-count: fixed memory per group, no
-    expand-shuffle of the distinct keys."""
+    """HyperLogLog++ approximate distinct count (§2.8). Rows-only: sketch
+    estimates are engine-specific; the ≤5% relative-error contract (vs an
+    independently computed exact count) is asserted in
+    tests/test_relational_extra.py. At scale this is THE distinct-count:
+    fixed sketch memory per group, no expand-shuffle of distinct keys."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.count_distinct("l_orderkey").alias("exact_orders"),
         )
     )
 

@@ -13,11 +13,23 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_distinct_within_5pct(spark):
-    rows = REGISTRY["agg_approx_distinct"].fn(spark, SF).collect()
-    assert rows
-    for r in rows:
-        rel_err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
-        assert rel_err <= 0.05, (r["l_returnflag"], rel_err)
+    from pyspark.sql import functions as F
+
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, SF).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["exact_orders"]
+        for r in load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("exact_orders"))
+        .collect()
+    }
+    assert approx and set(approx) == set(exact)
+    for flag, est in approx.items():
+        rel_err = abs(est - exact[flag]) / exact[flag]
+        assert rel_err <= 0.05, (flag, rel_err)
 
 
 def test_ivf_recall_vs_bruteforce(spark):
