@@ -402,3 +402,58 @@ def test_run_sequence_cycles_and_after_cycle(spark, tmp_path):
     assert len(results) == 2 and all("wrike" in r for r in results)
     assert cycles_seen == [1, 1]  # view layer ran after each cycle (O1)
     assert slept == [7.0]  # sleeps between cycles, not after the last
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource API: spark.read.format("singer_rest")
+
+
+def test_rest_datasource_reads_units_in_parallel_partitions(spark):
+    from pubic_multi_platform_to_postgres_spark.sources.spark_datasource import (
+        RestDataSource,
+    )
+
+    spark.dataSource.register(RestDataSource)
+    # two "form" units, each a 2-page cursor scan (pages consumed in order)
+    fixture = {
+        "forms/F1": [
+            {"results": [{"id": "a1", "v": 1}], "paging": {"next": {"after": "X"}}},
+            {"results": [{"id": "a2", "v": 2}], "paging": {}},
+        ],
+        "forms/F2": [
+            {"results": [{"id": "b1", "v": 3}], "paging": {}},
+        ],
+    }
+    df = (
+        spark.read.format("singer_rest")
+        .schema("id string, v long, form_id string")
+        .option("scan", "cursor")
+        .option("path", "forms/{unit}")
+        .option("units", json.dumps(["F1", "F2"]))
+        .option("unit_field", "form_id")
+        .option("fixture", json.dumps(fixture))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one Spark task per unit
+    rows = {(r["id"], r["v"], r["form_id"]) for r in df.collect()}
+    assert rows == {("a1", 1, "F1"), ("a2", 2, "F1"), ("b1", 3, "F2")}
+
+
+def test_rest_datasource_schema_projection_and_nulls(spark):
+    from pubic_multi_platform_to_postgres_spark.sources.spark_datasource import (
+        RestDataSource,
+    )
+
+    spark.dataSource.register(RestDataSource)
+    fixture = {"tasks": {"data": [{"id": "t1", "extra": "dropped"}]}}
+    df = (
+        spark.read.format("singer_rest")
+        .schema("id string, missing_col string")
+        .option("scan", "full")
+        .option("path", "tasks")
+        .option("fixture", json.dumps(fixture))
+        .load()
+    )
+    row = df.first()
+    assert row["id"] == "t1" and row["missing_col"] is None
+    assert df.columns == ["id", "missing_col"]  # extra key pruned at source
