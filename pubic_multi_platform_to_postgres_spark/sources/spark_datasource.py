@@ -42,7 +42,12 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 from typing import Any
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from pubic_multi_platform_to_postgres_spark.sources.rest import (
     Fetcher,
@@ -144,8 +149,61 @@ class RestReader(DataSourceReader):
             yield tuple(row.get(name) for name in self.field_names)
 
 
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming REST source: the Singer bookmark IS the stream offset.
+
+    Each micro-batch fetches rows with ``replication_key`` strictly newer
+    than the previous offset (the reference's F3 contract: ISO strings at
+    equal precision compare lexicographically), and the new offset is the
+    max observed key — persisted by Spark's checkpoint instead of a
+    ``state_{system}.json`` file (K3's streaming analog, SURVEY §1.3).
+    ``readBetweenOffsets`` replays a committed range deterministically
+    from the recorded bounds, which is what makes the source recoverable.
+    """
+
+    def __init__(self, schema, options) -> None:
+        self.schema = schema
+        self.options = options
+        self.field_names = [f.name for f in schema.fields]
+        self.replication_key = options.get("replication_key", "updatedAt")
+        self._batch_reader = RestReader(schema, options)
+
+    def initialOffset(self) -> dict:
+        return {"bookmark": self.options.get("start_bookmark", "")}
+
+    def _fetch_all(self) -> list[tuple]:
+        rows: list[tuple] = []
+        for part in self._batch_reader.partitions():
+            rows.extend(self._batch_reader.read(part))
+        return rows
+
+    def read(self, start: dict):
+        bm = start.get("bookmark", "")
+        rk_idx = self.field_names.index(self.replication_key)
+        fresh = [
+            r for r in self._fetch_all()
+            if r[rk_idx] is not None and str(r[rk_idx]) > bm
+        ]
+        new_bm = max((str(r[rk_idx]) for r in fresh), default=bm)
+        return iter(fresh), {"bookmark": new_bm}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start.get("bookmark", ""), end.get("bookmark", "")
+        rk_idx = self.field_names.index(self.replication_key)
+        return iter(
+            [
+                r for r in self._fetch_all()
+                if r[rk_idx] is not None and lo < str(r[rk_idx]) <= hi
+            ]
+        )
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+
 class RestDataSource(DataSource):
-    """``spark.read.format("singer_rest")`` — register with
+    """``spark.read.format("singer_rest")`` / ``spark.readStream.format(
+    "singer_rest")`` — register with
     ``spark.dataSource.register(RestDataSource)``."""
 
     @classmethod
@@ -160,3 +218,6 @@ class RestDataSource(DataSource):
 
     def reader(self, schema) -> RestReader:
         return RestReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> RestStreamReader:
+        return RestStreamReader(schema, self.options)

@@ -457,3 +457,55 @@ def test_rest_datasource_schema_projection_and_nulls(spark):
     row = df.first()
     assert row["id"] == "t1" and row["missing_col"] is None
     assert df.columns == ["id", "missing_col"]  # extra key pruned at source
+
+
+def test_rest_datasource_streaming_bookmark_offsets(spark, tmp_path):
+    """readStream on the REST source: the bookmark is the offset. First
+    micro-batch lands everything newer than start_bookmark; a second cycle
+    against the same (unchanged) API lands nothing new."""
+    from pubic_multi_platform_to_postgres_spark.sources.spark_datasource import (
+        RestDataSource,
+    )
+
+    try:
+        spark.dataSource.register(RestDataSource)
+    except Exception:
+        pass  # already registered by a prior test
+
+    fixture = {
+        "tasks": {
+            "data": [
+                {"id": "t1", "updatedAt": "2024-01-01T00:00:00.000Z"},
+                {"id": "t2", "updatedAt": "2024-02-01T00:00:00.000Z"},
+                {"id": "t3", "updatedAt": "2024-03-01T00:00:00.000Z"},
+            ]
+        }
+    }
+
+    def one_cycle(out_dir, ckpt):
+        stream = (
+            spark.readStream.format("singer_rest")
+            .schema("id string, updatedAt string")
+            .option("scan", "full")
+            .option("path", "tasks")
+            .option("fixture", json.dumps(fixture))
+            .option("replication_key", "updatedAt")
+            .option("start_bookmark", "2024-01-15T00:00:00.000Z")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    one_cycle(out, ckpt)
+    ids = {r["id"] for r in spark.read.parquet(str(out)).collect()}
+    assert ids == {"t2", "t3"}  # strictly newer than the start bookmark
+
+    one_cycle(out, ckpt)  # same API state, same checkpoint -> no new rows
+    assert spark.read.parquet(str(out)).count() == 2
