@@ -354,6 +354,63 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return hashed.select(F.col(id_col), _simhash(F.col("_h")).alias("simhash64"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Classic pigeonhole banding: split the 64-bit fingerprint into
+    ``n_chunks`` 16-bit chunks — two fingerprints within Hamming distance
+    ``n_chunks - 1`` MUST share at least one exact chunk (pigeonhole), so
+    the candidate join is an equi-join on (chunk_idx, chunk_value), never
+    an all-pairs product. Verification is ``bit_count(xor(a, b))`` — one
+    JVM instruction per pair. Requires ``max_hamming < n_chunks`` for the
+    pigeonhole guarantee (asserted).
+
+    Scale: same shape as MinHash LSH — linear ×n_chunks explode, hash
+    shuffle on chunk value, per-bucket candidates, cheap exact verify.
+    """
+    if max_hamming >= n_chunks:
+        raise ValueError("pigeonhole guarantee needs max_hamming < n_chunks")
+    bits = 64 // n_chunks
+    fp = simhash(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftrightunsigned(F.col("simhash64"), i * bits)
+                .bitwiseAND(F.lit((1 << bits) - 1).cast("long"))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = fp.select(
+        F.col(id_col), "simhash64", F.explode(chunks).alias("c")
+    ).select(id_col, "simhash64", "c.chunk_idx", "c.chunk_val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash64").alias("fp_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash64").alias("fp_b"),
+        "chunk_idx", "chunk_val",
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, computed in double
     with a deterministic left fold (cross-engine reproducible)."""

@@ -17,6 +17,7 @@ from pubic_multi_platform_to_postgres_spark.operators.dedup import (
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
     decode_blobs,
@@ -104,6 +105,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (rows-only: xxhash64 is
     Spark-specific)."""
     return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query("dedup_simhash_pairs", oracle=None)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole-banded 16-bit-chunk equi-join +
+    bit_count(xor) Hamming verify (rows-only: engine-hash fingerprints;
+    banding correctness is unit-tested on constructed near-dups)."""
+    return simhash_neardup_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
 
 
 @query(

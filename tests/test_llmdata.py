@@ -182,3 +182,20 @@ def test_resize_and_feature_extract_plumbing(spark):
     assert by_id[1] == by_id[4]  # identical bytes -> identical embedding
     norm = sum(x * x for x in by_id[1]) ** 0.5
     assert abs(norm - 1.0) < 1e-5  # L2-normalized
+
+
+def test_simhash_neardup_pairs_banding(spark):
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(
+            _docs(spark), "text", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert pairs.get((1, 4)) == 0  # exact copies: identical fingerprints
+    # one-token near-dup lands within the hamming budget via some chunk
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert not any(3 in p for p in pairs)  # unrelated doc stays out
