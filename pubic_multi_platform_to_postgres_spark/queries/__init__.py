@@ -1,6 +1,7 @@
 """Query catalog package — importing this package registers all queries."""
 
 from pubic_multi_platform_to_postgres_spark.queries import (  # noqa: F401
+    analytics,
     elt,
     incremental,
     llmdata,

@@ -1,0 +1,136 @@
+"""Wider analytic surface: pivot / unpivot, exact percentiles, corpus
+n-gram top-k — the reshaping and distribution operators downstream
+consumers of the reference's Postgres tables would otherwise hand-write
+in SQL (SURVEY.md §2.8 completion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.operators.dedup import tokenize
+from pubic_multi_platform_to_postgres_spark.queries.registry import (
+    load,
+    query,
+    sql_dsum,
+)
+
+_EVENT_TYPES = ["click", "view", "purchase", "error"]
+
+
+@query(
+    "pivot_user_event_matrix",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(f'''COUNT(*) FILTER (event_type = '{t}') AS n_{t}''' for t in _EVENT_TYPES)},
+           {", ".join(
+               "CAST(COALESCE(SUM(CAST(value AS DECIMAL(30,6))) FILTER (event_type = '"
+               + t + "'), 0) AS DOUBLE) AS value_" + t
+               for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per user, one (count, value-sum) column pair per
+    event type. The pivot values are declared explicitly so the plan is a
+    single-pass conditional aggregation — no extra distinct-values job,
+    no second shuffle (the `pivot(col)` no-values form runs a collect
+    first; never do that at 100 TB)."""
+    ev = load(spark, sf_dir, "events")
+    aggs = []
+    for t in _EVENT_TYPES:
+        is_t = F.col("event_type") == t
+        aggs.append(F.count(F.when(is_t, 1)).alias(f"n_{t}"))
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(is_t, F.col("value").cast("decimal(30,6)"))), F.lit(0)
+            ).cast("double").alias(f"value_{t}")
+        )
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide part columns → long (key, metric, value) rows
+    via the built-in ``unpivot`` — a projection-time explode, no shuffle."""
+    return (
+        load(spark, sf_dir, "part")
+        .select("p_partkey", F.col("p_retailprice").cast("double"),
+                F.col("p_size").cast("double"))
+        .unpivot(
+            "p_partkey",
+            ["p_retailprice", "p_size"],
+            "metric",
+            "val",
+        )
+        .withColumn(
+            "metric",
+            F.when(F.col("metric") == "p_retailprice", "retailprice").otherwise("size"),
+        )
+    )
+
+
+@query(
+    "percentiles_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90,
+           CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). Exact needs a per-group
+    sort; at 100 TB swap in ``approx_percentile`` (t-digest sketch, fixed
+    memory) — same call shape, rows-only check."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+        )
+    )
+
+
+@query(
+    "text_top_tokens",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-50 (vocabulary head): explode →
+    map-side partial count → single shuffle on token → TakeOrdered top-k.
+    Ties broken by token for determinism."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("token"))
+        .limit(50)
+    )
