@@ -411,6 +411,87 @@ def simhash_neardup_pairs(
     )
 
 
+def connected_components(
+    edges_df: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: ``(node, label)``
+    with ``label`` = the smallest node id in the component — the cluster
+    collapse every dedup pipeline runs after pair generation (keep the
+    canonical ``label`` doc, drop the rest).
+
+    Min-label propagation with pointer jumping: each round every node
+    takes the min of its own and its neighbors' labels, then labels
+    contract through the label graph (``label ← label[label]``) — the
+    path-halving step that turns O(diameter) convergence into
+    O(log diameter) (chains through blocking-key boundaries gave the
+    naive version 15 rounds on the sf0.1 fixture; this converges in ~5).
+    Each round is two joins + one groupBy; ``localCheckpoint`` truncates
+    plan lineage per round, which is what keeps an iterative DataFrame
+    algorithm from exponential plan growth. The per-round convergence
+    check is a count (a scalar to the driver, not a collect of data).
+    """
+    e = edges_df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge list once — every iteration joins against it,
+    # and without this the (possibly expensive) pair-generation upstream
+    # would re-execute per round
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nmin"))
+            .select(F.col("src").alias("node"), "nmin")
+        )
+        relabeled = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label <- label[label] (labels are node ids)
+        jump = relabeled.select(
+            F.col("node").alias("label"), F.col("label").alias("ll")
+        )
+        new_labels = (
+            relabeled.join(jump, "label", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, computed in double
     with a deterministic left fold (cross-engine reproducible)."""

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+    connected_components,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_dedup_pairs,
@@ -87,6 +88,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", block_cols=["lang", "len_bucket"], threshold=0.5, ngram=1
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS grams
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / CAST(len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    )
+    SELECT src AS node, LEAST(src, MIN(dst)) AS label
+    FROM reach
+    GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse: exact-Jaccard pairs → connected
+    components via iterative min-label propagation (label = smallest
+    doc_id in the component = the canonical document to keep). The oracle
+    derives the same components with a recursive transitive-closure CTE —
+    an independent algorithm, so convergence itself is being verified."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50)
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang", "len_bucket"], threshold=0.5, ngram=1
+    )
+    return connected_components(pairs)
 
 
 @query("dedup_minhash_pairs", oracle=None)

@@ -199,3 +199,21 @@ def test_simhash_neardup_pairs_banding(spark):
     # one-token near-dup lands within the hamming budget via some chunk
     assert (1, 2) in pairs and pairs[(1, 2)] <= 3
     assert not any(3 in p for p in pairs)  # unrelated doc stays out
+
+
+def test_connected_components_chain_clique_and_pair(spark):
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter test), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        ["id_a", "id_b"],
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert {labels[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {labels[n] for n in (10, 11, 12)} == {10}
+    assert {labels[n] for n in (20, 21)} == {20}
