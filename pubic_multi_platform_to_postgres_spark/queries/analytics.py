@@ -9,11 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pubic_multi_platform_to_postgres_spark.operators.dedup import tokenize
-from pubic_multi_platform_to_postgres_spark.queries.registry import (
-    load,
-    query,
-    sql_dsum,
-)
+from pubic_multi_platform_to_postgres_spark.queries.registry import load, query
 
 _EVENT_TYPES = ["click", "view", "purchase", "error"]
 
@@ -133,4 +129,48 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.col("token"))
         .limit(50)
+    )
+
+
+@query(
+    "ts_gapfill_hourly",
+    oracle="""
+    WITH b AS (
+        -- epoch_us is an exact BIGINT; epoch(ts)::BIGINT would ROUND and
+        -- push last-sub-second events into the next hour
+        SELECT user_id,
+               (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS v
+        FROM events
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket_start
+        FROM (SELECT user_id, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+              FROM b GROUP BY user_id)
+    )
+    SELECT s.user_id,
+           s.bucket_start,
+           last_value(b.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_start
+               ROWS UNBOUNDED PRECEDING) AS hourly_value,
+           b.v IS NULL AS filled
+    FROM spine s LEFT JOIN b USING (user_id, bucket_start)
+    """,
+)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-user hourly value sums over each user's
+    own time range, empty hours gap-filled by carrying the last
+    observation forward (operators/timeseries.py). The hypertable
+    continuous-aggregate shape: bucket agg -> sequence() spine ->
+    left join -> ignorenulls window."""
+    from pubic_multi_platform_to_postgres_spark.operators.timeseries import (
+        gapfill_locf,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return gapfill_locf(
+        ev, "user_id", "ts",
+        agg=F.sum(F.col("value").cast("decimal(30,6)")).cast("double"),
+        bucket_s=3600, value_name="hourly_value",
     )
