@@ -462,6 +462,7 @@ def connected_components(
         )
         relabeled = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                 "label"
             ),
@@ -470,23 +471,21 @@ def connected_components(
         jump = relabeled.select(
             F.col("node").alias("label"), F.col("label").alias("ll")
         )
-        new_labels = (
+        # the old label rides through the checkpoint so the convergence
+        # check is a filter over the materialized table, not another join
+        checkpointed = (
             relabeled.join(jump, "label", "left")
             .select(
                 "node",
+                "_old",
                 F.least(F.col("label"), F.coalesce(F.col("ll"), F.col("label"))).alias(
                     "label"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = checkpointed.filter(F.col("label") != F.col("_old")).count()
+        labels = checkpointed.select("node", "label")
         if changed == 0:
             break
     return labels
