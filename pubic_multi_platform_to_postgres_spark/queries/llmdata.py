@@ -417,3 +417,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = sample_frames(docs, "blob", "doc_id", frame_bytes=64, max_frames=4)
     return frames.select("frame_id", "id", "frame_idx", "frame_offset")
+
+
+@query(
+    "corpus_quality_filter",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS DOUBLE) AS nc,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nt,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+               CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}')) AS DOUBLE)
+                   AS stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+               least(nt / 64.0, 1.0) * 0.4
+                 + least((stop / nt) * 4.0, 1.0) * 0.4
+                 + (1.0 - least((punct / nc) * 10.0, 1.0)) * 0.2 AS quality_score
+        FROM f
+    )
+    SELECT doc_id, lang, n_tokens, quality_score
+    FROM scored
+    WHERE quality_score >= 0.5 AND n_tokens >= 10
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation flow: score every document (quality_features), keep
+    only those above the quality/length bars — the filter every
+    training-data pipeline runs before tokenization. Pure
+    projection+filter: no shuffle, predicate evaluated map-side."""
+    docs = load(spark, sf_dir, "documents")
+    scored = quality_features(docs, "text", "doc_id")
+    keep = scored.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10)
+    )
+    return keep.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tokens", "quality_score"
+    )
+
+
+@query("corpus_stratified_sample", oracle=None)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling: per-language sampling fractions
+    (`sampleBy`) — rebalancing overrepresented strata before training.
+    Rows-only (seeded Bernoulli sampling is engine-specific); the
+    per-stratum fraction contract is asserted in
+    tests/test_relational_extra.py."""
+    docs = load(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "und": 1.0}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -81,3 +81,19 @@ def test_lsh_multiprobe_improves_recall(spark):
         reverse=True,
     )[:3]
     assert sum(biggest3) < 0.25 * total  # probing 3 buckets prunes the scan
+
+
+def test_stratified_sample_fractions(spark):
+    from pyspark.sql import functions as F
+
+    sampled = REGISTRY["corpus_stratified_sample"].fn(spark, SF)
+    total = {r["lang"]: r["count"] for r in
+             load(spark, SF, "documents").groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in sampled.groupBy("lang").count().collect()}
+    # non-'en' strata keep everything; 'en' is halved (binomial tolerance)
+    for lang, n in got.items():
+        if lang == "en":
+            frac = n / total["en"]
+            assert 0.35 <= frac <= 0.65, frac
+        else:
+            assert n == total[lang], lang
