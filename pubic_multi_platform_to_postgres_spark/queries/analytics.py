@@ -174,3 +174,32 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg=F.sum(F.col("value").cast("decimal(30,6)")).cast("double"),
         bucket_s=3600, value_name="hourly_value",
     )
+
+
+@query(
+    "udaf_mad_order_value",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           CAST(quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS DOUBLE)
+               AS mad_price
+    FROM orders o JOIN m USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def udaf_mad_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (§2.8): median absolute deviation per group as
+    an Arrow grouped-agg pandas UDF (functions/udafs.py) — the JVM
+    shuffles/groups, Python sees each group once as one Arrow batch.
+    Selection-based, so bit-reproducible against the oracle's nested
+    quantile construction."""
+    from pubic_multi_platform_to_postgres_spark.functions.udafs import mad
+
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(mad(F.col("o_totalprice")).alias("mad_price"))
+    )
