@@ -203,3 +203,39 @@ def udaf_mad_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(mad(F.col("o_totalprice")).alias("mad_price"))
     )
+
+
+@query(
+    "window_trailing_7d_spend",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_7d
+    FROM orders
+    """,
+)
+def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval RANGE window frame (value-based, not row-count-based):
+    per customer, total spend in the trailing 7 days including the
+    current order. Spark expresses interval frames as rangeBetween over
+    epoch seconds; the sum routes through DECIMAL so the frame total is
+    order-independent (frames are recomputed per row — exactness matters
+    doubly)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+    )
