@@ -509,3 +509,40 @@ def test_rest_datasource_streaming_bookmark_offsets(spark, tmp_path):
 
     one_cycle(out, ckpt)  # same API state, same checkpoint -> no new rows
     assert spark.read.parquet(str(out)).count() == 2
+
+
+def test_pipeline_max_key_bookmark_mode(spark, tmp_path):
+    """Analytics-style streams advance the bookmark to max(observed key)
+    rather than run-start time (SURVEY §2.7, tap_hubspot/fetch.py:143-146)."""
+    cat = Catalog()
+    cat.register_json_schema(
+        "marketings",
+        {
+            "type": "object",
+            "properties": {
+                "id": {"type": "string"},
+                "date_key": {"type": ["null", "string"]},
+            },
+            "additionalProperties": False,
+        },
+        key_properties=["id"],
+        replication_key="date_key",
+    )
+    rows = [
+        {"id": "2024-01-05-organic", "date_key": "2024-01-05"},
+        {"id": "2024-01-09-paid", "date_key": "2024-01-09"},
+    ]
+    spec = StreamSpec(
+        cat.get("marketings"), lambda bm: rows, bookmark_mode="max_key"
+    )
+    pipe = Pipeline("hubspot", cat, [spec], tmp_path / "lake")
+    pipe.run(spark)
+    state = json.loads((tmp_path / "lake/state_hubspot.json").read_text())
+    assert state["value"]["marketings"] == "2024-01-09"
+    # old bookmark newer than all observed -> kept (max semantics)
+    (tmp_path / "lake/state_hubspot.json").write_text(
+        json.dumps({"type": "STATE", "value": {"marketings": "2024-06-01"}})
+    )
+    pipe.run(spark)
+    state = json.loads((tmp_path / "lake/state_hubspot.json").read_text())
+    assert state["value"]["marketings"] == "2024-06-01"
