@@ -546,3 +546,21 @@ def test_pipeline_max_key_bookmark_mode(spark, tmp_path):
     pipe.run(spark)
     state = json.loads((tmp_path / "lake/state_hubspot.json").read_text())
     assert state["value"]["marketings"] == "2024-06-01"
+
+
+def test_cli_discover_and_list(tmp_path, capsys):
+    from pubic_multi_platform_to_postgres_spark.cli import main
+
+    (tmp_path / "tasks.json").write_text(json.dumps({
+        "type": "object",
+        "properties": {"id": {"type": "string"},
+                       "updatedDate": {"type": ["null", "string"], "format": "date-time"}},
+        "additionalProperties": False,
+    }))
+    assert main(["discover", "--schemas", str(tmp_path)]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["streams"][0]["stream"] == "tasks"
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "[oracle]" in out
