@@ -180,3 +180,28 @@ def test_stateful_first_seen_filter_drops_replays(spark, events_dir, events_batc
     n_users = events_batch.select("user_id").distinct().count()
     assert out.count() == n_users
     assert out.select("user_id").distinct().count() == n_users
+
+
+def test_streaming_sliding_equals_batch(spark, events_dir, events_batch, tmp_path):
+    from pubic_multi_platform_to_postgres_spark.streaming.windows import sliding_agg
+
+    aggs = lambda: [F.count(F.lit(1)).alias("n_events")]  # noqa: E731
+    batch_result = sliding_agg(
+        events_batch, "ts", "30 minutes", "15 minutes", ["event_type"], aggs()
+    )
+    stream = stream_from_directory(
+        spark, events_dir, events_batch.schema, max_files_per_trigger=1
+    )
+    windowed = sliding_agg(
+        stream, "ts", "30 minutes", "15 minutes", ["event_type"], aggs(),
+        watermark="2 hours",
+    )
+    sink = ParquetUpsertSink(
+        spark, tmp_path / "slide", keys=["window_start", "event_type"]
+    )
+    run_available_now_cycle(windowed, sink, tmp_path / "ckpt")
+
+    cols = ["window_start", "window_end", "event_type", "n_events"]
+    got = _collect_sorted(spark.read.parquet(str(tmp_path / "slide")), cols)
+    want = _collect_sorted(batch_result, cols)
+    assert got == want
