@@ -239,3 +239,28 @@ def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("spend_7d"),
     )
+
+
+@query(
+    "sql_scalar_subquery_parts",
+    oracle="""
+    SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part
+    WHERE p_retailprice > 1.2 * (SELECT AVG(p_retailprice) FROM part)
+    """,
+)
+def sql_scalar_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text entry path (spark.sql) with a scalar subquery —
+    Catalyst plans the subquery once as a broadcast scalar, not per-row
+    (subquery handling is §2.8's 'free from Catalyst' row, exercised
+    here explicitly). Predicate comparison is done in double on both
+    sides; the AVG itself is compared only through the (identical)
+    filter outcome, so low-bit aggregate order cannot flip membership
+    unless a part sits within ~1e-12 of the threshold — the fixture's
+    closest part is far from it."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql("""
+        SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        FROM part
+        WHERE p_retailprice > 1.2 * (SELECT AVG(p_retailprice) FROM part)
+    """)
