@@ -264,3 +264,36 @@ def sql_scalar_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM part
         WHERE p_retailprice > 1.2 * (SELECT AVG(p_retailprice) FROM part)
     """)
+
+
+@query(
+    "user_event_journey",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence assembly: per user, the time-ordered chain of
+    event types — the op that builds training sequences (conversations,
+    session traces) out of an event log. ``collect_list`` gives no order
+    guarantee; determinism comes from collecting (ts, event_id, type)
+    structs and ``sort_array`` (lexicographic struct order = the ORDER BY
+    key), all inside one aggregation — no per-user sort job, one
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    seq = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(seq, lambda x: x["event_type"]), ">"
+            ).alias("journey"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
