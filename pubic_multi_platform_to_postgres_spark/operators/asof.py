@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -51,19 +52,26 @@ def asof_join(
     right_rank = 0 if not strict else 1
     left_rank = 1 - right_rank
 
+    # The payloads travel as ONE struct so every output column comes from the
+    # SAME right row: filling columns independently with last(ignorenulls)
+    # would mix rows whenever the latest right row holds a NULL in one payload
+    # column (DuckDB ASOF JOIN carries the whole row, nulls included). The
+    # struct itself is non-null on every right row, so last(ignorenulls) picks
+    # exactly the latest qualifying right row — null fields and all.
+    payload_t = T.StructType([right.schema[c] for c in payload_cols])
     l_tagged = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(left_rank).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(payload_t).alias("_payload"),
     )
     r_tagged = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(right_rank).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -74,14 +82,11 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload_cols
-        ],
+        F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_asof"),
     )
     return filled.filter(F.col("_side") == left_rank).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
     )
 
 

@@ -29,11 +29,26 @@ rewrites partitions it touches.
 from __future__ import annotations
 
 import shutil
+import threading
 import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+# One lock per sink path: Pipeline.run syncs streams on a thread pool, and two
+# specs whose transforms emit the same output table would otherwise interleave
+# read/swap and drop each other's rows. Process-local by design — local/driver
+# mode has exactly one writer process; a multi-writer lake deployment maps this
+# sink to Delta/Iceberg MERGE whose commit protocol supplies the coordination.
+_PATH_LOCKS: dict[str, threading.Lock] = {}
+_PATH_LOCKS_GUARD = threading.Lock()
+
+
+def _path_lock(path: Path) -> threading.Lock:
+    key = str(Path(path).resolve())
+    with _PATH_LOCKS_GUARD:
+        return _PATH_LOCKS.setdefault(key, threading.Lock())
 
 
 def dedup_latest(
@@ -93,6 +108,13 @@ class ParquetUpsertSink:
         return self.spark.read.parquet(str(self.path))
 
     def write(self, batch: DataFrame) -> None:
+        # Serialize the whole read→merge→swap per sink path: concurrent
+        # writers (Pipeline's stream thread pool) would otherwise race the
+        # read against another writer's swap and drop rows.
+        with _path_lock(self.path):
+            self._write_locked(batch)
+
+    def _write_locked(self, batch: DataFrame) -> None:
         # batch rows outrank existing rows; within the batch, order_col then
         # delivery order decides (Singer loaders apply records in order)
         new = batch.withColumn("_batch_seq", F.lit(1))
@@ -109,10 +131,22 @@ class ParquetUpsertSink:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(str(tmp))
-        # swap: parquet can't overwrite its own input in one job
-        if self.path.exists():
-            shutil.rmtree(self.path)
-        tmp.rename(self.path)
+        # Crash-safe swap (parquet can't overwrite its own input in one job):
+        # move the old table ASIDE (rename, not rmtree) so a failure between
+        # the two renames still leaves a complete copy; restore it if the
+        # final rename fails.
+        old = self.path.with_name(f"{self.path.name}__old_{uuid.uuid4().hex[:8]}")
+        had_old = self.path.exists()
+        if had_old:
+            self.path.rename(old)
+        try:
+            tmp.rename(self.path)
+        except BaseException:
+            if had_old and not self.path.exists():
+                old.rename(self.path)  # roll back: the previous table wins
+            raise
+        if had_old:
+            shutil.rmtree(old)
 
 
 def jdbc_upsert_sql(

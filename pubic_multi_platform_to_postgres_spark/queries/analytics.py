@@ -246,7 +246,7 @@ def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice
     FROM part
-    WHERE p_retailprice > 1.2 * (SELECT AVG(p_retailprice) FROM part)
+    WHERE p_retailprice > 1.05 * (SELECT AVG(p_retailprice) FROM part)
     """,
 )
 def sql_scalar_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,13 +256,15 @@ def sql_scalar_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     here explicitly). Predicate comparison is done in double on both
     sides; the AVG itself is compared only through the (identical)
     filter outcome, so low-bit aggregate order cannot flip membership
-    unless a part sits within ~1e-12 of the threshold — the fixture's
-    closest part is far from it."""
+    unless a part sits within ~1e-12 of the threshold — prices have one
+    decimal, so the nearest gap is ~1e-3. The 1.05 multiplier selects the
+    top price tail (~2.5% of parts, 50 rows at sf0.01) so the oracle
+    comparison runs on real rows at every tested scale factor."""
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql("""
         SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice
         FROM part
-        WHERE p_retailprice > 1.2 * (SELECT AVG(p_retailprice) FROM part)
+        WHERE p_retailprice > 1.05 * (SELECT AVG(p_retailprice) FROM part)
     """)
 
 

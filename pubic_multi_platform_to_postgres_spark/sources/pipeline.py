@@ -35,6 +35,7 @@ from pathlib import Path
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pubic_multi_platform_to_postgres_spark.operators.upsert import ParquetUpsertSink
 from pubic_multi_platform_to_postgres_spark.plans.catalog import Catalog, Stream
@@ -127,10 +128,21 @@ class Pipeline:
             stream = self.catalog.get(table) if table in self.catalog else spec.stream
             if spec.client_filter and stream.replication_key in df.columns:
                 df = filter_newer(df, stream.replication_key, bookmark)
-            # schema projection (P4): keep only declared columns, in order
-            declared = [c for c in stream.columns() if c in df.columns]
-            if declared:
-                df = df.select(*declared)
+            # Typed schema projection (P4): land EXACTLY the declared catalog
+            # schema — every declared column, cast to its declared type,
+            # missing ones as typed NULLs. The raw parse is inference-based
+            # (transforms consume undeclared nested fields, so the declared
+            # post-flatten schema can't be applied at read.json time), and
+            # inferred types drift run-to-run (all-null field, numeric-looking
+            # strings); casting here pins the landed types so the upsert
+            # sink's unionByName never sees two cycles disagree.
+            present = [c for c in stream.columns() if c in df.columns]
+            if present:
+                df = df.select(*[
+                    (F.col(f.name) if f.name in df.columns
+                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    for f in stream.schema.fields
+                ])
             keys = stream.key_properties or stream.columns()[:1]
             sink = ParquetUpsertSink(
                 spark, self.sink_root / table, keys, order_col=stream.replication_key

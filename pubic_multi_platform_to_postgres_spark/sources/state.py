@@ -115,6 +115,19 @@ def filter_newer(
     if bookmark is None:
         return out
     kt = out.schema[replication_key].dataType.typeName() if isinstance(replication_key, str) else None
-    if kt in ("timestamp", "timestamp_ntz"):
-        return out.filter(key > F.to_timestamp(F.lit(bookmark.rstrip("Z").replace("T", " "))))
+    if kt == "timestamp":
+        # Compare as epoch instants: the bookmark is a UTC ISO string, and
+        # to_timestamp(<naive literal>) would interpret it in the SESSION
+        # timezone — correct only under spark.sql.session.timeZone=UTC. The
+        # driver contract runs vanilla sessions, so parse the bookmark to an
+        # epoch in Python (timezone-explicit) and compare unix_micros, which
+        # is session-tz-independent for instant-typed columns.
+        dt = datetime.fromisoformat(bookmark.replace("Z", "+00:00"))
+        epoch_us = int(dt.timestamp() * 1_000_000)
+        return out.filter(F.unix_micros(key) > F.lit(epoch_us))
+    if kt == "timestamp_ntz":
+        # NTZ columns are wall-clock values with no instant; the bookmark's
+        # wall-clock (sans zone designator) compares timezone-free.
+        naive = bookmark.rstrip("Z").replace("T", " ")
+        return out.filter(key > F.to_timestamp_ntz(F.lit(naive)))
     return out.filter(key > F.lit(bookmark))

@@ -205,3 +205,75 @@ def test_view_registry_cycle_detection(spark):
     reg.model("b", "SELECT * FROM a", depends_on=["a"])
     with pytest.raises(ValueError, match="cycle"):
         reg.materialize(spark)
+
+
+def test_filter_newer_timestamp_non_utc_session_tz(spark):
+    """The bookmark is a UTC instant; the filter must not shift when the
+    session timezone isn't UTC (the driver contract runs vanilla sessions
+    that inherit the host zone)."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [("a",), ("b",)], "id string"
+        ).withColumn(
+            "ts",
+            F.when(F.col("id") == "a",
+                   F.timestamp_seconds(F.lit(1767225600 - 3600)))  # 1h before
+            .otherwise(F.timestamp_seconds(F.lit(1767225600 + 3600))),  # 1h after
+        )
+        # bookmark = 2026-01-01T00:00:00Z == epoch 1767225600
+        out = filter_newer(df, "ts", "2026-01-01T00:00:00.000Z")
+        assert {r["id"] for r in out.collect()} == {"b"}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_upsert_swap_restores_old_table_on_failed_rename(spark, tmp_path, monkeypatch):
+    """A crash between 'move old aside' and 'move staging in' must not lose
+    the table: the old directory is renamed aside (not rmtree'd) and restored
+    when the final rename fails."""
+    from pathlib import Path as P
+
+    import pytest as _pytest
+
+    sink = ParquetUpsertSink(spark, tmp_path / "t", keys=["id"])
+    sink.write(spark.createDataFrame([("a", 1)], "id string, v int"))
+
+    orig_rename = P.rename
+
+    def failing_rename(self, target):
+        if "__staging_" in self.name:
+            raise OSError("simulated disk full")
+        return orig_rename(self, target)
+
+    monkeypatch.setattr(P, "rename", failing_rename)
+    with _pytest.raises(OSError, match="disk full"):
+        sink.write(spark.createDataFrame([("b", 2)], "id string, v int"))
+    monkeypatch.undo()
+
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(str(tmp_path / "t")).collect()}
+    assert rows == {"a": 1}  # previous table intact, nothing lost
+
+
+def test_upsert_concurrent_writers_serialize(spark, tmp_path):
+    """Two threads upserting disjoint keys into the same sink path must both
+    land (the per-path lock serializes read->merge->swap)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    sink = ParquetUpsertSink(spark, tmp_path / "t", keys=["id"])
+
+    def write_batch(tag):
+        batch = spark.createDataFrame(
+            [(f"{tag}{i}", tag) for i in range(50)], "id string, src string"
+        )
+        ParquetUpsertSink(spark, tmp_path / "t", keys=["id"]).write(batch)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(write_batch, ["x", "y"]))
+
+    out = spark.read.parquet(str(tmp_path / "t"))
+    assert out.count() == 100
+    assert {r["src"] for r in out.select("src").distinct().collect()} == {"x", "y"}

@@ -97,3 +97,33 @@ def test_stratified_sample_fractions(spark):
             assert 0.35 <= frac <= 0.65, frac
         else:
             assert n == total[lang], lang
+
+
+def test_asof_null_payload_comes_from_latest_row(spark):
+    """All payload columns must come from the SAME (latest) right row, even
+    when that row holds a NULL in one payload column — per-column
+    last(ignorenulls) would smuggle the older row's value in (DuckDB ASOF
+    JOIN carries the whole row)."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, 50, "old", 7), (1, 90, "new", None)],
+        "k int, rts int, tag string, score int",
+    )
+    row = asof_join(
+        left, right, "k", "k", "lts", "rts", payload_cols=["tag", "score"]
+    ).collect()[0]
+    assert row["tag"] == "new"
+    assert row["score"] is None  # NOT 7 from the older row
+
+
+def test_asof_no_prior_right_row_keeps_nulls(spark):
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (2, 100)], "k int, lts int")
+    right = spark.createDataFrame([(1, 50, "late")], "k int, rts int, tag string")
+    rows = {r["k"]: r for r in
+            asof_join(left, right, "k", "k", "lts", "rts", ["tag"]).collect()}
+    assert rows[1]["tag"] is None  # right row is after the left ts
+    assert rows[2]["tag"] is None  # no right rows at all for key 2
