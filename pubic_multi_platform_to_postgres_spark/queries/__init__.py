@@ -4,6 +4,7 @@ from pubic_multi_platform_to_postgres_spark.queries import (  # noqa: F401
     analytics,
     elt,
     incremental,
+    lifecycle,
     llmdata,
     relational,
     streamwin,

@@ -1,0 +1,333 @@
+"""Entity-lifecycle analytics: SCD Type 2 intervals, sessionization,
+funnel conversion, cohort retention, histograms, exact correlation.
+
+These are the warehouse-layer queries a consumer of the reference's
+landed Postgres tables builds next (the reference stops at dbt staging
+views, ``dbt/models/staging``) — change history, user journeys,
+conversion and retention. Each is expressed as a single-pass window or
+conditional aggregation so the plan is one shuffle on the entity key,
+no self-joins, no per-entity collects — the shape that survives 100 TB.
+
+Hash-stability notes (see registry docstring): timestamps leave as
+``unix_micros`` (session-tz-proof; DuckDB ``epoch_us``), double sums go
+through DECIMAL, and correlation is computed from decimal-exact moment
+sums with an identical double expression DAG on both engines rather
+than ``CORR()`` (whose streaming co-moment accumulation order differs
+between engines in the low bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.queries.registry import (
+    dsum,
+    load,
+    query,
+    sql_dsum,
+)
+
+# 30-minute inactivity gap closes a session (the canonical web-analytics
+# sessionization constant).
+_SESSION_GAP_S = 1800
+
+
+@query(
+    "scd2_user_event_state",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), points AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM changes
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(LEAD(ts) OVER w2) AS valid_to_us,
+           (LEAD(ts) OVER w2 IS NULL) AS is_current
+    FROM points
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_user_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension build: collapse an event stream into
+    validity intervals (state, valid_from, valid_to, is_current) per
+    entity — the reference's landed tables are Type 1 (upsert
+    overwrites, ``ParquetUpsertSink``); this derives the Type 2 history
+    a warehouse keeps. Change capture (row differs from its
+    predecessor) and interval assembly (lead over change points) are
+    two window passes over the SAME (user_id, ts) partitioning, so
+    Catalyst plans one shuffle + one sort, reused by both windows."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    points = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    return points.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                         > {_SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id, value,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
+           COUNT(*) AS n_events,
+           {sql_dsum("value", "session_value")}
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream on >30 min
+    inactivity gaps via the gaps-and-islands pattern (lag → new-session
+    flag → running sum = session number), then aggregate per session.
+    One shuffle on user_id serves the lag window, the running sum, AND
+    the final groupBy (same partitioning); no self-join, no state store
+    — the batch twin of the streaming session window
+    (streaming/windows.py)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    numbered = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn(
+            "is_new",
+            F.when(gap_us > _SESSION_GAP_S * 1_000_000, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn("session_no", F.sum("is_new").over(run))
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "session_value"),
+    )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(ts) FILTER (event_type = 'signup') AS t_signup,
+               MIN(ts) FILTER (event_type = 'click') AS t_click,
+               MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT stage, COUNT(*) AS n_users FROM (
+        SELECT CASE
+            WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                 AND t_purchase IS NOT NULL
+                 AND t_signup < t_click AND t_click < t_purchase
+                THEN 'purchased'
+            WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                 AND t_signup < t_click
+                THEN 'clicked'
+            WHEN t_signup IS NOT NULL THEN 'signed_up'
+            ELSE 'none' END AS stage
+        FROM firsts
+    ) GROUP BY stage
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: how many users completed signup →
+    first click AFTER signup → first purchase AFTER that click. The
+    per-user stage falls out of one conditional aggregation (min ts per
+    step), so the whole funnel is a single groupBy(user) + tiny
+    re-aggregation — never a per-step self-join chain, which at k steps
+    costs k shuffles of the full event table."""
+    ev = load(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    stage = (
+        F.when(
+            F.col("t_signup").isNotNull()
+            & F.col("t_click").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_signup") < F.col("t_click"))
+            & (F.col("t_click") < F.col("t_purchase")),
+            F.lit("purchased"),
+        )
+        .when(
+            F.col("t_signup").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_signup") < F.col("t_click")),
+            F.lit("clicked"),
+        )
+        .when(F.col("t_signup").isNotNull(), F.lit("signed_up"))
+        .otherwise(F.lit("none"))
+    )
+    return (
+        firsts.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH ud AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day_no
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(day_no) // 7 AS cohort_week FROM ud GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(ud.day_no // 7 - c.cohort_week AS BIGINT) AS week_offset,
+           COUNT(DISTINCT ud.user_id) AS active_users
+    FROM ud JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted distinct in each subsequent week offset. Week boundaries are
+    epoch-day // 7 (timezone-free, unlike date_trunc('week')). The
+    cohort map is one aggregation of the fact table re-joined back —
+    at scale the cohort side is |users|, far smaller than events, so
+    Spark broadcast-joins it and the plan stays at one events shuffle."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(86400 * 1_000_000)).cast("long").alias("day_no"),
+    )
+    cohorts = ud.groupBy("user_id").agg(
+        (F.min("day_no") / 7).cast("long").alias("cohort_week")
+    )
+    return (
+        ud.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.col("day_no") / 7).cast("long") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "histogram_order_values",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 25000) * 25000 AS DOUBLE) AS bucket_low,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_value,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values (25k buckets): the
+    distribution-profiling primitive behind data-quality dashboards and
+    skew diagnostics. Pure map-side bucket assignment + one aggregation;
+    per-row FLOOR division is deterministic double arithmetic, identical
+    on both engines."""
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000)
+    return orders.groupBy(
+        bucket.cast("long").alias("bucket"),
+        (bucket * 25000).cast("double").alias("bucket_low"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_value"),
+        F.max("o_totalprice").alias("max_value"),
+    )
+
+
+@query(
+    "stats_discount_price_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           ROUND((n * sxy - sx * sy) / (n - 1) / n, 9) AS covar,
+           ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 12) AS corr
+    FROM m
+    """,
+)
+def stats_discount_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance of discount vs extended price per return
+    flag, computed from DECIMAL-exact moment sums (Σx, Σy, Σx², Σy²,
+    Σxy) with the identical closed-form double expression on both
+    engines — built-in ``CORR()`` accumulates co-moments in stream order
+    and differs between engines in the low bits, so it can never
+    hash-match. Per-row products are IEEE-deterministic; the decimal
+    sums are order-independent; the final expression DAG is shared.
+    One aggregation pass, all five moments in the same shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_discount"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(30,10)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(30,6)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(30,10)")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # Final values are rounded (covar to 1e-9, corr to 1e-12): the moment
+    # sums are bit-identical across engines, but the closed-form expression
+    # can still drift 1-2 ulp through SQRT / fused-multiply-add choices.
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_items"),
+        F.round((n * sxy - sx * sy) / (n - 1) / n, 9).alias("covar"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            12,
+        ).alias("corr"),
+    )

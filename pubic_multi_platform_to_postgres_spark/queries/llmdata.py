@@ -458,13 +458,82 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("corpus_stratified_sample", oracle=None)
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE lang <> 'en'
+       OR (doc_id % 100000007) * 2654435761 % 4294967296 < 2147483648
+    """,
+)
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified corpus downsampling: per-language sampling fractions
-    (`sampleBy`) — rebalancing overrepresented strata before training.
-    Rows-only (seeded Bernoulli sampling is engine-specific); the
-    per-stratum fraction contract is asserted in
-    tests/test_relational_extra.py."""
+    """Stratified corpus downsampling: rebalance the overrepresented
+    'en' stratum to ~50% before training. Sampling is DETERMINISTIC —
+    keep iff a Knuth multiplicative hash of the stable doc_id lands
+    under the rate cutoff — not seeded-RNG `sampleBy`: reproducible
+    across engines, runs, and partitionings (training-data lineage
+    needs the sample to be a pure function of the key), and exactly
+    oracle-checkable. Plain int64 arithmetic: map-side filter, no
+    shuffle, identical on any SQL engine. The reduce-by-id-range trick
+    (% 1e8+7 first) keeps the product inside int64 at any corpus size."""
     docs = load(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0, "und": 1.0}
-    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    keep_hash = (F.col("doc_id") % 100000007) * 2654435761 % 4294967296
+    return docs.filter(
+        (F.col("lang") != "en") | (keep_hash < 2147483648)
+    ).select("doc_id", "lang")
+
+
+@query(
+    "text_pii_scrub",
+    oracle=r"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+           len(regexp_extract_all(raw, '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           length(regexp_replace(regexp_replace(raw,
+               '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_len
+    FROM enriched
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a document corpus: emails and phone numbers
+    replaced with typed placeholder tokens, plus per-doc match counts —
+    the scrub pass every training-data pipeline runs before release.
+    The fixture corpus carries no real PII, so each doc is first
+    enriched with a synthetic email+phone derived from its id (both
+    engines build the identical string), making the redaction
+    observable and oracle-checked. Patterns stay in the RE2-safe subset
+    (no lookarounds/backrefs) so Java and RE2 regex agree; all work is
+    map-side regexp codegen — no shuffle, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    email_pat = r"[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_pat = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    enriched = docs.select("doc_id", raw.alias("raw"))
+    return enriched.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(email_pat)).alias("n_emails"),
+        F.regexp_count("raw", F.lit(phone_pat)).alias("n_phones"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("raw", email_pat, "<EMAIL>"),
+                phone_pat,
+                "<PHONE>",
+            )
+        ).alias("scrubbed_len"),
+    )
