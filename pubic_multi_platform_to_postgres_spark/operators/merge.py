@@ -1,0 +1,158 @@
+"""MERGE INTO: keyed three-way merge (update / delete / insert) and the
+CDC-changelog apply built on it.
+
+The reference's loader path is pure PK upsert (insert-or-update,
+``ON CONFLICT DO UPDATE`` — see operators/upsert.py). A lakehouse engine
+also needs the full MERGE surface — conditional updates, matched
+deletes, conditional insert clauses — i.e. what Delta/Iceberg expose as
+``MERGE INTO`` and Postgres 15+ as SQL MERGE.
+
+Spark-first shape: ONE full-outer equi-join on the merge keys (hash
+shuffle both sides, AQE-sized), then a per-row CASE picks the surviving
+column values. No row explosion, no driver loop; cost is the join
+shuffle — the same lower bound Delta pays, minus its file pruning (a
+real lake deployment would swap this for ``DeltaTable.merge`` and prune
+untouched files; the semantics here are identical).
+
+Duplicate-key sources are rejected exactly like Delta's
+``MergeIntoCommand`` (a source row matching is ambiguous if two source
+rows share a key) — pre-dedup with :func:`latest_changes` when the
+source is a changelog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    matched_update: dict[str, Column] | None = None,
+    matched_delete: Column | None = None,
+    insert: bool | Column = True,
+    check_duplicate_source_keys: bool = True,
+) -> DataFrame:
+    """Merge ``source`` into ``target`` on ``keys``; returns the new
+    target contents (the caller persists it — e.g. ParquetUpsertSink's
+    swap, or a lake MERGE).
+
+    - matched + ``matched_delete`` condition true → row dropped
+    - matched otherwise → ``matched_update`` expressions applied
+      (``None`` → keep target row unchanged)
+    - source-only + ``insert`` (bool, or a Column condition evaluated on
+      the source row) → source row inserted
+    - target-only → kept as-is
+
+    Condition/update expressions are evaluated against the joined row:
+    target columns under their own names, source non-key columns
+    prefixed ``_src_``. NULL-valued conditions count as false (SQL MERGE
+    semantics).
+
+    ``check_duplicate_source_keys`` adds a window-count guard that fails
+    the job if two source rows share a key (ambiguous merge, mirroring
+    Delta's duplicate-match error) — one extra window over the already
+    -shuffled source partitioning; disable for pre-deduped changelogs.
+    """
+    tcols = target.columns
+    if check_duplicate_source_keys:
+        # The guard must ride on a column the join actually uses (the first
+        # key), or Catalyst prunes the unused projection and the check never
+        # evaluates. assert_true returns NULL when the predicate holds, so
+        # when(guard.isNull(), key) is the key itself — or an error.
+        w = Window.partitionBy(*keys)
+        guard = F.assert_true(
+            F.count(F.lit(1)).over(w) <= 1,
+            F.concat(
+                F.lit("merge_into: duplicate source key "),
+                F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+            ),
+        )
+        source = source.withColumn(
+            keys[0], F.when(guard.isNull(), F.col(keys[0]))
+        )
+
+    src = source.select(
+        *[F.col(k).alias(f"_srck_{k}") for k in keys],
+        *[
+            F.col(c).alias(f"_src_{c}")
+            for c in source.columns
+            if c not in keys
+        ],
+        F.lit(True).alias("_src_present"),
+    )
+    tgt = target.withColumn("_tgt_present", F.lit(True))
+    cond = [tgt[k] == src[f"_srck_{k}"] for k in keys]
+    joined = tgt.join(src, cond, "full_outer")
+
+    matched = F.col("_tgt_present").isNotNull() & F.col("_src_present").isNotNull()
+    src_only = F.col("_tgt_present").isNull()
+
+    keep = F.lit(True)
+    if matched_delete is not None:
+        keep = keep & ~(matched & F.coalesce(matched_delete, F.lit(False)))
+    if insert is True:
+        pass
+    elif insert is False:
+        keep = keep & ~src_only
+    else:
+        keep = keep & (~src_only | F.coalesce(insert, F.lit(False)))
+    joined = joined.filter(keep)
+
+    def out_col(c: str) -> Column:
+        if c in keys:
+            v = F.when(src_only, F.col(f"_srck_{c}")).otherwise(F.col(c))
+        else:
+            src_val = F.col(f"_src_{c}") if f"_src_{c}" in joined.columns else F.lit(None)
+            v = F.col(c)
+            if matched_update is not None and c in matched_update:
+                v = F.when(matched, matched_update[c]).otherwise(v)
+            v = F.when(src_only, src_val).otherwise(v)
+        return v.alias(c)
+
+    return joined.select(*[out_col(c) for c in tcols])
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+) -> DataFrame:
+    """Collapse a changelog to its latest change per key (highest
+    ``seq_col``). One window on the key — the same shuffle the merge
+    join needs, so the exchange is reused."""
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC changelog (op ∈ I/U/D, monotone ``seq_col``) to a
+    snapshot: the latest change per key wins; D deletes, I/U upserts; a
+    D for an absent key is a no-op — Debezium-style batch apply (a
+    streaming changelog reaches this same function per micro-batch via
+    ``foreachBatch``).
+    """
+    latest = latest_changes(changes, keys, seq_col)
+    data_cols = [c for c in target.columns if c not in keys]
+    is_delete = F.col(f"_src_{op_col}") == "D"
+    return merge_into(
+        target,
+        latest,
+        keys,
+        matched_update={c: F.col(f"_src_{c}") for c in data_cols},
+        matched_delete=is_delete,
+        insert=~is_delete,
+        check_duplicate_source_keys=False,  # latest_changes deduped
+    )

@@ -1,0 +1,96 @@
+"""merge_into / apply_cdc contracts: clause semantics, duplicate-source
+rejection, NULL-condition handling, CDC precedence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pubic_multi_platform_to_postgres_spark.operators.merge import (
+    apply_cdc,
+    latest_changes,
+    merge_into,
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id int, name string, v double",
+    )
+
+
+def test_merge_update_insert_delete(spark):
+    src = spark.createDataFrame(
+        [(2, "b2", 21.0, False), (3, "c", 30.0, True), (4, "d", 40.0, False)],
+        "id int, name string, v double, del boolean",
+    )
+    out = merge_into(
+        _target(spark),
+        src,
+        ["id"],
+        matched_update={"name": F.col("_src_name"), "v": F.col("_src_v")},
+        matched_delete=F.col("_src_del"),
+    )
+    rows = {r["id"]: (r["name"], r["v"]) for r in out.collect()}
+    assert rows == {
+        1: ("a", 10.0),   # untouched target row
+        2: ("b2", 21.0),  # updated
+        4: ("d", 40.0),   # inserted (source-only)
+    }  # 3 deleted
+
+
+def test_merge_insert_condition_and_no_insert(spark):
+    src = spark.createDataFrame(
+        [(4, "d", 40.0, True), (5, "e", 50.0, False)],
+        "id int, name string, v double, ok boolean",
+    )
+    cond = merge_into(_target(spark), src, ["id"], insert=F.col("_src_ok"))
+    assert {r["id"] for r in cond.collect()} == {1, 2, 3, 4}  # 5 filtered
+    none = merge_into(_target(spark), src, ["id"], insert=False)
+    assert {r["id"] for r in none.collect()} == {1, 2, 3}
+
+
+def test_merge_null_delete_condition_keeps_row(spark):
+    # SQL MERGE: a NULL-valued condition is NOT satisfied -> row kept
+    src = spark.createDataFrame([(2, None)], "id int, del boolean")
+    out = merge_into(_target(spark), src, ["id"], matched_delete=F.col("_src_del"))
+    assert {r["id"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_merge_duplicate_source_keys_raise(spark):
+    src = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "id int, name string, v double"
+    )
+    with pytest.raises(Exception, match="duplicate source key"):
+        merge_into(_target(spark), src, ["id"]).collect()
+
+
+def test_latest_changes_keeps_highest_seq(spark):
+    ch = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "only", 1)],
+        "id int, name string, seq int",
+    )
+    rows = {r["id"]: r["name"] for r in latest_changes(ch, ["id"], "seq").collect()}
+    assert rows == {1: "new", 2: "only"}
+
+
+def test_apply_cdc_end_to_end(spark):
+    changes = spark.createDataFrame(
+        [
+            (2, "b-v1", 1, "U"),
+            (2, "b-v2", 2, "U"),   # out-of-order: latest seq wins
+            (3, None, 5, "D"),     # delete existing
+            (4, "d", 1, "I"),      # insert new
+            (9, None, 1, "D"),     # delete absent key: no-op
+            (5, "e-v1", 1, "I"),
+            (5, None, 2, "D"),     # insert then delete -> absent
+        ],
+        "id int, name string, seq int, op string",
+    )
+    tgt = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, name string"
+    )
+    rows = {r["id"]: r["name"] for r in
+            apply_cdc(tgt, changes, ["id"], "seq", "op").collect()}
+    assert rows == {1: "a", 2: "b-v2", 4: "d"}
