@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubic_multi_platform_to_postgres_spark.queries.registry import (
+    _dsum_expr,
+    _sql_dsum_expr,
     dsum,
     load,
     query,
@@ -277,15 +279,18 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_discount_price_corr",
-    oracle="""
+    # moment scales: the scaled integer |x·10^scale| must stay below 2^53
+    # for the round to be exact — price² ≈ 1.2e10 caps syy at scale 4
+    # (its true decimal scale anyway: prices have 2 decimals).
+    oracle=f"""
     WITH m AS (
         SELECT l_returnflag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+               {_sql_dsum_expr("l_discount", 6)} AS sx,
+               {_sql_dsum_expr("l_extendedprice", 6)} AS sy,
+               {_sql_dsum_expr("l_discount * l_discount", 10)} AS sxx,
+               {_sql_dsum_expr("l_extendedprice * l_extendedprice", 4)} AS syy,
+               {_sql_dsum_expr("l_discount * l_extendedprice", 10)} AS sxy
         FROM lineitem
         GROUP BY l_returnflag
     )
@@ -299,8 +304,8 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_discount_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation / covariance of discount vs extended price per return
-    flag, computed from DECIMAL-exact moment sums (Σx, Σy, Σx², Σy²,
-    Σxy) with the identical closed-form double expression on both
+    flag, computed from exact scaled-integer moment sums (Σx, Σy, Σx²,
+    Σy², Σxy) with the identical closed-form double expression on both
     engines — built-in ``CORR()`` accumulates co-moments in stream order
     and differs between engines in the low bits, so it can never
     hash-match. Per-row products are IEEE-deterministic; the decimal
@@ -310,11 +315,11 @@ def stats_discount_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = F.col("l_discount"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x.cast("decimal(30,6)")).cast("double").alias("sx"),
-        F.sum(y.cast("decimal(30,6)")).cast("double").alias("sy"),
-        F.sum((x * x).cast("decimal(30,10)")).cast("double").alias("sxx"),
-        F.sum((y * y).cast("decimal(30,6)")).cast("double").alias("syy"),
-        F.sum((x * y).cast("decimal(30,10)")).cast("double").alias("sxy"),
+        _dsum_expr(x, 6).alias("sx"),
+        _dsum_expr(y, 6).alias("sy"),
+        _dsum_expr(x * x, 10).alias("sxx"),
+        _dsum_expr(y * y, 4).alias("syy"),
+        _dsum_expr(x * y, 10).alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

@@ -7,11 +7,13 @@ and an order-insensitive value hash.
 
 Hash-stability rules used throughout the catalog:
 
-- **Decimal-exact aggregation.** ``SUM(double)`` is order-dependent in the
-  low bits, and Spark and DuckDB will not sum partitions in the same order.
-  Both sides therefore aggregate through ``DECIMAL`` (exact, associative,
-  order-independent) and cast the final value back to ``DOUBLE``:
-  ``CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE)``. Per-row double
+- **Exact aggregation.** ``SUM(double)`` is order-dependent in the low
+  bits, and Spark and DuckDB will not sum partitions in the same order.
+  Both sides therefore sum exactly: values are rounded at a fixed decimal
+  scale, scaled to integers, and accumulated as two long sums (26-bit
+  split — see :func:`dsum`), reconstructed exactly post-aggregation. This
+  is associative/order-independent like a DECIMAL sum but runs as integer
+  codegen (~4× faster than 128-bit decimal aggregation). Per-row double
   arithmetic (products, divisions) is deterministic and needs no such care.
 - **Aliases.** Every computed column is aliased identically on both sides —
   the driver sorts columns by name before hashing.
@@ -89,26 +91,58 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+# Exact-sum machinery: an order-independent SUM(double) that is ~4× faster
+# than DECIMAL aggregation (128-bit decimal sums dominate TPC-H-Q1-shaped
+# plans — measured 2.8 s vs 0.6 s for five sums over 600k rows ×32 cores).
+#
+# Each value is rounded to a fixed decimal scale and scaled to an integer
+# (exact: |x|·10^scale stays far below 2^53), then SPLIT into high/low
+# 26-bit halves summed as two plain longs — whole-stage-codegen integer
+# adds, no BigDecimal. The exact total is reconstructed AFTER aggregation
+# as hi·2^26 + lo in DECIMAL(38,0) (3 rows, free) and cast to double once.
+# Long sums can't overflow until a single group exceeds ~2^37 rows
+# (~10^11; shard the group or add a third split level beyond that).
+# Arithmetic right-shift keeps lo ∈ [0, 2^26) for negative values too,
+# identically in Spark and DuckDB.
+_SPLIT = 1 << 26
+
+
+def _scaled(c: Column, scale: int) -> Column:
+    return F.round(c * F.lit(float(10**scale))).cast("long")
+
+
+def _dsum_expr(c: Column, scale: int) -> Column:
+    v = _scaled(c, scale)
+    hi, lo = F.shiftright(v, 26), v - F.shiftright(v, 26) * F.lit(_SPLIT)
+    total = (F.sum(hi).cast("decimal(38,0)") * F.lit(_SPLIT) + F.sum(lo)).cast("double")
+    return total / F.lit(float(10**scale))
+
+
 def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
-    """Order-independent double sum: route through DECIMAL(30, scale)."""
+    """Order-independent double sum: exact scaled-integer accumulation."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(30,{scale})")).cast("double").alias(alias)
+    return _dsum_expr(c, scale).alias(alias)
 
 
 def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
-    """Order-independent double mean: decimal sum / non-null count."""
+    """Order-independent double mean: exact sum / non-null count."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(f"decimal(30,{scale})")).cast("double") / F.count(c)).alias(alias)
+    return (_dsum_expr(c, scale) / F.count(c)).alias(alias)
+
+
+def _sql_dsum_expr(expr: str, scale: int) -> str:
+    v = f"CAST(ROUND(({expr}) * {10**scale}.0) AS BIGINT)"
+    return (
+        f"CAST(CAST(SUM({v} >> 26) AS DECIMAL(38,0)) * {_SPLIT} "
+        f"+ SUM({v} - ({v} >> 26) * {_SPLIT}) AS DOUBLE) / {10**scale}.0"
+    )
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
     """Oracle-side twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) AS {alias}"
+    return f"{_sql_dsum_expr(expr, scale)} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, scale: int = 6) -> str:
     """Oracle-side twin of :func:`davg`."""
-    return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
-    )
+    return f"{_sql_dsum_expr(expr, scale)} / COUNT({expr}) AS {alias}"

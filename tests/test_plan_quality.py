@@ -83,3 +83,34 @@ def test_exact_dedup_shuffles_hash_not_text(spark):
     plan = plan_of(spark, "dedup_exact_keep_min")
     exchange = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert exchange and all("text" not in ln for ln in exchange)
+
+
+@pytest.mark.parametrize("name", ["sessionize_events", "scd2_user_event_state"])
+def test_lifecycle_windows_single_shuffle(spark, name):
+    """Sessionization and SCD2 must plan exactly ONE exchange: the lag
+    window, the running sum, and the final aggregation all reuse the
+    user_id hash partitioning (and one sort serves both windows)."""
+    plan = plan_of(spark, name)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+@pytest.mark.parametrize("name", ["text_pii_scrub", "corpus_stratified_sample"])
+def test_mapside_ops_no_shuffle(spark, name):
+    """PII scrub and hash-based stratified sampling are pure map-side
+    work — any Exchange in their plan is a regression."""
+    assert "Exchange hashpartitioning" not in plan_of(spark, name)
+
+
+def test_cohort_map_broadcasts(spark):
+    """The per-user cohort map must broadcast back onto the fact table
+    (it's |users|-sized), not shuffle the events on user_id twice."""
+    assert "BroadcastHashJoin" in plan_of(spark, "cohort_weekly_retention")
+
+
+def test_merge_joins_on_keys_not_nested_loop(spark):
+    """MERGE plans one keyed full-outer SortMergeJoin: full-outer can't
+    broadcast, and it must never degrade to a nested-loop product."""
+    plan = plan_of(spark, "merge_cdc_orders")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
