@@ -125,7 +125,9 @@ class ParquetUpsertSink:
         else:
             merged = new
         result = dedup_latest(merged, self.keys, self.order_col).drop("_batch_seq")
+        self._swap_in(result)
 
+    def _swap_in(self, result: DataFrame) -> None:
         tmp = self.path.with_name(f"{self.path.name}__staging_{uuid.uuid4().hex[:8]}")
         writer = result.write.mode("overwrite")
         if self.partition_by:

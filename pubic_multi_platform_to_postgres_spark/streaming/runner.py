@@ -78,3 +78,25 @@ def run_available_now_cycle(
     finally:
         if q.isActive:
             q.stop()
+
+
+def foreach_batch_cdc(
+    df: DataFrame,
+    sink,
+    checkpoint_dir: str | Path,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream a CDC changelog (op/seq columns) into a
+    :class:`~pubic_multi_platform_to_postgres_spark.operators.merge.ParquetCdcSink`:
+    each micro-batch is version-check-merged (insert/update/delete) into
+    the snapshot. Checkpointing gives exactly-once batch delivery; the
+    stored per-row seq makes replays and cross-batch stragglers no-ops,
+    so the pipeline is idempotent end to end."""
+    writer = (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", str(checkpoint_dir))
+        .foreachBatch(lambda batch, _epoch: sink.write(batch))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from pubic_multi_platform_to_postgres_spark.operators.merge import (
     apply_cdc,
+    apply_cdc_versioned,
     latest_changes,
     merge_into,
 )
@@ -94,3 +95,61 @@ def test_apply_cdc_end_to_end(spark):
     rows = {r["id"]: r["name"] for r in
             apply_cdc(tgt, changes, ["id"], "seq", "op").collect()}
     assert rows == {1: "a", 2: "b-v2", 4: "d"}
+
+
+def test_apply_cdc_versioned_ignores_stale_cross_batch_update(spark):
+    tgt = spark.createDataFrame([(1, "v2", 2)], "id int, name string, seq int")
+    stale = spark.createDataFrame([(1, "v1", 1, "U")], "id int, name string, seq int, op string")
+    rows = apply_cdc_versioned(tgt, stale, ["id"], "seq").collect()
+    assert [(r["id"], r["name"], r["seq"]) for r in rows] == [(1, "v2", 2)]
+    # replaying the winning change is a no-op too
+    replay = spark.createDataFrame([(1, "v2", 2, "U")], "id int, name string, seq int, op string")
+    rows = apply_cdc_versioned(tgt, replay, ["id"], "seq").collect()
+    assert [(r["id"], r["name"], r["seq"]) for r in rows] == [(1, "v2", 2)]
+
+
+def test_streaming_cdc_sink_end_to_end(spark, tmp_path):
+    """CDC change files stream through foreach_batch_cdc in two
+    AvailableNow cycles; the snapshot converges to the versioned apply
+    of all changes, with a stale cross-batch update ignored."""
+    import time
+
+    from pubic_multi_platform_to_postgres_spark.operators.merge import ParquetCdcSink
+    from pubic_multi_platform_to_postgres_spark.streaming.runner import (
+        foreach_batch_cdc,
+        stream_from_directory,
+    )
+
+    src_dir = tmp_path / "changes"
+    src_dir.mkdir()
+    schema = "id int, name string, seq int, op string"
+
+    def arrive(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage" / fname))
+        import shutil as sh
+        for f in (tmp_path / "stage" / fname).glob("*.parquet"):
+            sh.copy(f, src_dir / f"{fname}.parquet")
+        time.sleep(1.1)  # file-source orders batches by mtime
+
+    sink = ParquetCdcSink(spark, tmp_path / "snap", ["id"], "seq")
+    ckpt = tmp_path / "ckpt"
+
+    def cycle():
+        stream = stream_from_directory(
+            spark, src_dir, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1,
+        )
+        q = foreach_batch_cdc(stream, sink, ckpt)
+        assert q.awaitTermination(120)
+
+    arrive([(1, "a", 1, "I"), (2, "b", 2, "I")], "c1")
+    cycle()
+    arrive([(1, "a2", 5, "U"), (3, "c", 1, "I")], "c2")
+    arrive([(1, "a-stale", 3, "U"), (2, None, 9, "D")], "c3")
+    cycle()
+
+    rows = {r["id"]: (r["name"], r["seq"]) for r in
+            spark.read.parquet(str(tmp_path / "snap")).collect()}
+    assert rows == {1: ("a2", 5), 3: ("c", 1)}  # stale U ignored, 2 deleted
