@@ -9,11 +9,12 @@ conditional aggregation so the plan is one shuffle on the entity key,
 no self-joins, no per-entity collects — the shape that survives 100 TB.
 
 Hash-stability notes (see registry docstring): timestamps leave as
-``unix_micros`` (session-tz-proof; DuckDB ``epoch_us``), double sums go
-through DECIMAL, and correlation is computed from decimal-exact moment
-sums with an identical double expression DAG on both engines rather
-than ``CORR()`` (whose streaming co-moment accumulation order differs
-between engines in the low bits).
+``unix_micros`` (session-tz-proof; DuckDB ``epoch_us``), double sums use
+the exact scaled-integer accumulation (``dsum``), and correlation /
+z-scores are computed from exact moment sums with an identical double
+expression DAG on both engines rather than ``CORR()``/``STDDEV()``
+(whose streaming co-moment accumulation order differs between engines
+in the low bits).
 """
 
 from __future__ import annotations
@@ -335,4 +336,54 @@ def stats_discount_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
             12,
         ).alias("corr"),
+    )
+
+
+@query(
+    "stats_zscore_outlier_orders",
+    oracle=f"""
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {_sql_dsum_expr("o_totalprice", 6)} AS s1,
+               {_sql_dsum_expr("o_totalprice * o_totalprice", 4)} AS s2
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           ROUND((o.o_totalprice - s1 / n)
+                 / SQRT(s2 / n - (s1 / n) * (s1 / n)), 9) AS zscore
+    FROM orders o JOIN m ON o.o_orderpriority = m.o_orderpriority
+    WHERE ABS((o.o_totalprice - s1 / n)
+              / SQRT(s2 / n - (s1 / n) * (s1 / n))) > 1.5
+    """,
+)
+def stats_zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group anomaly flagging: orders whose value sits far from their
+    priority-group mean (1.5 sigma: the fixture's totalprice is uniform-ish,
+    capping |z| at sqrt(3) = 1.73) — the data-quality outlier sweep. Group moments
+    come from the exact scaled-integer sums (one aggregation), then
+    broadcast-join back onto the fact table for the per-row z-score: the
+    fact table shuffles zero times (the |groups|-sized moment table
+    moves instead). The z expression is the same double DAG on both
+    engines, rounded at 1e-9 against sqrt low-bit drift."""
+    orders = load(spark, sf_dir, "orders")
+    y = F.col("o_totalprice")
+    m = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum_expr(y, 6).alias("s1"),
+        _dsum_expr(y * y, 4).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (y - s1 / n) / F.sqrt(s2 / n - (s1 / n) * (s1 / n))
+    return (
+        orders.join(F.broadcast(m), "o_orderpriority")
+        .filter(F.abs(z) > 1.5)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            y.alias("o_totalprice"),
+            F.round(z, 9).alias("zscore"),
+        )
     )

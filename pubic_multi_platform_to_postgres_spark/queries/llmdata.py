@@ -8,7 +8,7 @@ rows-only, with their estimators verified in unit tests instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubic_multi_platform_to_postgres_spark.operators.dedup import (
@@ -536,4 +536,37 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "<PHONE>",
             )
         ).alias("scrubbed_len"),
+    )
+
+
+@query(
+    "corpus_topk_per_stratum",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def corpus_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE stratified sampling: exactly min(50, |stratum|) docs
+    per language, chosen by ranking on the deterministic key hash —
+    the 'give me a balanced 50-per-language eval slice' op. Rank-on-hash
+    is a reproducible uniform draw (hash order is uncorrelated with any
+    data attribute), unlike fraction sampling it hits the exact target
+    size, and it's one window per stratum — no global sort. At 100 TB
+    swap row_number for a per-partition top-k heap + re-merge
+    (TakeOrderedAndProject shape) if strata are huge."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("doc_id") * 2654435761) % 4294967296, "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "lang")
     )

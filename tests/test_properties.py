@@ -142,3 +142,63 @@ def test_minhash_estimator_error_bound(spark, seed, overlap):
 
     sigma = math.sqrt(exact * (1 - exact) / 64) if 0 < exact < 1 else 0.07
     assert abs(est - exact) <= 4 * sigma + 0.02, (est, exact)
+
+
+@st.composite
+def merge_scenario(draw):
+    """Random target table + changelog over a tiny key space (forces
+    matched/unmatched/delete/out-of-order collisions)."""
+    keys = list(range(6))
+    tgt = [
+        (k, draw(st.integers(0, 99)))
+        for k in draw(st.lists(st.sampled_from(keys), unique=True, max_size=6))
+    ]
+    n_ch = draw(st.integers(0, 8))
+    seqs = draw(st.lists(st.integers(1, 9), min_size=n_ch, max_size=n_ch))
+    ops = draw(st.lists(st.sampled_from(["I", "U", "D"]), min_size=n_ch, max_size=n_ch))
+    chs = [
+        (draw(st.sampled_from(keys)), draw(st.integers(0, 99)), seqs[i], ops[i])
+        for i in range(n_ch)
+    ]
+    return tgt, chs
+
+
+def model_apply_cdc(tgt, chs):
+    """Pure-python reference: latest change per key (highest seq; on seq
+    ties the spark side picks an unspecified winner, so scenarios dedup
+    (key, seq) first), D deletes, I/U upserts, D-for-absent no-op."""
+    latest = {}
+    for k, v, seq, op in chs:
+        if k not in latest or seq > latest[k][1]:
+            latest[k] = ((k, v, seq, op), seq)
+    out = dict(tgt)
+    for k, ((_, v, seq, op), _s) in latest.items():
+        if op == "D":
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return out
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(merge_scenario())
+def test_apply_cdc_matches_python_model(spark, scenario):
+    from pubic_multi_platform_to_postgres_spark.operators.merge import apply_cdc
+
+    tgt_rows, ch_rows = scenario
+    # drop seq ties per key (tie-break order is unspecified on both sides)
+    seen, chs = set(), []
+    for k, v, seq, op in ch_rows:
+        if (k, seq) not in seen:
+            seen.add((k, seq))
+            chs.append((k, v, seq, op))
+
+    tgt = spark.createDataFrame(tgt_rows or [(99, 0)], "id int, v int")
+    if not tgt_rows:
+        tgt = tgt.filter("id < 0")
+    ch = spark.createDataFrame(chs or [(99, 0, 1, "U")], "id int, v int, seq int, op string")
+    if not chs:
+        ch = ch.filter("id < 0")
+
+    got = {r["id"]: r["v"] for r in apply_cdc(tgt, ch, ["id"], "seq").collect()}
+    assert got == model_apply_cdc(tgt_rows, chs)
