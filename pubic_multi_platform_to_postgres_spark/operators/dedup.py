@@ -334,18 +334,33 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     @F.pandas_udf("long")
     def _simhash(hs):
-        def one(h):
-            if h is None or len(h) == 0:
-                return 0
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(i)
-            return int(fp.view(np.int64) if hasattr(fp, "view") else fp)
+        import pandas as pd
 
-        return hs.apply(one)
+        # One vectorized pass over the WHOLE Arrow batch (a per-doc
+        # Series.apply pays numpy dispatch per document): concatenate all
+        # token hashes, unpack to a (total_tokens × 64) uint8 bit matrix,
+        # and add.reduceat at document offsets → per-doc ones-counts.
+        # Bit i is set iff ones > n_tokens/2 (majority vote).
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hs), count=len(hs), dtype=np.int64
+        )
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(hs), dtype=np.int64))
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hs if h is not None and len(h)]
+        ).view(np.uint64)
+        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        nz = lens > 0
+        offsets = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=offsets[1:])
+        ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+        majority = (2 * ones) > lens[nz][:, None]
+        fps_nz = (majority.astype(np.uint64) * (np.uint64(1) << shifts)).sum(
+            axis=1, dtype=np.uint64
+        )
+        fps = np.zeros(len(hs), dtype=np.uint64)
+        fps[nz] = fps_nz
+        return pd.Series(fps.view(np.int64))
 
     hashed = df.select(
         F.col(id_col),
@@ -377,7 +392,10 @@ def simhash_neardup_pairs(
     if max_hamming >= n_chunks:
         raise ValueError("pigeonhole guarantee needs max_hamming < n_chunks")
     bits = 64 // n_chunks
-    fp = simhash(df, text_col, id_col)
+    # materialize the fingerprints once: both self-join branches read them,
+    # and without this the tokenize + pandas-UDF fingerprint subtree
+    # executes twice (Catalyst doesn't auto-reuse non-identical branches)
+    fp = simhash(df, text_col, id_col).localCheckpoint()
     chunks = F.array(
         *[
             F.struct(
@@ -401,13 +419,16 @@ def simhash_neardup_pairs(
         "chunk_idx", "chunk_val",
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # verify BEFORE the dedup-distinct: the Hamming filter is a map-side
+    # projection over join output, so failed candidates never reach the
+    # distinct's shuffle (a pair sharing k chunks is emitted k times —
+    # distinct collapses the survivors only)
     return (
         a.join(b, ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .distinct()
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
