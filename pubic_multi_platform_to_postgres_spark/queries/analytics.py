@@ -5,7 +5,7 @@ in SQL (SURVEY.md §2.8 completion)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubic_multi_platform_to_postgres_spark.operators.dedup import tokenize
@@ -299,3 +299,69 @@ def user_event_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "window_rank_family_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(NTILE(4) OVER w AS INTEGER) AS spend_quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           CAST(RANK() OVER w AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family in one pass: ntile quartiles,
+    percent_rank, cume_dist, rank, dense_rank per priority group — the
+    feature-bucketing transform (spend quartiles) ML feature pipelines
+    derive from fact tables. All five functions share ONE window spec,
+    so Catalyst plans a single shuffle + sort; the order key is
+    tie-broken by primary key to keep every rank deterministic.
+    percent_rank/cume_dist round at 1e-9 (per-row double division is
+    deterministic, but the two engines' (n-1) denominators must agree
+    through division, so pin the printable precision)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "sql_exists_customers_with_urgent",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND LOWER(o.o_orderpriority) LIKE '%urgent%'
+    )
+    """,
+)
+def sql_exists_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL text path: Catalyst rewrites the
+    subquery to a left-semi join (RewritePredicateSubquery), so the plan
+    is the same single-shuffle semi join the DataFrame API would give —
+    the correlated-subquery entry users port straight from Postgres."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND LOWER(o.o_orderpriority) LIKE '%urgent%'
+        )
+    """)

@@ -114,3 +114,18 @@ def test_merge_joins_on_keys_not_nested_loop(spark):
     plan = plan_of(spark, "merge_cdc_orders")
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exists_subquery_plans_as_semi_join(spark):
+    """Correlated EXISTS must rewrite to a single semi join (no per-row
+    subquery execution, no nested loop)."""
+    plan = plan_of(spark, "sql_exists_customers_with_urgent")
+    assert "LeftSemi" in plan or "left_semi" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_family_single_window_exchange(spark):
+    """Five ranking functions over one window spec must share one
+    shuffle + sort."""
+    plan = plan_of(spark, "window_rank_family_orders")
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -127,3 +127,25 @@ def test_asof_no_prior_right_row_keeps_nulls(spark):
             asof_join(left, right, "k", "k", "lts", "rts", ["tag"]).collect()}
     assert rows[1]["tag"] is None  # right row is after the left ts
     assert rows[2]["tag"] is None  # no right rows at all for key 2
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty frames must flow through the custom operators without
+    exploding (the first micro-batch of a new stream is usually empty)."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        connected_components,
+    )
+    from pubic_multi_platform_to_postgres_spark.operators.merge import merge_into
+
+    left = spark.createDataFrame([], "k int, lts int")
+    right = spark.createDataFrame([], "k int, rts int, tag string")
+    assert asof_join(left, right, "k", "k", "lts", "rts", ["tag"]).count() == 0
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+    tgt = spark.createDataFrame([(1, "a")], "id int, v string")
+    src = spark.createDataFrame([], "id int, v string")
+    assert merge_into(tgt, src, ["id"]).count() == 1
+    assert merge_into(src.limit(0), tgt, ["id"]).count() == 1  # empty target
