@@ -365,3 +365,22 @@ def sql_exists_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFr
               AND LOWER(o.o_orderpriority) LIKE '%urgent%'
         )
     """)
+
+
+@query("percentiles_approx_order_value", oracle=None)
+def percentiles_approx_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (mergeable
+    quantile sketch, fixed memory per group, partial+final aggregation)
+    with the same call shape as the exact query — swap one function name
+    when the per-group sort stops fitting. Rows-only (sketch internals
+    are engine-specific); the ≤1% relative-error contract against the
+    exact percentiles is pinned in tests/test_relational_extra.py."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+        )
+    )

@@ -149,3 +149,15 @@ def test_operators_handle_empty_inputs(spark):
     src = spark.createDataFrame([], "id int, v string")
     assert merge_into(tgt, src, ["id"]).count() == 1
     assert merge_into(src.limit(0), tgt, ["id"]).count() == 1  # empty target
+
+
+def test_approx_percentiles_within_1pct_of_exact(spark):
+    exact = {r["o_orderpriority"]: r for r in
+             REGISTRY["percentiles_order_value"].fn(spark, SF).collect()}
+    approx = {r["o_orderpriority"]: r for r in
+              REGISTRY["percentiles_approx_order_value"].fn(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for grp, e in exact.items():
+        for q in ("p50", "p90", "p99"):
+            rel = abs(approx[grp][q] - e[q]) / e[q]
+            assert rel <= 0.01, (grp, q, rel)
