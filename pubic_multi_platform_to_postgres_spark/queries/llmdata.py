@@ -570,3 +570,95 @@ def corpus_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("doc_id", "lang")
     )
+
+
+_CHUNK, _STRIDE = 64, 48  # 64-token windows, 16-token overlap
+
+
+@query(
+    "corpus_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, len(toks), {_STRIDE})) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start // {_STRIDE} AS INTEGER) AS chunk_idx,
+           array_to_string(toks[start + 1 : start + {_CHUNK}], ' ') AS chunk_text,
+           CAST(LEAST({_CHUNK}, len(toks) - start) AS INTEGER) AS n_tokens
+    FROM s
+    """,
+)
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context chunking: split each document into overlapping token
+    windows (64 tokens, stride 48) — the pre-tokenization op every
+    training pipeline runs on long documents. Pure array expressions
+    (sequence → explode → slice → array_join): map-side, zero shuffle,
+    linear output blow-up of len/stride per doc; the token array is
+    computed once per row and shared by all its windows."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    t = docs.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+    return (
+        t.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / _STRIDE).cast("int").alias("chunk_idx"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, _CHUNK), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(_CHUNK), F.size("toks") - F.col("start"))
+            .cast("int")
+            .alias("n_tokens"),
+        )
+    )
+
+
+_PACK_TARGET = 2048
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                // {_PACK_TARGET} AS BIGINT) AS bin_id
+    FROM t
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to ~2048-token training bins by
+    the offset-bucket rule (bin = cumulative tokens BEFORE the doc //
+    target) within each language shard — the deterministic, shuffle-once
+    approximation of first-fit packing (true first-fit is sequential;
+    offset-bucketing differs only at bin boundaries and parallelizes).
+    Packing within a stratum (lang) keeps the window partitioned — no
+    global single-partition cumsum, which is the non-scalable formulation."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_TARGET
+        ).alias("bin_id"),
+    )

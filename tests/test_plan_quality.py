@@ -129,3 +129,10 @@ def test_rank_family_single_window_exchange(spark):
     shuffle + sort."""
     plan = plan_of(spark, "window_rank_family_orders")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_chunking_is_mapside_packing_single_shuffle(spark):
+    """Chunking is sequence→explode→slice with no Exchange; packing is
+    one window shuffle on the lang shard."""
+    assert "Exchange" not in plan_of(spark, "corpus_chunk_documents")
+    assert plan_of(spark, "corpus_pack_sequences").count("Exchange hashpartitioning") == 1
