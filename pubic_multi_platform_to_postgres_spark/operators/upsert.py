@@ -120,7 +120,24 @@ class ParquetUpsertSink:
         new = batch.withColumn("_batch_seq", F.lit(1))
         existing = self.read()
         if existing is not None:
-            existing = existing.select(*batch.columns).withColumn("_batch_seq", F.lit(0))
+            # Schema evolution, union semantics: a column NEW in the batch is
+            # added (NULL on old rows); a column the batch DROPPED is kept
+            # (NULL on new rows). Neither crashes the sync nor silently
+            # destroys landed history — the catalog-change behavior a Singer
+            # landing needs.
+            evolved = list(batch.columns) + [
+                c for c in existing.columns if c not in batch.columns
+            ]
+
+            def align(df: DataFrame, other: DataFrame) -> DataFrame:
+                return df.select(*[
+                    F.col(c) if c in df.columns
+                    else F.lit(None).cast(other.schema[c].dataType).alias(c)
+                    for c in evolved
+                ])
+
+            new = align(new, existing).withColumn("_batch_seq", F.lit(1))
+            existing = align(existing, batch).withColumn("_batch_seq", F.lit(0))
             merged = new.unionByName(existing)
         else:
             merged = new

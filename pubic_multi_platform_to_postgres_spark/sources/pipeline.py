@@ -68,6 +68,7 @@ class StreamSpec:
 class SyncReport:
     stream: str
     tables: dict[str, int] = field(default_factory=dict)
+    quarantined: dict[str, int] = field(default_factory=dict)
     bookmark: str | None = None
     error: str | None = None
 
@@ -136,11 +137,38 @@ class Pipeline:
             # inferred types drift run-to-run (all-null field, numeric-looking
             # strings); casting here pins the landed types so the upsert
             # sink's unionByName never sees two cycles disagree.
+            #
+            # Dead-letter contract: a row whose non-null value fails its
+            # declared cast (try_cast → NULL) goes to _quarantine/<table>
+            # as raw JSON instead of crashing the sync (ANSI cast throws)
+            # or silently nulling the value — the loader's skip-and-log
+            # behavior, but with the rejects queryable.
             present = [c for c in stream.columns() if c in df.columns]
             if present:
+                bad = F.lit(False)
+                for f in stream.schema.fields:
+                    if f.name in df.columns and not isinstance(
+                        df.schema[f.name].dataType, type(f.dataType)
+                    ):
+                        src = F.col(f.name)
+                        bad = bad | (src.isNotNull() & src.try_cast(f.dataType).isNull())
+                rejects = df.filter(bad)
+                n_bad = rejects.count()
+                if n_bad:
+                    (
+                        rejects.select(
+                            F.to_json(F.struct(*df.columns)).alias("raw"),
+                            F.lit(table).alias("_table"),
+                            F.lit(format_date(run_start)).alias("_run_start"),
+                        )
+                        .write.mode("append")
+                        .parquet(str(self.sink_root / "_quarantine" / table))
+                    )
+                    report.quarantined[table] = n_bad
+                    df = df.filter(~bad)
                 df = df.select(*[
-                    (F.col(f.name) if f.name in df.columns
-                     else F.lit(None)).cast(f.dataType).alias(f.name)
+                    (F.col(f.name).try_cast(f.dataType) if f.name in df.columns
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
                     for f in stream.schema.fields
                 ])
             keys = stream.key_properties or stream.columns()[:1]

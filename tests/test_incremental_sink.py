@@ -277,3 +277,21 @@ def test_upsert_concurrent_writers_serialize(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "t"))
     assert out.count() == 100
     assert {r["src"] for r in out.select("src").distinct().collect()} == {"x", "y"}
+
+
+def test_upsert_schema_evolution_union_semantics(spark, tmp_path):
+    """A batch with a NEW column adds it (NULL on old rows); a batch
+    MISSING a landed column keeps it (NULL on new rows) — catalog
+    changes neither crash the sync nor drop landed history."""
+    sink = ParquetUpsertSink(spark, tmp_path / "t", keys=["id"])
+    sink.write(spark.createDataFrame([("a", 1)], "id string, v int"))
+    # new column appears
+    sink.write(spark.createDataFrame([("b", 2, "x")], "id string, v int, extra string"))
+    rows = {r["id"]: (r["v"], r["extra"]) for r in
+            spark.read.parquet(str(tmp_path / "t")).collect()}
+    assert rows == {"a": (1, None), "b": (2, "x")}
+    # old column disappears from the batch
+    sink.write(spark.createDataFrame([("c", "y")], "id string, extra string"))
+    rows = {r["id"]: (r["v"], r["extra"]) for r in
+            spark.read.parquet(str(tmp_path / "t")).collect()}
+    assert rows == {"a": (1, None), "b": (2, "x"), "c": (None, "y")}

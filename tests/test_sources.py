@@ -564,3 +564,29 @@ def test_cli_discover_and_list(tmp_path, capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "q01_pricing_summary" in out and "[oracle]" in out
+
+
+def test_pipeline_quarantines_uncastable_rows(spark, tmp_path):
+    """A row whose value fails its declared-type cast lands in
+    _quarantine/<table> as raw JSON; the rest of the batch syncs."""
+    extracted = {
+        "tasks": _raw_tasks(2) + [
+            {"id": "bad1", "title": "Broken", "updatedDate": "not-a-date",
+             "dates": {"start": "2024-05-09"}},
+        ],
+        "contacts": _raw_contacts(),
+    }
+    pipe = _make_pipeline(spark, tmp_path, extracted)
+    reports = {r.stream: r for r in pipe.run(spark)}
+    assert reports["tasks"].ok
+    assert reports["tasks"].tables["tasks"] == 2
+    assert reports["tasks"].quarantined == {"tasks": 1}
+
+    q = spark.read.parquet(str(tmp_path / "lake/_quarantine/tasks"))
+    assert q.count() == 1
+    raw = q.collect()[0]
+    assert "not-a-date" in raw["raw"] and raw["_table"] == "tasks"
+
+    landed = {r["id"] for r in
+              spark.read.parquet(str(tmp_path / "lake/tasks")).collect()}
+    assert landed == {"t0", "t1"}  # bad row kept out of the table
