@@ -662,3 +662,54 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_TARGET
         ).alias("bin_id"),
     )
+
+
+@query(
+    "dedup_levenshtein_prefix",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, substring(trim(lower(text)), 1, 40) AS head
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND substring(a.head, 1, 8) = substring(b.head, 1, 8)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 12
+    """,
+)
+def dedup_levenshtein_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance over document heads —
+    the entity-resolution flavor of dedup (typos and small edits that
+    token-set Jaccard misses). Candidate pairs are blocked on (lang,
+    8-char prefix) so the quadratic levenshtein only runs inside tiny
+    prefix buckets — the standard ER blocking decomposition; at corpus
+    scale swap the prefix for a phonetic/sorted-neighborhood key with
+    the same plan shape."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang",
+        F.substring(F.trim(F.lower(F.col("text"))), 1, 40).alias("head"),
+    )
+    a = t.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
+        F.col("head").alias("head_a"),
+        F.substring("head", 1, 8).alias("block_a"),
+    )
+    b = t.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
+        F.col("head").alias("head_b"),
+        F.substring("head", 1, 8).alias("block_b"),
+    )
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("block_a") == F.col("block_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dist <= 12)
+        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+    )

@@ -99,3 +99,44 @@ def session_agg(
         *keys,
         *[c for c in out.columns if c != "w" and c not in keys],
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay_s: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: right rows within
+    ``[left_ts, left_ts + max_delay_s]`` per key (click→purchase
+    attribution). Works identically on batch frames (watermark is a no-op
+    there) — the batch-equivalence test relies on that.
+
+    Scale contract: BOTH sides carry event-time watermarks and the join
+    has a two-sided time-range predicate, so the state store evicts a
+    row as soon as the other side's watermark passes its join window —
+    bounded state. Without the range bound (or with one-sided bounds)
+    Spark must keep the whole history of both streams in state.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col(left_ts).alias("l_ts"),
+        "*",
+    ).drop(key, left_ts)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(right_ts).alias("r_ts"),
+        "*",
+    ).drop(key, right_ts)
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay_s} SECONDS"))
+    )
+    return l.join(r, cond, "inner")
