@@ -130,9 +130,14 @@ def range_join(
         "_bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / F.lit(bucket))
     )
 
-    lo = F.unix_timestamp(F.col(left_ts)) + lower_s
-    hi = F.unix_timestamp(F.col(left_ts)) + upper_s
-    rts = F.unix_timestamp(F.col(right_ts))
+    # The exact predicate compares at FULL microsecond precision —
+    # unix_timestamp floors to seconds, which silently widens the window
+    # by up to a second at each edge (caught by the sf0.1 oracle: a pair
+    # 3600.4 s apart passed the floored filter). Bucket assignment may
+    # stay second-floored: it only needs to cover, not to decide.
+    lo = F.unix_micros(F.col(left_ts)) + lower_s * 1_000_000
+    hi = F.unix_micros(F.col(left_ts)) + upper_s * 1_000_000
+    rts = F.unix_micros(F.col(right_ts))
     return (
         l.join(r, (F.col(left_key) == F.col(right_key)) & (l["_bucket"] == r["_bucket"]))
         .filter((rts >= lo) & (rts <= hi))

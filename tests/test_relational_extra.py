@@ -161,3 +161,26 @@ def test_approx_percentiles_within_1pct_of_exact(spark):
         for q in ("p50", "p90", "p99"):
             rel = abs(approx[grp][q] - e[q]) / e[q]
             assert rel <= 0.01, (grp, q, rel)
+
+
+def test_range_join_subsecond_boundary_exact(spark):
+    """The exact range predicate must compare at full microsecond
+    precision: a right row 3600.4s after the left row is OUTSIDE a
+    [0, 3600s] window, even though the floor-to-second gap is 3600."""
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00.500000")], "lk int, lts string"
+    ).select("lk", F.to_timestamp("lts").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00.900000", "late"),   # +3600.4s -> out
+         (1, "2024-01-01 01:00:00.400000", "edge"),   # +3599.9s -> in
+         (1, "2024-01-01 00:00:00.500000", "same")],  # +0s -> in
+        "rk int, rts string, tag string",
+    ).select("rk", F.to_timestamp("rts").alias("rts"), "tag")
+    got = {r["tag"] for r in range_join(
+        left, right, "lk", "rk", "lts", "rts", lower_s=0, upper_s=3600
+    ).collect()}
+    assert got == {"edge", "same"}
