@@ -7,6 +7,8 @@ as the driver's weaker check.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
@@ -34,3 +36,21 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FULL_GATE"),
+    reason="10x-scale oracle sweep; set SPARK_GRAFT_FULL_GATE=1 (adds ~3 min)",
+)
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle_sf01(spark, name):
+    """The same differential gate at sf0.1 — 10x the driver's gate scale.
+    Catches bounds that only break with more data (this run found the
+    range join's floor-to-second boundary bug and exercises the exact-sum
+    overflow margins)."""
+    q = REGISTRY[name]
+    sdf = q.fn(spark, "/root/testdata/sf0.1")
+    if q.oracle is None:
+        assert sdf.count() >= 0
+        return
+    assert_frames_match(sdf.toPandas(), run_oracle(q.oracle, "/root/testdata/sf0.1"), name)
