@@ -227,3 +227,51 @@ class ParquetCdcSink(ParquetUpsertSink):
                 existing, batch, self.keys, self.seq_col, self.op_col
             )
         self._swap_in(result)
+
+
+class AdditiveAggSink(ParquetUpsertSink):
+    """Incremental materialized aggregate for distributive measures: each
+    batch folds into stored per-group partials (counts/sums ADD on key
+    collision instead of replacing) — incremental view maintenance for
+    the groupBy-sum family, so refreshing a 100 TB rollup costs one pass
+    over the NEW data plus a merge against the (|groups|-sized) state,
+    never a recompute of history. AVG and friends derive from the stored
+    (sum, count) pairs at read time; non-distributive aggregates
+    (distinct, percentiles) need sketch-typed state instead (HLL /
+    quantile digest) — out of scope here.
+
+    ``write(batch)`` expects RAW rows; the sink aggregates them with the
+    declared measures and merges. Inherits the per-path lock and
+    crash-safe staging swap.
+    """
+
+    def __init__(self, spark, path, keys: list[str], measures: dict[str, Column]) -> None:
+        """``measures``: output column -> aggregate expression over a raw
+        batch (must be distributive: count/sum/min/max)."""
+        super().__init__(spark, path, keys)
+        self.measures = measures
+
+    def _merge_partials(self, a_val: Column, out: str) -> Column:
+        # stored partial + batch partial; min/max fold with least/greatest
+        return a_val + F.col(out)
+
+    def _write_locked(self, batch: DataFrame) -> None:
+        partial = batch.groupBy(*self.keys).agg(
+            *[expr.alias(name) for name, expr in self.measures.items()]
+        )
+        existing = self.read()
+        if existing is None:
+            self._swap_in(partial)
+            return
+        result = merge_into(
+            existing,
+            partial,
+            self.keys,
+            matched_update={
+                name: self._merge_partials(F.col(f"_src_{name}"), name)
+                for name in self.measures
+            },
+            insert=True,
+            check_duplicate_source_keys=False,  # groupBy guarantees unique keys
+        )
+        self._swap_in(result)

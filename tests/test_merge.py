@@ -153,3 +153,77 @@ def test_streaming_cdc_sink_end_to_end(spark, tmp_path):
     rows = {r["id"]: (r["name"], r["seq"]) for r in
             spark.read.parquet(str(tmp_path / "snap")).collect()}
     assert rows == {1: ("a2", 5), 3: ("c", 1)}  # stale U ignored, 2 deleted
+
+
+def test_additive_agg_sink_incremental_equals_full_recompute(spark, tmp_path):
+    """Folding batches into stored partials must equal aggregating all
+    rows at once — incremental view maintenance for groupBy-sum."""
+    from pubic_multi_platform_to_postgres_spark.operators.merge import AdditiveAggSink
+
+    rows1 = [("a", 10), ("a", 5), ("b", 7)]
+    rows2 = [("a", 1), ("c", 2), ("c", 3)]
+    schema = "grp string, v int"
+    measures = {
+        "n": F.count(F.lit(1)),
+        "total": F.sum(F.col("v").cast("long")),
+    }
+    sink = AdditiveAggSink(spark, tmp_path / "agg", ["grp"], measures)
+    sink.write(spark.createDataFrame(rows1, schema))
+    sink.write(spark.createDataFrame(rows2, schema))
+
+    got = {r["grp"]: (r["n"], r["total"]) for r in
+           spark.read.parquet(str(tmp_path / "agg")).collect()}
+    full = spark.createDataFrame(rows1 + rows2, schema).groupBy("grp").agg(
+        *[e.alias(n) for n, e in measures.items()]
+    )
+    want = {r["grp"]: (r["n"], r["total"]) for r in full.collect()}
+    assert got == want == {"a": (3, 16), "b": (1, 7), "c": (2, 5)}
+
+
+def test_additive_agg_sink_streaming_cycles(spark, tmp_path):
+    """Driven per micro-batch through foreachBatch, the additive sink is
+    a streaming materialized view: the stored rollup after two
+    AvailableNow cycles equals the batch aggregate of all files."""
+    import time
+
+    from pubic_multi_platform_to_postgres_spark.operators.merge import AdditiveAggSink
+    from pubic_multi_platform_to_postgres_spark.streaming.runner import (
+        stream_from_directory,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "grp string, v int"
+
+    def arrive(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(tmp_path / "stage" / name))
+        import shutil as sh
+        for f in (tmp_path / "stage" / name).glob("*.parquet"):
+            sh.copy(f, src / f"{name}.parquet")
+        time.sleep(1.1)
+
+    sink = AdditiveAggSink(
+        spark, tmp_path / "agg", ["grp"],
+        {"n": F.count(F.lit(1)), "total": F.sum(F.col("v").cast("long"))},
+    )
+
+    def cycle():
+        stream = stream_from_directory(
+            spark, src, spark.createDataFrame([], schema).schema,
+            max_files_per_trigger=1)
+        q = (stream.writeStream.outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .foreachBatch(lambda b, _e: sink.write(b))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    arrive([("a", 1), ("b", 2)], "c1")
+    cycle()
+    arrive([("a", 3)], "c2")
+    arrive([("b", 4), ("c", 5)], "c3")
+    cycle()
+
+    got = {r["grp"]: (r["n"], r["total"]) for r in
+           spark.read.parquet(str(tmp_path / "agg")).collect()}
+    assert got == {"a": (2, 4), "b": (2, 6), "c": (1, 5)}
