@@ -245,32 +245,49 @@ class AdditiveAggSink(ParquetUpsertSink):
     crash-safe staging swap.
     """
 
-    def __init__(self, spark, path, keys: list[str], measures: dict[str, Column]) -> None:
+    def __init__(
+        self,
+        spark,
+        path,
+        keys: list[str],
+        measures: dict[str, Column],
+        sketch_measures: dict[str, Column] | None = None,
+    ) -> None:
         """``measures``: output column -> aggregate expression over a raw
-        batch (must be distributive: count/sum/min/max)."""
+        batch (must be distributive: count/sum/min/max).
+
+        ``sketch_measures``: output column -> ``hll_sketch_agg(...)``
+        expression. Stored state is the binary sketch; merge is
+        ``hll_union`` — this makes APPROX DISTINCT incrementally
+        maintainable (the non-distributive aggregate a plain additive
+        rollup can't keep). Read estimates with
+        ``F.hll_sketch_estimate(col)``.
+        """
         super().__init__(spark, path, keys)
         self.measures = measures
-
-    def _merge_partials(self, a_val: Column, out: str) -> Column:
-        # stored partial + batch partial; min/max fold with least/greatest
-        return a_val + F.col(out)
+        self.sketch_measures = sketch_measures or {}
 
     def _write_locked(self, batch: DataFrame) -> None:
         partial = batch.groupBy(*self.keys).agg(
-            *[expr.alias(name) for name, expr in self.measures.items()]
+            *[expr.alias(name) for name, expr in self.measures.items()],
+            *[expr.alias(name) for name, expr in self.sketch_measures.items()],
         )
         existing = self.read()
         if existing is None:
             self._swap_in(partial)
             return
+        updates = {
+            name: F.col(name) + F.col(f"_src_{name}") for name in self.measures
+        }
+        updates.update({
+            name: F.hll_union(F.col(name), F.col(f"_src_{name}"))
+            for name in self.sketch_measures
+        })
         result = merge_into(
             existing,
             partial,
             self.keys,
-            matched_update={
-                name: self._merge_partials(F.col(f"_src_{name}"), name)
-                for name in self.measures
-            },
+            matched_update=updates,
             insert=True,
             check_duplicate_source_keys=False,  # groupBy guarantees unique keys
         )

@@ -28,6 +28,7 @@ rewrites partitions it touches.
 
 from __future__ import annotations
 
+import os
 import shutil
 import threading
 import uuid
@@ -233,3 +234,81 @@ class JdbcUpsertSink:
             stmt.executeUpdate(f"DROP TABLE IF EXISTS {staging}")
         finally:
             conn.close()
+
+
+class ParquetVersionedSink(ParquetUpsertSink):
+    """Keyed upsert with SNAPSHOT VERSIONS and time travel — the
+    Delta-style commit protocol scaled down to a directory layout:
+
+    - data lives in immutable ``<path>/v=<n>/`` version directories;
+    - ``<path>/_latest`` holds the committed version number, replaced
+      atomically (tmp + ``os.replace``) as the LAST step of a write — a
+      crash before the pointer swap leaves only an orphan directory,
+      never a broken table;
+    - readers resolve the pointer once and then read an immutable
+      snapshot: concurrent writers never disturb a running query
+      (snapshot isolation), and ``read(version=k)`` time-travels;
+    - ``vacuum(keep_last)`` deletes unpointed old versions (the
+      retention step a lakehouse runs out-of-band).
+
+    Inherits the per-path writer lock; merge semantics are the same
+    keyed last-write-wins as the base sink.
+    """
+
+    def _latest_path(self) -> Path:
+        return self.path / "_latest"
+
+    def current_version(self) -> int | None:
+        p = self._latest_path()
+        if not p.exists():
+            return None
+        return int(p.read_text().strip())
+
+    def versions(self) -> list[int]:
+        if not self.path.exists():
+            return []
+        return sorted(
+            int(d.name.split("=", 1)[1])
+            for d in self.path.iterdir()
+            if d.is_dir() and d.name.startswith("v=")
+        )
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        return self.spark.read.parquet(str(self.path / f"v={v}"))
+
+    def _write_locked(self, batch: DataFrame) -> None:
+        new = batch.withColumn("_batch_seq", F.lit(1))
+        existing = self.read()
+        if existing is not None:
+            existing = existing.select(*batch.columns).withColumn(
+                "_batch_seq", F.lit(0)
+            )
+            merged = new.unionByName(existing)
+        else:
+            merged = new
+        result = dedup_latest(merged, self.keys, self.order_col).drop("_batch_seq")
+
+        next_v = (self.current_version() or 0) + 1
+        result.write.mode("overwrite").parquet(str(self.path / f"v={next_v}"))
+        # commit = atomic pointer replace; everything before is invisible
+        tmp = self._latest_path().with_suffix(".tmp")
+        tmp.write_text(str(next_v))
+        os.replace(tmp, self._latest_path())
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (never the
+        pointed one). Returns the versions removed."""
+        with _path_lock(self.path):
+            current = self.current_version()
+            keep = set(self.versions()[-keep_last:])
+            if current is not None:
+                keep.add(current)
+            removed = []
+            for v in self.versions():
+                if v not in keep:
+                    shutil.rmtree(self.path / f"v={v}")
+                    removed.append(v)
+            return removed

@@ -295,3 +295,52 @@ def test_upsert_schema_evolution_union_semantics(spark, tmp_path):
     rows = {r["id"]: (r["v"], r["extra"]) for r in
             spark.read.parquet(str(tmp_path / "t")).collect()}
     assert rows == {"a": (1, None), "b": (2, "x"), "c": (None, "y")}
+
+
+def test_versioned_sink_time_travel_and_vacuum(spark, tmp_path):
+    from pubic_multi_platform_to_postgres_spark.operators.upsert import (
+        ParquetVersionedSink,
+    )
+
+    sink = ParquetVersionedSink(spark, tmp_path / "t", keys=["id"])
+    assert sink.read() is None and sink.current_version() is None
+
+    sink.write(spark.createDataFrame([("a", 1), ("b", 1)], "id string, v int"))
+    sink.write(spark.createDataFrame([("b", 2), ("c", 1)], "id string, v int"))
+    assert sink.current_version() == 2 and sink.versions() == [1, 2]
+
+    latest = {r["id"]: r["v"] for r in sink.read().collect()}
+    assert latest == {"a": 1, "b": 2, "c": 1}
+    # time travel: version 1 is untouched by the second write
+    v1 = {r["id"]: r["v"] for r in sink.read(version=1).collect()}
+    assert v1 == {"a": 1, "b": 1}
+
+    sink.write(spark.createDataFrame([("d", 1)], "id string, v int"))
+    removed = sink.vacuum(keep_last=1)
+    assert removed == [1, 2] and sink.versions() == [3]
+    assert {r["id"] for r in sink.read().collect()} == {"a", "b", "c", "d"}
+
+
+def test_versioned_sink_crash_before_pointer_leaves_old_version(spark, tmp_path, monkeypatch):
+    """A crash after writing the new version directory but BEFORE the
+    pointer swap must leave readers on the previous committed version."""
+    import os as _os
+
+    from pubic_multi_platform_to_postgres_spark.operators.upsert import (
+        ParquetVersionedSink,
+    )
+
+    sink = ParquetVersionedSink(spark, tmp_path / "t", keys=["id"])
+    sink.write(spark.createDataFrame([("a", 1)], "id string, v int"))
+
+    def boom(src, dst):
+        raise OSError("simulated crash at commit")
+
+    monkeypatch.setattr(_os, "replace", boom)
+    import pytest as _pytest
+    with _pytest.raises(OSError, match="commit"):
+        sink.write(spark.createDataFrame([("b", 9)], "id string, v int"))
+    monkeypatch.undo()
+
+    assert sink.current_version() == 1  # pointer never moved
+    assert {r["id"] for r in sink.read().collect()} == {"a"}

@@ -227,3 +227,30 @@ def test_additive_agg_sink_streaming_cycles(spark, tmp_path):
     got = {r["grp"]: (r["n"], r["total"]) for r in
            spark.read.parquet(str(tmp_path / "agg")).collect()}
     assert got == {"a": (2, 4), "b": (2, 6), "c": (1, 5)}
+
+
+def test_additive_agg_sink_hll_distinct_across_batches(spark, tmp_path):
+    """HLL-sketch state makes approx-distinct incrementally maintainable:
+    the union of per-batch sketches estimates the distinct count over
+    ALL batches (overlapping users counted once), which no additive
+    counter can do."""
+    from pubic_multi_platform_to_postgres_spark.operators.merge import AdditiveAggSink
+
+    schema = "grp string, user int"
+    sink = AdditiveAggSink(
+        spark, tmp_path / "agg", ["grp"],
+        measures={"n_events": F.count(F.lit(1))},
+        sketch_measures={"users_sk": F.hll_sketch_agg("user")},
+    )
+    sink.write(spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 2), ("b", 9)], schema))
+    sink.write(spark.createDataFrame(
+        [("a", 2), ("a", 3), ("b", 9), ("b", 10)], schema))
+
+    got = {r["grp"]: (r["n_events"], r["users"]) for r in
+           spark.read.parquet(str(tmp_path / "agg"))
+           .select("grp", "n_events",
+                   F.hll_sketch_estimate("users_sk").alias("users"))
+           .collect()}
+    # events add; distinct users dedup across batches (HLL exact at tiny n)
+    assert got == {"a": (5, 3), "b": (3, 2)}
