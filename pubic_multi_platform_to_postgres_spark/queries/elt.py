@@ -360,3 +360,63 @@ def catalog_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in TABLES
     ]
     return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+@query(
+    "dq_expectations_summary",
+    oracle="""
+    SELECT 'unique:o_orderkey' AS check, 'orders' AS table_name,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'not_null:o_custkey', 'orders',
+           CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values:o_orderstatus', 'orders',
+           CAST(COUNT(*) FILTER (o_orderstatus IS NOT NULL
+                AND o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'relationships:l_orderkey', 'lineitem',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE l.l_orderkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'accepted_values:event_type', 'events',
+           CAST(COUNT(*) FILTER (event_type IS NOT NULL
+                AND event_type NOT IN ('click', 'view', 'purchase', 'error'))
+                AS BIGINT)
+    FROM events
+    """,
+)
+def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test parity (plans/expectations.py): the four built-in dbt
+    checks — unique, not_null, accepted_values, relationships — compiled
+    to violation-count aggregates and unioned into one suite result.
+    The event_type check deliberately omits 'signup' so the suite shows
+    a real non-zero violation row (a DQ harness that can only ever print
+    zeros verifies nothing). Referential integrity plans as a LEFT ANTI
+    join against the distinct parent keys; everything else is a
+    single-pass conditional aggregate."""
+    from pubic_multi_platform_to_postgres_spark.plans.expectations import (
+        expect_accepted_values,
+        expect_not_null,
+        expect_relationship,
+        expect_unique,
+        summary,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    return summary([
+        expect_unique(orders, ["o_orderkey"], "orders"),
+        expect_not_null(orders, "o_custkey", "orders"),
+        expect_accepted_values(orders, "o_orderstatus", ["F", "O", "P"], "orders"),
+        expect_relationship(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem"),
+        expect_accepted_values(
+            events, "event_type", ["click", "view", "purchase", "error"], "events"
+        ),
+    ])

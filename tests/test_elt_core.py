@@ -326,3 +326,35 @@ def test_catalog_register_select_children():
     assert disc[0]["key_properties"] == ["id"]
     with pytest.raises(ValueError):
         cat.register_json_schema("contacts", {"type": "object", "properties": {}})
+
+
+def test_expectations_count_real_violations(spark):
+    """Each dbt-style check must count constructed violations correctly
+    (the fixture suite's zeros alone prove nothing)."""
+    from pubic_multi_platform_to_postgres_spark.plans.expectations import (
+        expect_accepted_values,
+        expect_not_null,
+        expect_relationship,
+        expect_unique,
+        summary,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "ok"), (1, "dup"), (1, "dup2"), (2, None), (3, "weird")],
+        "id int, status string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid int")
+    child = spark.createDataFrame([(1,), (2,), (9,), (None,)], "fk int")
+
+    got = {r["check"]: r["n_violations"] for r in summary([
+        expect_unique(t, ["id"], "t"),                      # 3 rows for id=1 -> 2
+        expect_not_null(t, "status", "t"),                  # 1 NULL
+        expect_accepted_values(t, "status", ["ok", "dup", "dup2"], "t"),  # 'weird'
+        expect_relationship(child, "fk", parent, "pid", "c"),  # 9 orphan; NULL passes
+    ]).collect()}
+    assert got == {
+        "unique:id": 2,
+        "not_null:status": 1,
+        "accepted_values:status": 1,
+        "relationships:fk": 1,
+    }
