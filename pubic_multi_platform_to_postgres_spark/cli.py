@@ -52,6 +52,18 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Print the optimized physical plan — the artifact to review before
+    believing an operator scales (pushdown, broadcast, exchange count)."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+    from pubic_multi_platform_to_postgres_spark.session import get_session
+
+    spark = get_session(app_name="spark_graft_cli")
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pubic_multi_platform_to_postgres_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -68,6 +80,13 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--limit", type=int, default=20)
     q.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser("explain", help="print a catalog query's physical plan")
+    ex.add_argument("name")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--mode", default="formatted",
+                    choices=["simple", "extended", "formatted", "cost", "codegen"])
+    ex.set_defaults(fn=cmd_explain)
 
     args = p.parse_args(argv)
     return int(args.fn(args))
