@@ -81,3 +81,29 @@ def expect_relationship(
 def summary(checks: list[DataFrame]) -> DataFrame:
     """Union the per-check counts into one suite result."""
     return reduce(lambda a, b: a.unionByName(b), checks)
+
+
+def expect_freshness(
+    df: DataFrame,
+    ts_col: str,
+    max_age_s: int,
+    as_of_epoch_s: int,
+    table: str,
+) -> DataFrame:
+    """dbt source-freshness: stale (1) when the newest row is older than
+    ``max_age_s`` at ``as_of_epoch_s`` — the as-of instant is an explicit
+    argument, never wall-clock, so the check is reproducible (and
+    oracle-checkable)."""
+    v = df.agg(
+        F.when(
+            F.coalesce(
+                F.max(F.unix_micros(F.col(ts_col))),
+                F.lit(-(1 << 62)),
+            )
+            < (as_of_epoch_s - max_age_s) * 1_000_000,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_violations")
+    )
+    return _tag(v, f"freshness:{ts_col}", table)

@@ -389,6 +389,12 @@ def catalog_table_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AND event_type NOT IN ('click', 'view', 'purchase', 'error'))
                 AS BIGINT)
     FROM events
+    UNION ALL
+    SELECT 'freshness:ts', 'events',
+           CAST(CASE WHEN COALESCE(MAX(epoch_us(ts)), -4611686018427387904)
+                     < 1706832000000000
+                THEN 1 ELSE 0 END AS BIGINT)
+    FROM events
     """,
 )
 def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,6 +408,7 @@ def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass conditional aggregate."""
     from pubic_multi_platform_to_postgres_spark.plans.expectations import (
         expect_accepted_values,
+        expect_freshness,
         expect_not_null,
         expect_relationship,
         expect_unique,
@@ -419,4 +426,7 @@ def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect_accepted_values(
             events, "event_type", ["click", "view", "purchase", "error"], "events"
         ),
+        # as-of 2024-02-05 UTC with a 72h budget: the fixture's newest
+        # event (Jan 30) is stale -> a deliberate non-zero freshness row
+        expect_freshness(events, "ts", 259200, 1707091200, "events"),
     ])

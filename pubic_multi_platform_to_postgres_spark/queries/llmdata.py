@@ -713,3 +713,63 @@ def dedup_levenshtein_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 12)
         .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+@query(
+    "corpus_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, token) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: the 5 most characteristic terms per document — the
+    keyword-extraction / relevance-weighting primitive. Plan: one explode
+    + two aggregations (term frequency per doc, document frequency per
+    token); the |vocab|-sized df table and the 1-row corpus count
+    broadcast back onto tf, so the big frame shuffles twice total (tf
+    grouping, final per-doc window). Scores are rounded to 1e-6 BEFORE
+    ranking: Spark's Math.log and DuckDB's libm log can differ in the
+    last ulp, and ranking on the raw double would let a 1e-15 gap decide
+    a top-5 boundary differently per engine; after rounding, ties break
+    by token."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # the corpus size is ONE scalar — fetch it once (same pattern as the
+    # sim_topk probe vector) rather than cross-joining a 1-row frame,
+    # which plans as a nested-loop join
+    n_docs = float(docs.count())
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", "tfidf")
+    )

@@ -358,3 +358,21 @@ def test_expectations_count_real_violations(spark):
         "accepted_values:status": 1,
         "relationships:fk": 1,
     }
+
+
+def test_expect_freshness_fresh_stale_empty(spark):
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.plans.expectations import (
+        expect_freshness,
+    )
+
+    df = spark.createDataFrame([(1,)], "x int").select(
+        F.timestamp_seconds(F.lit(1000)).alias("ts")
+    )
+    fresh = expect_freshness(df, "ts", max_age_s=100, as_of_epoch_s=1050, table="t")
+    stale = expect_freshness(df, "ts", max_age_s=100, as_of_epoch_s=1200, table="t")
+    empty = expect_freshness(df.filter("ts IS NULL"), "ts", 100, 1050, "t")
+    assert fresh.collect()[0]["n_violations"] == 0
+    assert stale.collect()[0]["n_violations"] == 1
+    assert empty.collect()[0]["n_violations"] == 1  # no data = stale
