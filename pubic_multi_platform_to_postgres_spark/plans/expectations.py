@@ -93,17 +93,26 @@ def expect_freshness(
     """dbt source-freshness: stale (1) when the newest row is older than
     ``max_age_s`` at ``as_of_epoch_s`` — the as-of instant is an explicit
     argument, never wall-clock, so the check is reproducible (and
-    oracle-checkable)."""
+    oracle-checkable). An empty/all-NULL table counts as stale.
+
+    Instant-typed columns compare on ``unix_micros`` (session-tz-proof);
+    TIMESTAMP_NTZ columns are wall-clock values with no instant, so the
+    cutoff is rendered as a tz-free literal and compared directly —
+    ``unix_micros`` would reject NTZ outright, and casting NTZ→TIMESTAMP
+    would silently re-interpret it in the session timezone.
+    """
+    from datetime import datetime, timezone
+
+    cutoff_s = as_of_epoch_s - max_age_s
+    if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        cutoff = datetime.fromtimestamp(cutoff_s, tz=timezone.utc)
+        lit = F.to_timestamp_ntz(F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")))
+        fresh_max = F.max(F.col(ts_col))
+        is_stale = F.coalesce(fresh_max < lit, F.lit(True))
+    else:
+        fresh_max = F.max(F.unix_micros(F.col(ts_col)))
+        is_stale = F.coalesce(fresh_max, F.lit(-(1 << 62))) < cutoff_s * 1_000_000
     v = df.agg(
-        F.when(
-            F.coalesce(
-                F.max(F.unix_micros(F.col(ts_col))),
-                F.lit(-(1 << 62)),
-            )
-            < (as_of_epoch_s - max_age_s) * 1_000_000,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("n_violations")
+        F.when(is_stale, F.lit(1)).otherwise(F.lit(0)).alias("n_violations")
     )
     return _tag(v, f"freshness:{ts_col}", table)

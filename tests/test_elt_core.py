@@ -376,3 +376,24 @@ def test_expect_freshness_fresh_stale_empty(spark):
     assert fresh.collect()[0]["n_violations"] == 0
     assert stale.collect()[0]["n_violations"] == 1
     assert empty.collect()[0]["n_violations"] == 1  # no data = stale
+
+
+def test_expect_freshness_ntz_column(spark):
+    """NTZ (wall-clock) timestamp columns must work and compare tz-free —
+    unix_micros rejects NTZ, and casting NTZ->TIMESTAMP would shift by
+    the session timezone."""
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.plans.expectations import (
+        expect_freshness,
+    )
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "s string").select(
+        F.to_timestamp_ntz("s").alias("ts")
+    )
+    assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    jan1 = 1704067200  # 2024-01-01T00:00:00Z
+    fresh = expect_freshness(df, "ts", max_age_s=3600, as_of_epoch_s=jan1 + 100, table="t")
+    stale = expect_freshness(df, "ts", max_age_s=3600, as_of_epoch_s=jan1 + 7200, table="t")
+    assert fresh.collect()[0]["n_violations"] == 0
+    assert stale.collect()[0]["n_violations"] == 1
