@@ -15,6 +15,8 @@ Every function here is a composition of built-in ``pyspark.sql.functions``
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -50,8 +52,42 @@ def epoch_ms_to_ts(c: Column | str) -> Column:
 
 
 def epoch_ms_to_iso(c: Column | str) -> Column:
-    """Epoch milliseconds → ISO ms string (the landed representation)."""
-    return format_date_ms(epoch_ms_to_ts(c))
+    """Epoch milliseconds → ISO-8601 UTC ms string ('Z' suffix).
+
+    Built from epoch ARITHMETIC, not timestamp rendering:
+    ``date_format(timestamp_millis(ms), …)`` renders in the session
+    timezone, so a vanilla session on a non-UTC host would label local
+    wall-clock with a literal 'Z' (caught by running the oracle gate
+    under TZ=America/New_York). Day/time fields derive from integer
+    division; only a DATE (timezone-less by type) is ever formatted.
+    """
+    ms_total = _col(c).cast("long")
+    days = F.floor(ms_total / 86400000)
+    d = F.date_add(F.lit(datetime.date(1970, 1, 1)), days.cast("int"))
+    rem = (ms_total - days * 86400000).cast("long")
+
+    def pad(col: Column, n: int) -> Column:
+        return F.lpad(col.cast("long").cast("string"), n, "0")
+
+    return F.concat(
+        F.date_format(d, "yyyy-MM-dd"),
+        F.lit("T"),
+        pad(F.floor(rem / 3600000), 2),
+        F.lit(":"),
+        pad(F.floor(rem % 3600000 / 60000), 2),
+        F.lit(":"),
+        pad(F.floor(rem % 60000 / 1000), 2),
+        F.lit("."),
+        pad(rem % 1000, 3),
+        F.lit("Z"),
+    )
+
+
+def utc_day(ts: Column | str) -> Column:
+    """Instant → its UTC calendar DATE, session-timezone-proof (epoch-day
+    arithmetic on ``unix_micros``; never a tz-sensitive cast)."""
+    days = F.floor(F.unix_micros(_col(ts)) / F.lit(86400_000_000))
+    return F.date_add(F.lit(datetime.date(1970, 1, 1)), days.cast("int"))
 
 
 def parse_dotnet_date(c: Column | str) -> Column:

@@ -17,6 +17,7 @@ from pubic_multi_platform_to_postgres_spark.functions.dates import (
     epoch_ms_to_iso,
     format_date_ms,
     parse_dotnet_date,
+    utc_day,
 )
 from pubic_multi_platform_to_postgres_spark.operators.flatten import flatten, merge_struct
 from pubic_multi_platform_to_postgres_spark.operators.unnest import (
@@ -277,8 +278,12 @@ def elt_analytics_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the map is per-response, so the explode is bounded per request.
     """
     ev = load(spark, sf_dir, "events")
+    # bucket by the UTC calendar day of the instant — date_format on a
+    # TIMESTAMP renders in the session timezone, which re-buckets events
+    # near midnight on a non-UTC host (caught by the TZ=America/New_York
+    # gate sweep: 155 buckets instead of 150)
     per_day = (
-        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("date_key"), "event_type")
+        ev.select(F.date_format(utc_day("ts"), "yyyy-MM-dd").alias("date_key"), "event_type")
         .groupBy("date_key", "event_type")
         .agg(F.count(F.lit(1)).alias("visits"))
         .groupBy("date_key")

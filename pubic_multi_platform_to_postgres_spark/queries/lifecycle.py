@@ -387,3 +387,85 @@ def stats_zscore_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 9).alias("zscore"),
         )
     )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH agg AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey, frequency,
+           CAST(NTILE(5) OVER (ORDER BY last_order, o_custkey) AS INTEGER) AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INTEGER) AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS INTEGER) AS m_score
+    FROM agg
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quintile scores for recency, frequency, and
+    monetary value per customer — the classic marketing-segmentation
+    rollup. One aggregation over orders (customers-sized output), then
+    three ntile windows over that SMALL frame; each window is a global
+    sort of |customers| rows, fine at any scale because the fact table
+    never re-shuffles (at extreme |customers|, swap ntile for bucketed
+    percent_rank). Ties broken by key so quintile boundaries are
+    deterministic; o_orderdate is NTZ and recency ORDERS on the
+    wall-clock value directly — converting NTZ to an instant would pull
+    in the session timezone for nothing (ranks only need order)."""
+    orders = load(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("monetary"),
+    )
+    return agg.select(
+        "o_custkey",
+        "frequency",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+
+
+@query(
+    "journey_pattern_match",
+    oracle="""
+    WITH j AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS chain
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(chain) AS INTEGER) AS n_events
+    FROM j
+    WHERE regexp_matches(chain, 's[^p]*p')
+    """,
+)
+def journey_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (MATCH_RECOGNIZE-lite): users whose
+    ordered event chain contains a signup followed by a purchase with no
+    purchase in between — encoded by compressing each event to its
+    initial letter and running ONE regex per user over the chain
+    (s=signup, p=purchase). The chain builds with the same
+    sort_array-over-structs trick as user_event_journey (one shuffle,
+    deterministic order); the regex stays in the RE2-safe subset so both
+    engines agree. This is how complex event patterns run at scale: an
+    aggregation + a map-side regex, never a per-step self-join chain."""
+    ev = load(spark, sf_dir, "events")
+    seq = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    chains = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(seq, lambda x: F.substring(x["event_type"], 1, 1)), ""
+        ).alias("chain")
+    )
+    return (
+        chains.filter(F.col("chain").rlike("s[^p]*p"))
+        .select("user_id", F.length("chain").cast("int").alias("n_events"))
+    )

@@ -54,3 +54,32 @@ def test_query_matches_oracle_sf01(spark, name):
         assert sdf.count() >= 0
         return
     assert_frames_match(sdf.toPandas(), run_oracle(q.oracle, "/root/testdata/sf0.1"), name)
+
+
+_TZ_SENSITIVE = [
+    "elt_epoch_ms_to_iso",      # instant -> ISO-Z string rendering
+    "elt_analytics_explode",    # day bucketing of instants
+    "elt_dotnet_date_roundtrip",
+    "incremental_bookmark_filter",
+    "scd2_user_event_state",
+    "sessionize_events",
+    "rfm_customer_segments",
+]
+
+
+@pytest.mark.parametrize("name", _TZ_SENSITIVE)
+def test_query_matches_oracle_under_non_utc_session_tz(spark, name):
+    """The queries that render or bucket instants must hash-match the
+    oracle even when the session timezone is not UTC (the driver runs
+    vanilla sessions inheriting the host zone). Caught two real bugs:
+    ISO-Z strings rendered in local time, and day buckets shifting at
+    midnight."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        q = REGISTRY[name]
+        assert_frames_match(
+            q.fn(spark, SF_SMOKE).toPandas(), run_oracle(q.oracle, SF_SMOKE), name
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
