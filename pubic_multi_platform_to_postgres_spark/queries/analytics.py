@@ -384,3 +384,40 @@ def percentiles_approx_order_value(spark: SparkSession, sf_dir: str) -> DataFram
             F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
         )
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS group_revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(30,6))))
+                        OVER (PARTITION BY l_returnflag) AS DOUBLE), 9)
+               AS share_of_flag
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each (flag, status) group's revenue share within
+    its flag — aggregate + window-over-aggregate in ONE plan (the window
+    input is the groups-sized aggregate, so the second pass is
+    negligible; never a self-join back to recompute totals). Decimal
+    sums keep both levels exact; the final ratio is one double division
+    rounded at 1e-9."""
+    li = load(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("_rev_dec")
+    )
+    w = Window.partitionBy("l_returnflag")
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_rev_dec").cast("double").alias("group_revenue"),
+        F.round(
+            F.col("_rev_dec").cast("double")
+            / F.sum("_rev_dec").over(w).cast("double"),
+            9,
+        ).alias("share_of_flag"),
+    )

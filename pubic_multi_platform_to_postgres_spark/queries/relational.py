@@ -713,3 +713,36 @@ def join_range_followup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         (F.unix_timestamp("ts_b") - F.unix_timestamp("ts_a")).alias("gap_s"),
     )
+
+
+@query(
+    "join_salted_order_items",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+           CAST(l.l_extendedprice AS DOUBLE) AS l_extendedprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def join_salted_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation join through the correctness gate: the same
+    fact-dimension equi-join as a plain join, but executed with an
+    8-way salted key (operators/layout.py salted_join — left side gets a
+    random salt, right side replicates across salts) so one hot key
+    spreads over 8 reducers. The oracle is the UNSALTED join: salting
+    must be result-invariant, and this query proves it on real data —
+    at scale you reach for this (or AQE skew-join) when one key holds
+    a double-digit share of the rows."""
+    from pubic_multi_platform_to_postgres_spark.operators.layout import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    )
+    return salted_join(li, o, "l_orderkey", salt=8).select(
+        "l_orderkey", "l_linenumber", "o_orderstatus", "l_extendedprice"
+    )
