@@ -252,9 +252,13 @@ class AdditiveAggSink(ParquetUpsertSink):
         keys: list[str],
         measures: dict[str, Column],
         sketch_measures: dict[str, Column] | None = None,
+        merge_fns: dict[str, "object"] | None = None,
     ) -> None:
         """``measures``: output column -> aggregate expression over a raw
-        batch (must be distributive: count/sum/min/max).
+        batch. The default merge is ``stored + batch`` — correct ONLY for
+        count/sum. For other distributive aggregates pass ``merge_fns``:
+        output column -> ``f(stored_col, batch_col) -> Column``, e.g.
+        ``F.least``/``F.greatest`` for min/max.
 
         ``sketch_measures``: output column -> ``hll_sketch_agg(...)``
         expression. Stored state is the binary sketch; merge is
@@ -266,6 +270,7 @@ class AdditiveAggSink(ParquetUpsertSink):
         super().__init__(spark, path, keys)
         self.measures = measures
         self.sketch_measures = sketch_measures or {}
+        self.merge_fns = merge_fns or {}
 
     def _write_locked(self, batch: DataFrame) -> None:
         partial = batch.groupBy(*self.keys).agg(
@@ -277,7 +282,10 @@ class AdditiveAggSink(ParquetUpsertSink):
             self._swap_in(partial)
             return
         updates = {
-            name: F.col(name) + F.col(f"_src_{name}") for name in self.measures
+            name: self.merge_fns[name](F.col(name), F.col(f"_src_{name}"))
+            if name in self.merge_fns
+            else F.col(name) + F.col(f"_src_{name}")
+            for name in self.measures
         }
         updates.update({
             name: F.hll_union(F.col(name), F.col(f"_src_{name}"))

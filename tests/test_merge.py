@@ -254,3 +254,20 @@ def test_additive_agg_sink_hll_distinct_across_batches(spark, tmp_path):
            .collect()}
     # events add; distinct users dedup across batches (HLL exact at tiny n)
     assert got == {"a": (5, 3), "b": (3, 2)}
+
+
+def test_additive_agg_sink_min_max_merge_fns(spark, tmp_path):
+    """min/max measures need least/greatest merges — the default additive
+    merge would sum two minima into nonsense."""
+    from pubic_multi_platform_to_postgres_spark.operators.merge import AdditiveAggSink
+
+    schema = "grp string, v int"
+    sink = AdditiveAggSink(
+        spark, tmp_path / "agg", ["grp"],
+        measures={"lo": F.min("v"), "hi": F.max("v"), "total": F.sum(F.col("v").cast("long"))},
+        merge_fns={"lo": F.least, "hi": F.greatest},
+    )
+    sink.write(spark.createDataFrame([("a", 5), ("a", 9)], schema))
+    sink.write(spark.createDataFrame([("a", 3), ("a", 7)], schema))
+    row = spark.read.parquet(str(tmp_path / "agg")).collect()[0]
+    assert (row["lo"], row["hi"], row["total"]) == (3, 9, 24)
