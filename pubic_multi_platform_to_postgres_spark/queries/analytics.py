@@ -421,3 +421,37 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("share_of_flag"),
     )
+
+
+@query(
+    "window_rolling_5_purchases",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING
+           ) AS BIGINT) AS purchases_in_last5
+    FROM events
+    """,
+)
+def window_rolling_5_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame: for every event, how many of the user's
+    previous 5 events were purchases — the recent-behavior feature
+    (propensity models) computed per row. Completes the frame matrix:
+    unbounded-preceding (running), RANGE interval (trailing 7d), and now
+    a bounded rows-preceding frame, all one shuffle on the user key.
+    The frame excludes the current row (1 PRECEDING) so the feature
+    never leaks the label event itself."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .over(w)
+        .alias("purchases_in_last5"),
+    )
