@@ -18,6 +18,8 @@ outgrows broadcast + AQE:
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,3 +86,39 @@ def salted_join(
     )
     out = l_salted.join(r_replicated, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def compact(
+    spark,
+    path: str | Path,
+    target_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_size / target_mb)`` files, optionally sort-clustered.
+
+    Streaming/incremental sinks accrete one small file per micro-batch;
+    a 100 TB table read through thousands of tiny files pays task-launch
+    and footer overhead per file, so periodic compaction is standard
+    lakehouse maintenance (Delta OPTIMIZE). ``sort_by`` additionally
+    clusters rows (sortWithinPartitions after a range repartition) so
+    min/max row-group statistics prune range predicates — the poor
+    man's OPTIMIZE ZORDER for one key. The rewrite reuses the
+    crash-safe staging swap; returns {files_before, files_after,
+    bytes}.
+    """
+    from pubic_multi_platform_to_postgres_spark.operators.upsert import atomic_swap
+
+    p = Path(path)
+    files = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total = sum(f.stat().st_size for f in files)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil div
+    df = spark.read.parquet(str(p))
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(n_out)
+
+    atomic_swap(spark, p, df)
+    after = len([f for f in p.rglob("*.parquet") if f.is_file()])
+    return {"files_before": len(files), "files_after": after, "bytes": total}

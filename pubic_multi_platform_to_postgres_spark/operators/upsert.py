@@ -312,3 +312,13 @@ class ParquetVersionedSink(ParquetUpsertSink):
                     shutil.rmtree(self.path / f"v={v}")
                     removed.append(v)
             return removed
+
+
+def atomic_swap(spark: SparkSession, path: str | Path, df: DataFrame) -> None:
+    """Replace the parquet directory at ``path`` with ``df``'s contents
+    using the crash-safe staging swap, under the per-path writer lock —
+    the primitive maintenance jobs (compaction, re-clustering) share
+    with the sinks."""
+    sink = ParquetUpsertSink(spark, path, keys=["_swap_only"])
+    with _path_lock(sink.path):
+        sink._swap_in(df)

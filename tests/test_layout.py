@@ -100,3 +100,21 @@ def test_salted_join_spreads_hot_key(spark):
         .groupBy("_salt").count().collect()
     )
     assert len(salts) == 8
+
+
+def test_compact_merges_small_files_and_preserves_rows(spark, tmp_path):
+    from pubic_multi_platform_to_postgres_spark.operators.layout import compact
+
+    p = tmp_path / "t"
+    for i in range(12):  # 12 micro-batch-sized files
+        spark.createDataFrame([(i * 10 + j, f"r{i}") for j in range(10)],
+                              "id int, tag string").coalesce(1).write.mode(
+            "append").parquet(str(p))
+    before = {tuple(r) for r in spark.read.parquet(str(p)).collect()}
+
+    stats = compact(spark, p, target_mb=128, sort_by=["id"])
+    assert stats["files_before"] >= 12 and stats["files_after"] <= 2
+
+    after_df = spark.read.parquet(str(p))
+    assert {tuple(r) for r in after_df.collect()} == before
+    assert after_df.count() == 120
