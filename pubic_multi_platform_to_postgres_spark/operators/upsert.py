@@ -115,33 +115,36 @@ class ParquetUpsertSink:
         with _path_lock(self.path):
             self._write_locked(batch)
 
+    @staticmethod
+    def _merge_evolved(batch: DataFrame, existing: DataFrame) -> DataFrame:
+        """Union batch over existing with schema-evolution semantics: a
+        column NEW in the batch is added (NULL on old rows); a column the
+        batch DROPPED is kept (NULL on new rows). Neither crashes the sync
+        nor silently destroys landed history — the catalog-change behavior
+        a Singer landing needs. ``_batch_seq`` marks batch rows as winners."""
+        evolved = list(batch.columns) + [
+            c for c in existing.columns if c not in batch.columns
+        ]
+
+        def align(df: DataFrame, other: DataFrame) -> DataFrame:
+            return df.select(*[
+                F.col(c) if c in df.columns
+                else F.lit(None).cast(other.schema[c].dataType).alias(c)
+                for c in evolved
+            ])
+
+        new = align(batch, existing).withColumn("_batch_seq", F.lit(1))
+        old = align(existing, batch).withColumn("_batch_seq", F.lit(0))
+        return new.unionByName(old)
+
     def _write_locked(self, batch: DataFrame) -> None:
         # batch rows outrank existing rows; within the batch, order_col then
         # delivery order decides (Singer loaders apply records in order)
-        new = batch.withColumn("_batch_seq", F.lit(1))
         existing = self.read()
         if existing is not None:
-            # Schema evolution, union semantics: a column NEW in the batch is
-            # added (NULL on old rows); a column the batch DROPPED is kept
-            # (NULL on new rows). Neither crashes the sync nor silently
-            # destroys landed history — the catalog-change behavior a Singer
-            # landing needs.
-            evolved = list(batch.columns) + [
-                c for c in existing.columns if c not in batch.columns
-            ]
-
-            def align(df: DataFrame, other: DataFrame) -> DataFrame:
-                return df.select(*[
-                    F.col(c) if c in df.columns
-                    else F.lit(None).cast(other.schema[c].dataType).alias(c)
-                    for c in evolved
-                ])
-
-            new = align(new, existing).withColumn("_batch_seq", F.lit(1))
-            existing = align(existing, batch).withColumn("_batch_seq", F.lit(0))
-            merged = new.unionByName(existing)
+            merged = self._merge_evolved(batch, existing)
         else:
-            merged = new
+            merged = batch.withColumn("_batch_seq", F.lit(1))
         result = dedup_latest(merged, self.keys, self.order_col).drop("_batch_seq")
         self._swap_in(result)
 
@@ -280,15 +283,12 @@ class ParquetVersionedSink(ParquetUpsertSink):
         return self.spark.read.parquet(str(self.path / f"v={v}"))
 
     def _write_locked(self, batch: DataFrame) -> None:
-        new = batch.withColumn("_batch_seq", F.lit(1))
         existing = self.read()
         if existing is not None:
-            existing = existing.select(*batch.columns).withColumn(
-                "_batch_seq", F.lit(0)
-            )
-            merged = new.unionByName(existing)
+            # same schema-evolution union semantics as the base sink
+            merged = self._merge_evolved(batch, existing)
         else:
-            merged = new
+            merged = batch.withColumn("_batch_seq", F.lit(1))
         result = dedup_latest(merged, self.keys, self.order_col).drop("_batch_seq")
 
         next_v = (self.current_version() or 0) + 1

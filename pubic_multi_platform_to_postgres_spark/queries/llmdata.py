@@ -546,7 +546,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ORDER BY (doc_id % 100000007) * 2654435761 % 4294967296, doc_id
                ) AS rn
         FROM documents
     ) WHERE rn <= 50
@@ -560,10 +560,14 @@ def corpus_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     data attribute), unlike fraction sampling it hits the exact target
     size, and it's one window per stratum — no global sort. At 100 TB
     swap row_number for a per-partition top-k heap + re-merge
-    (TakeOrderedAndProject shape) if strata are huge."""
+    (TakeOrderedAndProject shape) if strata are huge. The same
+    reduce-by-id-range trick as corpus_stratified_sample (% 1e8+7
+    BEFORE the Knuth multiply) keeps the product inside int64 at any
+    corpus size — doc_id > ~3.47e9 would otherwise overflow, a runtime
+    error under Spark 4 ANSI mode and DuckDB alike."""
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(
-        (F.col("doc_id") * 2654435761) % 4294967296, "doc_id"
+        (F.col("doc_id") % 100000007) * 2654435761 % 4294967296, "doc_id"
     )
     return (
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))

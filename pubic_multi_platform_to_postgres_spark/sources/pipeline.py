@@ -147,9 +147,11 @@ class Pipeline:
             if present:
                 bad = F.lit(False)
                 for f in stream.schema.fields:
-                    if f.name in df.columns and not isinstance(
-                        df.schema[f.name].dataType, type(f.dataType)
-                    ):
+                    # full dataType equality, not class identity: a same-class
+                    # mismatch (decimal precision drift, struct/array element
+                    # types) must also route through the quarantine check or
+                    # the try_cast projection below silently nulls it
+                    if f.name in df.columns and df.schema[f.name].dataType != f.dataType:
                         src = F.col(f.name)
                         bad = bad | (src.isNotNull() & src.try_cast(f.dataType).isNull())
                 rejects = df.filter(bad)

@@ -25,6 +25,7 @@ Reference semantics (SURVEY.md §2.7):
 from __future__ import annotations
 
 import json
+import re
 from datetime import datetime, timezone
 from pathlib import Path
 
@@ -32,6 +33,42 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FORM_SUBMISSIONS_SENTINEL = "2020-01-01T01:00:0.0Z"
+
+_OFFSET_SUFFIX = re.compile(r"([+-]\d{2}:?\d{2})$")
+
+
+def parse_bookmark(bookmark: str) -> datetime:
+    """Parse a reference-format bookmark into an aware datetime.
+
+    Strict ``datetime.fromisoformat`` rejects the reference's canonical
+    form-submissions sentinel ``2020-01-01T01:00:0.0Z`` (single-digit
+    seconds, ``tap_hubspot/fetch.py:203``), so time fields are zero-padded
+    first. A bookmark with no zone designator is forced to UTC — the
+    reference always emits UTC (``tap_wrike/utility.py:242-245``), and
+    interpreting a naive value in the host timezone would silently shift
+    the incremental window.
+    """
+    s = bookmark.strip()
+    if s.endswith(("Z", "z")):
+        offset, s = "+00:00", s[:-1]
+    else:
+        m = _OFFSET_SUFFIX.search(s)
+        if m:
+            offset, s = m.group(1), s[: m.start()]
+            if ":" not in offset:
+                offset = offset[:3] + ":" + offset[3:]
+        else:
+            offset = ""
+    sep = "T" if "T" in s else " "
+    if sep in s:
+        date_part, _, time_part = s.partition(sep)
+        padded = []
+        for field in time_part.split(":"):
+            whole, dot, frac = field.partition(".")
+            padded.append(whole.zfill(2) + dot + frac)
+        s = date_part + "T" + ":".join(padded)
+    dt = datetime.fromisoformat(s + offset)
+    return dt if dt.tzinfo is not None else dt.replace(tzinfo=timezone.utc)
 
 
 def format_date(dt: datetime) -> str:
@@ -122,12 +159,12 @@ def filter_newer(
         # driver contract runs vanilla sessions, so parse the bookmark to an
         # epoch in Python (timezone-explicit) and compare unix_micros, which
         # is session-tz-independent for instant-typed columns.
-        dt = datetime.fromisoformat(bookmark.replace("Z", "+00:00"))
+        dt = parse_bookmark(bookmark)
         epoch_us = int(dt.timestamp() * 1_000_000)
         return out.filter(F.unix_micros(key) > F.lit(epoch_us))
     if kt == "timestamp_ntz":
         # NTZ columns are wall-clock values with no instant; the bookmark's
         # wall-clock (sans zone designator) compares timezone-free.
-        naive = bookmark.rstrip("Z").replace("T", " ")
+        naive = parse_bookmark(bookmark).replace(tzinfo=None).isoformat(sep=" ")
         return out.filter(key > F.to_timestamp_ntz(F.lit(naive)))
     return out.filter(key > F.lit(bookmark))

@@ -115,24 +115,33 @@ def interval_join_stream(
     attribution). Works identically on batch frames (watermark is a no-op
     there) — the batch-equivalence test relies on that.
 
+    Output columns are side-prefixed: ``l_key``/``l_ts``/``l_<col>`` and
+    ``r_key``/``r_ts``/``r_<col>`` — collision-proof by construction.
+
     Scale contract: BOTH sides carry event-time watermarks and the join
     has a two-sided time-range predicate, so the state store evicts a
     row as soon as the other side's watermark passes its join window —
     bounded state. Without the range bound (or with one-sided bounds)
     Spark must keep the whole history of both streams in state.
     """
+    # Prefix EVERY payload column with its side (l_/r_): the join below
+    # would otherwise emit ambiguous duplicate columns whenever both
+    # inputs share a non-key attribute name (e.g. user agent fields).
     l = left.select(
         F.col(key).alias("l_key"),
         F.col(left_ts).alias("l_ts"),
-        "*",
-    ).drop(key, left_ts)
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, left_ts)],
+    )
     r = right.select(
         F.col(key).alias("r_key"),
         F.col(right_ts).alias("r_ts"),
-        "*",
-    ).drop(key, right_ts)
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, right_ts)],
+    )
+    # Watermark each side based on ITS OWN streaming-ness: a mixed
+    # stream/batch call must still bound state on the streaming side.
     if left.isStreaming:
         l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
         r = r.withWatermark("r_ts", watermark)
     cond = (
         (F.col("l_key") == F.col("r_key"))

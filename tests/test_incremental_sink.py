@@ -19,6 +19,7 @@ from pubic_multi_platform_to_postgres_spark.sources.state import (
     BookmarkManager,
     filter_newer,
     format_date,
+    parse_bookmark,
 )
 
 # ---------------------------------------------------------------------------
@@ -69,6 +70,36 @@ def test_merge_after_gather():
         "a": "2026-03-01T00:00:00.000Z",
         "b": "2026-02-01T00:00:00.000Z",
     }
+
+
+def test_parse_bookmark_sentinel_naive_and_offset():
+    """The lenient parser must accept the reference's canonical sentinel
+    (single-digit seconds), force UTC on zone-less values (never the host
+    timezone), and honor explicit offsets."""
+    d = parse_bookmark(FORM_SUBMISSIONS_SENTINEL)
+    assert d == dt.datetime(2020, 1, 1, 1, 0, 0, tzinfo=dt.timezone.utc)
+    naive = parse_bookmark("2026-01-01T00:00:00.000")
+    assert naive.tzinfo is dt.timezone.utc
+    assert naive.timestamp() == 1767225600  # UTC, regardless of host tz
+    offset = parse_bookmark("2026-01-01T05:30:00+05:30")
+    assert offset.timestamp() == 1767225600
+    offset_nc = parse_bookmark("2026-01-01T05:30:00+0530")
+    assert offset_nc.timestamp() == 1767225600
+
+
+def test_filter_newer_accepts_sentinel_bookmark(spark):
+    """A sync whose bookmark is the form-submissions sentinel must filter,
+    not crash (strict fromisoformat rejects the single-digit seconds)."""
+    from pyspark.sql import functions as F
+
+    sentinel_epoch = 1577840400  # 2020-01-01T01:00:00Z
+    df = spark.createDataFrame([("a",), ("b",)], "id string").withColumn(
+        "ts",
+        F.when(F.col("id") == "a", F.timestamp_seconds(F.lit(sentinel_epoch - 60)))
+        .otherwise(F.timestamp_seconds(F.lit(sentinel_epoch + 60))),
+    )
+    out = filter_newer(df, "ts", FORM_SUBMISSIONS_SENTINEL)
+    assert {r["id"] for r in out.collect()} == {"b"}
 
 
 def test_filter_newer_string_strict(spark):
@@ -319,6 +350,26 @@ def test_versioned_sink_time_travel_and_vacuum(spark, tmp_path):
     removed = sink.vacuum(keep_last=1)
     assert removed == [1, 2] and sink.versions() == [3]
     assert {r["id"] for r in sink.read().collect()} == {"a", "b", "c", "d"}
+
+
+def test_versioned_sink_schema_evolution_union_semantics(spark, tmp_path):
+    """The versioned sink must share the base sink's evolution semantics:
+    a batch with a NEW column adds it, a batch missing a landed column
+    keeps it — neither crashes nor drops history from the new snapshot."""
+    from pubic_multi_platform_to_postgres_spark.operators.upsert import (
+        ParquetVersionedSink,
+    )
+
+    sink = ParquetVersionedSink(spark, tmp_path / "t", keys=["id"])
+    sink.write(spark.createDataFrame([("a", 1)], "id string, v int"))
+    sink.write(spark.createDataFrame([("b", 2, "x")], "id string, v int, extra string"))
+    rows = {r["id"]: (r["v"], r["extra"]) for r in sink.read().collect()}
+    assert rows == {"a": (1, None), "b": (2, "x")}
+    sink.write(spark.createDataFrame([("c", "y")], "id string, extra string"))
+    rows = {r["id"]: (r["v"], r["extra"]) for r in sink.read().collect()}
+    assert rows == {"a": (1, None), "b": (2, "x"), "c": (None, "y")}
+    # time travel still sees the narrower historical snapshots
+    assert set(sink.read(version=1).columns) == {"id", "v"}
 
 
 def test_versioned_sink_crash_before_pointer_leaves_old_version(spark, tmp_path, monkeypatch):

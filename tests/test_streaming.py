@@ -227,7 +227,10 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir, events_batc
     def attribute(clicks, buys):
         return interval_join_stream(
             clicks, buys, "user_id", "ts", "ts", max_delay_s=3600
-        ).select("click_id", "purchase_id")
+        ).select(
+            F.col("l_click_id").alias("click_id"),
+            F.col("r_purchase_id").alias("purchase_id"),
+        )
 
     expected = _collect_sorted(attribute(*split(events_batch)), ["click_id", "purchase_id"])
     assert expected, "fixture must produce at least one attributed pair"
