@@ -268,13 +268,28 @@ def sql_scalar_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# Per-user chain-length bound: one hot key (bot traffic) must never build
+# an unbounded array in a single aggregation buffer. 10k events is far
+# beyond any human session; beyond it the chain truncates (first 10k by
+# time) while n_events still reports the true total. See SCALE.md.
+JOURNEY_CAP = 10_000
+
+
 @query(
     "user_event_journey",
-    oracle="""
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS total
+        FROM events
+    )
     SELECT user_id,
-           string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
-           COUNT(*) AS n_events
-    FROM events
+           string_agg(CASE WHEN rn <= {JOURNEY_CAP} THEN event_type END,
+                      '>' ORDER BY ts, event_id) AS journey,
+           MAX(total) AS n_events
+    FROM r
     GROUP BY user_id
     """,
 )
@@ -284,19 +299,33 @@ def user_event_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
     session traces) out of an event log. ``collect_list`` gives no order
     guarantee; determinism comes from collecting (ts, event_id, type)
     structs and ``sort_array`` (lexicographic struct order = the ORDER BY
-    key), all inside one aggregation — no per-user sort job, one
-    shuffle."""
+    key).
+
+    Bounded state: a ``row_number`` tail-filter caps each user's chain at
+    ``JOURNEY_CAP`` events BEFORE the collect, so a hot key (bot traffic)
+    can never grow an aggregation buffer past the cap — the filter bounds
+    what enters the buffer, unlike a post-hoc ``slice``. The window and
+    the groupBy share the ``user_id`` hash partitioning, so the cap costs
+    a sort within the one existing shuffle, not an extra exchange;
+    ``n_events`` still reports the true total via the same window."""
     ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_total", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("_rn") <= JOURNEY_CAP)
+    )
     seq = F.sort_array(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
     return (
-        ev.groupBy("user_id")
+        capped.groupBy("user_id")
         .agg(
             F.array_join(
                 F.transform(seq, lambda x: x["event_type"]), ">"
             ).alias("journey"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.max("_total").alias("n_events"),
         )
     )
 

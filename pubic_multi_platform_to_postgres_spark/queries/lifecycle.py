@@ -436,11 +436,18 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "journey_pattern_match",
     oracle="""
-    WITH j AS (
+    WITH r AS (
+        SELECT user_id, event_type, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+    ),
+    j AS (
         SELECT user_id,
                string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
                    AS chain
-        FROM events
+        FROM r
+        WHERE rn <= 10000
         GROUP BY user_id
     )
     SELECT user_id, CAST(length(chain) AS INTEGER) AS n_events
@@ -455,12 +462,22 @@ def journey_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     initial letter and running ONE regex per user over the chain
     (s=signup, p=purchase). The chain builds with the same
     sort_array-over-structs trick as user_event_journey (one shuffle,
-    deterministic order); the regex stays in the RE2-safe subset so both
-    engines agree. This is how complex event patterns run at scale: an
-    aggregation + a map-side regex, never a per-step self-join chain."""
+    deterministic order) and the same ``JOURNEY_CAP`` row_number
+    pre-filter bounding any hot key's aggregation buffer; the regex
+    stays in the RE2-safe subset so both engines agree. This is how
+    complex event patterns run at scale: an aggregation + a map-side
+    regex, never a per-step self-join chain."""
+    from pubic_multi_platform_to_postgres_spark.queries.analytics import JOURNEY_CAP
+
     ev = load(spark, sf_dir, "events")
+    wcap = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= JOURNEY_CAP)
+    )
     seq = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
-    chains = ev.groupBy("user_id").agg(
+    chains = capped.groupBy("user_id").agg(
         F.array_join(
             F.transform(seq, lambda x: F.substring(x["event_type"], 1, 1)), ""
         ).alias("chain")

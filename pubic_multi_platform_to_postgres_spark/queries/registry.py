@@ -85,9 +85,16 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     truncation DuckDB applies when it reads nanos as TIMESTAMP).
     """
     if table == "events":
+        from pyspark.sql.types import LongType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # nanosAsLong only fires for the driver fixture's physical type;
+        # a substitute events table whose ts already reads as a timestamp
+        # (e.g. a DuckDB-written TIMESTAMP_NS test fixture) passes through
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -194,3 +194,37 @@ def test_range_join_subsecond_boundary_exact(spark):
         left, right, "lk", "rk", "lts", "rts", lower_s=0, upper_s=3600
     ).collect()}
     assert got == {"edge", "same"}
+
+
+def test_journey_cap_bounds_hot_keys(spark, tmp_path, monkeypatch):
+    """A hot user beyond JOURNEY_CAP must get a truncated chain (first N
+    by time) while n_events reports the true total — the bound that keeps
+    one bot key from growing an unbounded aggregation buffer."""
+    import duckdb
+
+    from pubic_multi_platform_to_postgres_spark.queries import analytics
+
+    rows = []
+    for i in range(8):
+        et = "signup" if i == 0 else ("purchase" if i == 7 else "view")
+        rows.append(("hot", i, et, f"2026-01-01 00:00:{i:02d}"))
+    rows += [("cold", 100, "signup", "2026-01-01 01:00:00"),
+             ("cold", 101, "purchase", "2026-01-01 01:00:01")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id VARCHAR, event_id BIGINT,"
+                " event_type VARCHAR, ts TIMESTAMP_NS)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", rows)
+    con.execute(f"COPY ev TO '{tmp_path / 'events.parquet'}' (FORMAT PARQUET)")
+    con.close()
+
+    monkeypatch.setattr(analytics, "JOURNEY_CAP", 5)
+    out = {r["user_id"]: r for r in
+           REGISTRY["user_event_journey"].fn(spark, str(tmp_path)).collect()}
+    assert out["hot"]["n_events"] == 8            # true total preserved
+    assert out["hot"]["journey"] == "signup>view>view>view>view"  # capped at 5
+    assert out["cold"]["journey"] == "signup>purchase"
+
+    # hot's purchase falls beyond the cap, so the s..p pattern must not fire
+    pat = {r["user_id"]: r["n_events"] for r in
+           REGISTRY["journey_pattern_match"].fn(spark, str(tmp_path)).collect()}
+    assert pat == {"cold": 2}
