@@ -13,10 +13,14 @@ Engine equivalents:
 - :class:`ParquetUpsertSink` — lake-native keyed merge: new batch wins
   over existing rows on key collision. This is the primary correctness
   path (SURVEY.md §7.2).
-- :func:`jdbc_upsert_sql` — the Postgres-parity path: staging table +
-  ``INSERT … ON CONFLICT DO UPDATE`` statement generation. Executing it
-  needs a live Postgres + JDBC driver (not in this container), so the
-  executable surface here is SQL generation + the same writer interface.
+- :func:`jdbc_upsert_sql` — the Postgres-parity statement: staging table
+  + ``INSERT … ON CONFLICT DO UPDATE``.
+- :class:`DbApiUpsertSink` — the statement EXECUTED end-to-end through
+  any DB-API connection (sqlite3 in tests — same upsert dialect as
+  Postgres; psycopg2 in production), one transaction per batch.
+- :class:`JdbcUpsertSink` — the same flow through Spark JDBC for
+  parallel staging writes (needs a JDBC driver jar + live server, not in
+  this container; the merge statement is shared with the DB-API leg).
 
 Scale: the merge is one shuffle on the key columns (union + window dedup).
 On a real lake deployment the same interface maps to Delta/Iceberg
@@ -182,7 +186,9 @@ def jdbc_upsert_sql(
     after loading the deduped batch into ``staging_table``).
 
     Mirrors the external loader's behavior: insert-or-update on the PK,
-    non-key columns overwritten from the staged batch.
+    non-key columns overwritten from the staged batch. The ``WHERE true``
+    disambiguates the upsert clause after ``INSERT … SELECT`` (required
+    by SQLite's parser, harmless on Postgres).
     """
     non_keys = [c for c in columns if c not in keys]
     cols = ", ".join(f'"{c}"' for c in columns)
@@ -191,7 +197,7 @@ def jdbc_upsert_sql(
     action = f"DO UPDATE SET {updates}" if non_keys else "DO NOTHING"
     return (
         f'INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging_table} '
-        f"ON CONFLICT ({conflict}) {action}"
+        f"WHERE true ON CONFLICT ({conflict}) {action}"
     )
 
 
@@ -235,6 +241,105 @@ class JdbcUpsertSink:
             stmt = conn.createStatement()
             stmt.executeUpdate(sql)
             stmt.executeUpdate(f"DROP TABLE IF EXISTS {staging}")
+        finally:
+            conn.close()
+
+
+_SQL_TYPES = {
+    "string": "TEXT",
+    "long": "BIGINT",
+    "integer": "INTEGER",
+    "short": "INTEGER",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+class DbApiUpsertSink:
+    """Keyed upsert through any DB-API 2.0 connection — the executable
+    database leg of K2 (reference ``runner/__init__.py:152-155``: Singer
+    records piped into ``target-postgres``'s PK upsert).
+
+    Shares the EXACT statement and flow with :class:`JdbcUpsertSink`:
+    Spark-side ``dedup_latest`` → load the deduped batch into a staging
+    table → one :func:`jdbc_upsert_sql` ``INSERT … ON CONFLICT DO
+    UPDATE`` → drop staging, all inside ONE transaction (a crash mid-load
+    rolls back; re-running the batch is idempotent by PK). Works against
+    anything speaking DB-API with ``ON CONFLICT`` semantics — stdlib
+    ``sqlite3`` in tests, ``psycopg2`` against a real Postgres.
+
+    Scale: rows stream to the driver via ``toLocalIterator`` in
+    ``executemany`` chunks — right for dimension-sized sinks and for
+    proving semantics; a 100 TB fact landing uses ``JdbcUpsertSink``
+    where executors write the staging table in parallel and only the
+    merge statement runs on one connection.
+    """
+
+    def __init__(
+        self,
+        connect,  # Callable[[], Connection]
+        table: str,
+        keys: list[str],
+        order_col: str | None = None,
+        batch_size: int = 1000,
+    ) -> None:
+        if not keys:
+            raise ValueError("upsert requires at least one key column")
+        self.connect = connect
+        self.table = table
+        self.keys = keys
+        self.order_col = order_col
+        self.batch_size = batch_size
+
+    def _ddl(self, df: DataFrame, table: str, with_pk: bool) -> str:
+        cols = ", ".join(
+            f'"{f.name}" {_SQL_TYPES.get(f.dataType.typeName(), "TEXT")}'
+            for f in df.schema.fields
+        )
+        pk = f', PRIMARY KEY ({", ".join(self.keys)})' if with_pk else ""
+        return f"CREATE TABLE IF NOT EXISTS {table} ({cols}{pk})"
+
+    def write(self, batch: DataFrame) -> None:
+        deduped = dedup_latest(batch, self.keys, self.order_col)
+        cols = deduped.columns
+        staging = f"{self.table}__staging"
+        placeholders = ", ".join(["?"] * len(cols))
+        conn = self.connect()
+        try:
+            cur = conn.cursor()
+            cur.execute(self._ddl(deduped, self.table, with_pk=True))
+            cur.execute(f"DROP TABLE IF EXISTS {staging}")
+            cur.execute(self._ddl(deduped, staging, with_pk=False))
+            chunk: list[tuple] = []
+            for row in deduped.toLocalIterator():
+                chunk.append(tuple(row[c] for c in cols))
+                if len(chunk) >= self.batch_size:
+                    cur.executemany(
+                        f"INSERT INTO {staging} VALUES ({placeholders})", chunk
+                    )
+                    chunk = []
+            if chunk:
+                cur.executemany(
+                    f"INSERT INTO {staging} VALUES ({placeholders})", chunk
+                )
+            cur.execute(jdbc_upsert_sql(self.table, staging, cols, self.keys))
+            cur.execute(f"DROP TABLE IF EXISTS {staging}")
+            conn.commit()
+        except BaseException:
+            conn.rollback()
+            # best-effort staging cleanup: some drivers (sqlite3's legacy
+            # transaction mode) auto-commit around DDL, so the staging
+            # table can survive the rollback — never leave debris behind
+            try:
+                conn.cursor().execute(f"DROP TABLE IF EXISTS {staging}")
+                conn.commit()
+            except Exception:
+                pass
+            raise
         finally:
             conn.close()
 

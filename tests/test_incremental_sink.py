@@ -395,3 +395,82 @@ def test_versioned_sink_crash_before_pointer_leaves_old_version(spark, tmp_path,
 
     assert sink.current_version() == 1  # pointer never moved
     assert {r["id"] for r in sink.read().collect()} == {"a"}
+
+
+def _sqlite_rows(db, sql):
+    import sqlite3
+
+    with sqlite3.connect(db) as c:
+        return c.execute(sql).fetchall()
+
+
+def test_dbapi_upsert_lands_in_real_database(spark, tmp_path):
+    """The K2 database leg, end-to-end against a real SQL engine (stdlib
+    sqlite3, which speaks the same INSERT … ON CONFLICT DO UPDATE as
+    Postgres): insert, PK redelivery idempotency, PK update, and
+    within-batch latest-wins — the exact loader semantics the reference
+    pipes into (runner/__init__.py:152-155)."""
+    import sqlite3
+
+    from pubic_multi_platform_to_postgres_spark.operators.upsert import DbApiUpsertSink
+
+    db = tmp_path / "warehouse.db"
+    sink = DbApiUpsertSink(
+        lambda: sqlite3.connect(db), "contacts", keys=["id"], order_col="updatedAt",
+        batch_size=2,
+    )
+
+    b1 = spark.createDataFrame(
+        [("1", "ann", "2026-01-01"), ("2", "bob", "2026-01-01")],
+        "id string, name string, updatedAt string",
+    )
+    sink.write(b1)
+    assert dict(_sqlite_rows(db, "SELECT id, name FROM contacts")) == {
+        "1": "ann", "2": "bob",
+    }
+
+    # redelivered batch (at-least-once bookmark overlap) is a no-op
+    sink.write(b1)
+    assert len(_sqlite_rows(db, "SELECT * FROM contacts")) == 2
+
+    # PK update + within-batch duplicate: latest replication value wins
+    b2 = spark.createDataFrame(
+        [("1", "ANN", "2026-02-01"),
+         ("3", "v1", "2026-01-01"), ("3", "v2", "2026-01-05")],
+        "id string, name string, updatedAt string",
+    )
+    sink.write(b2)
+    assert dict(_sqlite_rows(db, "SELECT id, name FROM contacts")) == {
+        "1": "ANN", "2": "bob", "3": "v2",
+    }
+    # staging is dropped after the merge
+    assert _sqlite_rows(
+        db, "SELECT name FROM sqlite_master WHERE name LIKE '%staging%'"
+    ) == []
+
+
+def test_dbapi_upsert_rolls_back_on_failure(spark, tmp_path, monkeypatch):
+    """A failure mid-merge must leave the target untouched and no staging
+    debris (the whole load is one transaction)."""
+    import sqlite3
+
+    import pytest as _pytest
+
+    from pubic_multi_platform_to_postgres_spark.operators import upsert as up
+
+    db = tmp_path / "warehouse.db"
+    sink = up.DbApiUpsertSink(lambda: sqlite3.connect(db), "t", keys=["id"])
+    sink.write(spark.createDataFrame([("1", "a")], "id string, v string"))
+
+    def boom(*a, **k):
+        raise RuntimeError("merge failed")
+
+    monkeypatch.setattr(up, "jdbc_upsert_sql", boom)
+    with _pytest.raises(RuntimeError, match="merge failed"):
+        sink.write(spark.createDataFrame([("2", "b")], "id string, v string"))
+    monkeypatch.undo()
+
+    assert dict(_sqlite_rows(db, "SELECT id, v FROM t")) == {"1": "a"}
+    assert _sqlite_rows(
+        db, "SELECT name FROM sqlite_master WHERE name LIKE '%staging%'"
+    ) == []
