@@ -589,6 +589,53 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_meta",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'ppm' END
+               AS format,
+           CAST(1 + doc_id % 64 AS INT) AS width,
+           CAST(1 + (doc_id // 7) % 48 AS INT) AS height,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 24 ELSE 8 END AS INT) AS bit_depth
+    FROM documents
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding, gate-checked: per document, synthesize a
+    spec-conformant image (PNG with CRC'd chunks / 24-bpp BMP / binary
+    PPM — format and dimensions derived from doc_id), then parse it back
+    with the stdlib header decoders. The oracle computes the expected
+    dimensions independently from doc_id arithmetic, so the gate verifies
+    the decoder reads true widths/heights/bit-depths out of real bytes —
+    not fake_decode arithmetic. Both the encode and decode run Arrow-
+    batched in mapInPandas; blobs never leave the executors."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_image_metadata,
+        make_bmp,
+        make_png,
+        make_ppm,
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        makers = {0: make_png, 1: make_bmp, 2: make_ppm}
+        for pdf in batches:
+            blobs = [
+                makers[int(d) % 3](1 + int(d) % 64, 1 + (int(d) // 7) % 48, seed=int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    meta = decode_image_metadata(blobs, "blob", "doc_id")
+    return meta.select(
+        F.col("id").alias("doc_id"), "format", "width", "height", "bit_depth"
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH b AS (

@@ -17,7 +17,7 @@ from pubic_multi_platform_to_postgres_spark.operators.dedup import (
 )
 from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
     decode_blobs,
-    decode_image_stub,
+    decode_image_meta,
     fake_decode,
     with_media_meta,
 )
@@ -148,9 +148,60 @@ def test_multimodal_decode_pipeline(spark):
     assert out[1]["checksum"] == fake_decode(b"\x89PNG fake bytes")[2]  # deterministic
 
 
-def test_decode_stub_is_honest():
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"anything")
+def test_image_meta_roundtrip_all_formats():
+    """The stdlib decoders must read true dimensions back out of real,
+    spec-conformant bytes produced by the stdlib encoders."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        make_bmp,
+        make_png,
+        make_ppm,
+    )
+
+    for w, h in [(1, 1), (7, 3), (64, 48), (640, 480)]:
+        assert decode_image_meta(make_png(w, h)) == ("png", w, h, 8)
+        assert decode_image_meta(make_bmp(w, h)) == ("bmp", w, h, 24)
+        assert decode_image_meta(make_ppm(w, h)) == ("ppm", w, h, 8)
+
+    # hand-built GIF and JPEG headers (the formats we only decode)
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 5
+    assert decode_image_meta(gif) == ("gif", 320, 200, 8)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"          # APP0 segment
+        + b"\xff\xc0" + struct.pack(">HBHH", 8, 8, 99, 150)   # SOF0: h=99 w=150
+        + b"\x01"
+    )
+    assert decode_image_meta(jpeg) == ("jpeg", 150, 99, 8)
+
+
+def test_image_meta_rejects_corrupt_and_unknown():
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import make_png
+
+    png = bytearray(make_png(10, 10))
+    png[20] ^= 0xFF  # flip a dimension byte -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image_meta(bytes(png))
+    with pytest.raises(ValueError):
+        decode_image_meta(b"not an image at all")
+    with pytest.raises(ValueError):
+        decode_image_meta(b"")
+
+
+def test_image_metadata_dead_letter_column(spark):
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_image_metadata,
+        make_png,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, blob=make_png(5, 4)), Row(doc_id=2, blob=b"garbage")]
+    )
+    out = {r["id"]: r for r in decode_image_metadata(df, "blob", "doc_id").collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 5, 4)
+    assert out[1]["decode_error"] is None
+    assert out[2]["format"] is None and "unrecognized" in out[2]["decode_error"]
 
 
 def test_resize_and_feature_extract_plumbing(spark):
