@@ -116,10 +116,17 @@ class Pipeline:
         spec: StreamSpec,
         bookmarks: BookmarkManager,
         run_start: datetime,
+        full_sync: bool = False,
     ) -> SyncReport:
         name = spec.stream.name
         report = SyncReport(stream=name)
-        bookmark = bookmarks.get(name) if spec.bookmark_mode else None
+        # full_sync = the reference's `--full_sync` backfill flag
+        # (runner/__init__.py:137-141: the runner simply omits --state):
+        # stored bookmarks are ignored for extraction AND for the max-key
+        # merge below, then rewritten per the normal §2.7 contract.
+        bookmark = (
+            bookmarks.get(name) if spec.bookmark_mode and not full_sync else None
+        )
 
         rows = list(spec.extract(bookmark))
         raw = rows_to_df(spark, rows, spec.stream)
@@ -186,19 +193,29 @@ class Pipeline:
         elif spec.bookmark_mode == "max_key":
             observed = [str(r.get(spec.stream.replication_key)) for r in rows
                         if r.get(spec.stream.replication_key) is not None]
-            old = bookmarks.get(name)
+            old = None if full_sync else bookmarks.get(name)
             report.bookmark = max(observed + ([old] if old else [])) if (observed or old) else None
         return report
 
     # -- one pipeline run (O2 concurrency + O6 isolation) -------------------
 
-    def run(self, spark: SparkSession, max_workers: int = 8) -> list[SyncReport]:
+    def run(
+        self,
+        spark: SparkSession,
+        max_workers: int = 8,
+        full_sync: bool = False,
+    ) -> list[SyncReport]:
+        """One sync round. ``full_sync=True`` is the backfill mode: stored
+        bookmarks are ignored (every stream extracts from scratch) and then
+        rewritten to run-start per §2.7 — the reference runner's
+        ``--full_sync``, which skips ``--state`` (runner/__init__.py:137-141).
+        Idempotent by the sink's PK upsert."""
         bookmarks = BookmarkManager.load(self.state_path)
         run_start = datetime.now(timezone.utc)
 
         def _one(spec: StreamSpec) -> SyncReport:
             try:
-                return self.sync_stream(spark, spec, bookmarks, run_start)
+                return self.sync_stream(spark, spec, bookmarks, run_start, full_sync)
             except Exception as exc:  # noqa: BLE001 — O6: isolate, record, continue
                 return SyncReport(stream=spec.stream.name, error=f"{type(exc).__name__}: {exc}")
 
@@ -221,16 +238,20 @@ def run_sequence(
     interval: float = 300.0,
     after_cycle: Callable[[SparkSession], Any] | None = None,
     sleep: Callable[[float], None] = time.sleep,
+    full_sync: bool = False,
 ) -> Iterator[dict[str, list[SyncReport]]]:
     """O1 — the scheduler loop: pipelines in order, then the view layer
     (``after_cycle`` ≈ ``dbt run``), then sleep ``interval``; a failed
     pipeline is recorded and the sequence continues. Yields per-cycle
-    ``{pipeline_name: reports}`` so callers can stream progress."""
+    ``{pipeline_name: reports}`` so callers can stream progress.
+    ``full_sync`` applies the backfill mode to the FIRST cycle only —
+    subsequent cycles resume incrementally from the rewritten bookmarks
+    (re-running the flag forever would re-extract the world every cycle)."""
     for cycle in range(cycles):
         results: dict[str, list[SyncReport]] = {}
         for pipe in pipelines:
             try:
-                results[pipe.name] = pipe.run(spark)
+                results[pipe.name] = pipe.run(spark, full_sync=full_sync and cycle == 0)
             except Exception as exc:  # noqa: BLE001 — O6 at pipeline granularity
                 results[pipe.name] = [
                     SyncReport(stream="<pipeline>", error=f"{type(exc).__name__}: {exc}")

@@ -590,3 +590,49 @@ def test_pipeline_quarantines_uncastable_rows(spark, tmp_path):
     landed = {r["id"] for r in
               spark.read.parquet(str(tmp_path / "lake/tasks")).collect()}
     assert landed == {"t0", "t1"}  # bad row kept out of the table
+
+
+def test_full_sync_ignores_bookmarks_and_rewrites_them(spark, tmp_path):
+    """The reference's --full_sync backfill (runner/__init__.py:137-141,
+    which simply omits --state): stored bookmarks are ignored — extraction
+    sees no bookmark, the client filter passes everything — and state is
+    then rewritten to run-start per the normal §2.7 contract."""
+    seen_bookmarks: list = []
+    raw = _raw_tasks()
+
+    def extract(bm):
+        seen_bookmarks.append(bm)
+        return raw
+
+    cat = Catalog()
+    cat.register_json_schema(
+        "tasks", TASKS_SCHEMA, key_properties=["id"], replication_key="updatedDate",
+        source="wrike",
+    )
+    spec = StreamSpec(
+        cat.get("tasks"), extract,
+        lambda df: {"tasks": flatten(df)} if df.columns else {"tasks": df},
+        client_filter=True,
+    )
+    pipe = Pipeline("wrike", cat, [spec], tmp_path / "lake")
+
+    # normal run lands data and a run-start bookmark newer than every row
+    pipe.run(spark)
+    assert seen_bookmarks == [None]
+    # incremental rerun: bookmark filters everything out
+    reports = {r.stream: r for r in pipe.run(spark)}
+    assert seen_bookmarks[1] is not None
+    assert reports["tasks"].tables["tasks"] == 0
+
+    # full_sync: extraction sees NO bookmark and all rows land again
+    reports = {r.stream: r for r in pipe.run(spark, full_sync=True)}
+    assert seen_bookmarks[2] is None
+    assert reports["tasks"].tables["tasks"] == len(raw)
+
+    # and the bookmark was rewritten to run-start (not dropped): the next
+    # incremental run filters again
+    state = json.loads((tmp_path / "lake/state_wrike.json").read_text())
+    assert state["value"]["tasks"] is not None
+    reports = {r.stream: r for r in pipe.run(spark)}
+    assert seen_bookmarks[3] == state["value"]["tasks"]
+    assert reports["tasks"].tables["tasks"] == 0
