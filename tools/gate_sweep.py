@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Full correctness sweep: every registry query vs its DuckDB oracle.
+
+Replicates the driver's gate (row count, column-name set, order-insensitive
+value multiset with columns sorted by name) over the ENTIRE registry — the
+driver samples at most 50 queries per round, so this sweep is the committed
+evidence that the never-sampled remainder is green too (VERDICT round 2,
+"Next round" #7).
+
+Usage::
+
+    python tools/gate_sweep.py [--sf-dir /root/testdata/sf0.01] [--out GATE_SWEEP.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+from oracle import run_oracle, to_multiset  # noqa: E402  (tests helper)
+
+import __spark_entry__ as entry  # noqa: E402
+from pubic_multi_platform_to_postgres_spark.session import get_session  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=str(REPO / "GATE_SWEEP.json"))
+    args = ap.parse_args()
+
+    spark = get_session(app_name="spark_graft_gate_sweep")
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+
+    results: dict[str, dict] = {}
+    failures = 0
+    t_start = time.perf_counter()
+    for name in sorted(queries):
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            spdf = queries[name](spark, args.sf_dir).toPandas()
+            row["spark_rows"] = len(spdf)
+            sql = oracles.get(name)
+            if sql is None:
+                row["err"] = "no_oracle"
+            else:
+                opdf = run_oracle(sql, args.sf_dir)
+                row["oracle_rows"] = len(opdf)
+                row["rows_match"] = len(spdf) == len(opdf)
+                row["schema_match"] = sorted(spdf.columns) == sorted(opdf.columns)
+                row["hash_match"] = (
+                    row["schema_match"] and to_multiset(spdf) == to_multiset(opdf)
+                )
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            row["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        results[name] = row
+        ok = row["hash_match"] is True
+        if not ok:
+            failures += 1
+        print(f"  {'PASS' if ok else 'FAIL'} {name} "
+              f"(spark={row['spark_rows']} oracle={row['oracle_rows']} err={row['err']})",
+              file=sys.stderr)
+
+    elapsed = round(time.perf_counter() - t_start, 1)
+    Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
+    green = sum(1 for r in results.values() if r["hash_match"] is True)
+    print(f"gate sweep: {green}/{len(results)} green in {elapsed}s -> {args.out}",
+          file=sys.stderr)
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
