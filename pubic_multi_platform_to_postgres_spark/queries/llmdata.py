@@ -711,6 +711,148 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_frames",
+    oracle="""
+    WITH fr AS (
+        SELECT d.doc_id,
+               1 + d.doc_id % 32 AS w,
+               1 + (d.doc_id // 5) % 24 AS h,
+               1 + d.doc_id % 4 AS nf,
+               f.i AS frame_idx
+        FROM documents d, generate_series(0, 3) f(i)
+        WHERE f.i < 1 + d.doc_id % 4
+    ),
+    px AS (
+        SELECT fr.doc_id, fr.frame_idx, fr.nf,
+               (gy.i * fr.w + gx.i + 1)
+               * ((fr.doc_id + 11 * fr.frame_idx + gy.i + gx.i) % 256) AS wpx
+        FROM fr,
+             generate_series(0, 23) gy(i),
+             generate_series(0, 31) gx(i)
+        WHERE gy.i < fr.h AND gx.i < fr.w
+    )
+    SELECT CAST(doc_id AS VARCHAR) || '_' || CAST(frame_idx AS VARCHAR) AS frame_id,
+           doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(nf AS INT) AS n_frames,
+           CAST(SUM(wpx) AS BIGINT) AS pixel_checksum
+    FROM px
+    GROUP BY doc_id, frame_idx, nf
+    """,
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame extraction, gate-checked: per document,
+    synthesize an animated GIF (1–4 gradient frames, real LZW-compressed
+    pixel data), decode every frame back with the stdlib LZW decoder,
+    re-encode each as PNG, then RE-DECODE the emitted PNGs and hash a
+    position-weighted per-frame pixel checksum. The oracle recomputes
+    frame fan-out AND every checksum purely from doc_id arithmetic — a
+    wrong LZW table rebuild, palette lookup, or frame order breaks the
+    hash. All stages Arrow-batched mapInPandas; blobs stay on executors
+    (frame extraction is a brief extension; no reference analog)."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_image_pixels,
+        extract_gif_frames,
+        make_gif,
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                make_gif(
+                    1 + int(d) % 32,
+                    1 + (int(d) // 5) % 24,
+                    n_frames=1 + int(d) % 4,
+                    seed=int(d),
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    def checksum(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            sums = []
+            for frame in pdf["frame"]:
+                px = decode_image_pixels(frame).astype(np.int64)
+                h, w = px.shape
+                wgt = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                sums.append(int((px * wgt).sum()))
+            yield pd.DataFrame(
+                {
+                    "frame_id": pdf["frame_id"],
+                    "doc_id": pdf["id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "n_frames": pdf["n_frames"],
+                    "pixel_checksum": sums,
+                }
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    gifs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    frames = extract_gif_frames(gifs, "blob", "doc_id", max_frames=4)
+    return frames.mapInPandas(
+        checksum,
+        schema=(
+            "frame_id string, doc_id long, frame_idx int, n_frames int, "
+            "pixel_checksum long"
+        ),
+    )
+
+
+@query(
+    "multimodal_pixel_histogram",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               ((d.doc_id + gy.i + gx.i) % 256) // 16 AS bucket
+        FROM documents d,
+             generate_series(0, 47) gy(i),
+             generate_series(0, 63) gx(i)
+        WHERE gy.i < 1 + (d.doc_id // 7) % 48
+          AND gx.i < 1 + d.doc_id % 64
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM px
+    GROUP BY doc_id, bucket
+    """,
+)
+def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL content-based image features, gate-checked: decode each
+    document's gradient PNG to pixels and emit the 16-bucket luminance
+    histogram in long form. The oracle regenerates every pixel from
+    doc_id arithmetic and re-buckets in SQL — histogram counts only match
+    if the scanline decode and the integer bucketing are pixel-exact.
+    Zero-count buckets are filtered so both sides emit the same rows."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        make_png,
+        pixel_histogram,
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                make_png(1 + int(d) % 64, 1 + (int(d) // 7) % 48, seed=int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    hist = pixel_histogram(blobs, "blob", "doc_id", n_buckets=16)
+    return hist.filter(F.col("n_px") > 0).select(
+        F.col("id").alias("doc_id"), "bucket", "n_px"
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH b AS (

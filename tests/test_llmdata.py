@@ -243,6 +243,32 @@ def test_resize_real_pixels(spark):
     assert out[4]["resized"] is None and "no pixel decoder" in out[4]["resize_error"]
 
 
+def test_gif_frame_extraction_real_pixels(spark):
+    """extract_gif_frames really LZW-decodes every animated-GIF frame;
+    non-GIF blobs produce exactly one dead-letter row."""
+    import numpy as np
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_image_pixels,
+        extract_gif_frames,
+        make_gif,
+    )
+
+    rows = [(1, make_gif(9, 7, n_frames=3, seed=4)), (2, b"definitely not a gif")]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = extract_gif_frames(df, "blob", "doc_id", max_frames=2).collect()
+    good = sorted((r for r in out if r["id"] == 1), key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in good] == [0, 1]  # capped at max_frames
+    assert all(r["n_frames"] == 3 for r in good)
+    px = decode_image_pixels(bytes(good[1]["frame"]))  # frame 1, seed 4
+    exp = np.array([[(4 + 11 + y + x) % 256 for x in range(9)] for y in range(7)],
+                   dtype=np.uint8)
+    assert (px == exp).all()
+    bad = [r for r in out if r["id"] == 2]
+    assert len(bad) == 1 and bad[0]["frame_idx"] == -1 and bad[0]["frame"] is None
+    assert "gif" in bad[0]["frame_error"]
+
+
 def test_feature_extract_plumbing(spark):
     from pyspark.sql import functions as F
 
