@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Quiet-machine bench pin: 5 timed runs per query, median + repeat spread.
+
+The per-round `bench.py` totals carry ±25% ambient noise (BASELINE.md);
+this pin is the attributable evidence — run it with NOTHING else on the
+machine. Writes per-query ``{median, spread}`` where ``spread`` is
+``(max - min) / median`` over the timed runs; the suite-level
+``max_spread``/``p90_spread`` summarize run-to-run stability (target
+<10% per VERDICT r3 Next-round #6).
+
+Usage::
+
+    python tools/bench_pinned.py [--sf-dir /root/testdata/sf0.1]
+        [--repeats 5] [--out BENCH_PINNED_r04.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# production path, same as bench.py (must be set before engine imports)
+os.environ["SPARK_GRAFT_BENCH"] = "1"
+
+from pubic_multi_platform_to_postgres_spark.queries import REGISTRY  # noqa: E402
+from pubic_multi_platform_to_postgres_spark.session import get_session  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument("--out", default=str(REPO / "BENCH_PINNED_r04.json"))
+    args = ap.parse_args()
+
+    spark = get_session(app_name="spark_graft_bench_pinned")
+    sf = float(os.path.basename(args.sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    queries: dict[str, dict] = {}
+    for name in sorted(REGISTRY):
+        fn = REGISTRY[name].fn
+        try:
+            fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+            runs = []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            med = statistics.median(runs)
+            queries[name] = {
+                "median": round(med, 4),
+                "spread": round((max(runs) - min(runs)) / med, 4),
+                "runs": [round(r, 4) for r in runs],
+            }
+        except Exception as exc:  # noqa: BLE001
+            print(f"pinned bench: {name} failed: {exc}", file=sys.stderr)
+            queries[name] = {"median": -1.0, "spread": -1.0, "runs": []}
+        print(f"  {name}: {queries[name]['median']} s "
+              f"(spread {queries[name]['spread']})", file=sys.stderr)
+
+    ok = [q for q in queries.values() if q["median"] >= 0]
+    spreads = sorted(q["spread"] for q in ok)
+    doc = {
+        "metric": "pinned_suite_median_per_query_sum",
+        "value": round(sum(q["median"] for q in ok), 4),
+        "unit": "sec",
+        "sf": sf,
+        "repeats": args.repeats,
+        "max_spread": spreads[-1] if spreads else None,
+        "p90_spread": spreads[int(0.9 * (len(spreads) - 1))] if spreads else None,
+        "queries": queries,
+    }
+    Path(args.out).write_text(json.dumps(doc, indent=2) + "\n")
+    print(json.dumps({k: doc[k] for k in
+                      ("metric", "value", "unit", "sf", "max_spread", "p90_spread")}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
