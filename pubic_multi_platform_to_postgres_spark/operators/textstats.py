@@ -115,3 +115,60 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.md5(norm).alias("fingerprint_md5"),
         F.xxhash64(norm).alias("fingerprint64"),
     )
+
+
+def remove_repeated_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_words: int = 2,
+) -> DataFrame:
+    """Intra-document repetition scrub (the Gopher/RefinedWeb repeated-
+    passage filter): split each document into consecutive ``window_words``-
+    word windows, drop every window whose exact text already appeared
+    earlier in the SAME document, and reassemble.
+
+    Entirely JVM built-ins — ``split``/``sequence``/``transform``/``slice``
+    build the windows map-side (no Python), ``row_number`` over
+    ``(doc, window_text)`` marks re-occurrences, and the reassembly is a
+    ``collect_list`` of kept windows re-sorted by position. Two shuffles
+    (dedup window partition + per-doc reassembly), both on bounded groups:
+    a document's window count is its word count / W, so state per key is
+    the document itself — hot-key safe at 100 TB where a *corpus*-wide
+    shuffle on raw text would not be.
+
+    Output: ``(id, n_windows, n_dup_windows, cleaned_md5)`` — the cleaned
+    text is exported as a digest so the result stays narrow; callers that
+    need the text itself take ``cleaned`` before the final select.
+    """
+    from pyspark.sql import Window
+
+    w = window_words
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) / {w}.0)) - 1),"
+                f" i -> array_join(slice(split({text_col}, ' '), i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("pos", "wtext"),
+    )
+    first = Window.partitionBy("id", "wtext").orderBy("pos")
+    marked = wins.withColumn("rn", F.row_number().over(first))
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_windows"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("pos", "wtext"))
+                        )
+                    ),
+                    lambda s: s["wtext"],
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )

@@ -920,6 +920,52 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_remove_repetition",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    win AS (
+        SELECT doc_id, g.i AS pos,
+               array_to_string(list_slice(w, g.i * 2 + 1, g.i * 2 + 2), ' ')
+                   AS wtext
+        FROM words, generate_series(0, 127) g(i)
+        WHERE g.i < CAST(ceil(len(w) / 2.0) AS BIGINT)
+    ),
+    marked AS (
+        SELECT doc_id, pos, wtext,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, wtext ORDER BY pos) AS rn
+        FROM win
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           md5(string_agg(CASE WHEN rn = 1 THEN wtext END, ' ' ORDER BY pos))
+               AS cleaned_md5
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def corpus_remove_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (Gopher/RefinedWeb repeated-
+    passage scrub): drop every 2-word window whose exact text already
+    appeared earlier in the same document, reassemble, and export the
+    cleaned text's md5 plus the window/duplicate counts. The oracle
+    independently rebuilds windows, first-occurrence marks, and the
+    reassembled digest in SQL — order preservation and the dedup rule
+    must agree exactly. (The oracle's fixed 0..127 series bounds the
+    corpus's ≤100-word documents; the engine side has no such cap.)"""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        remove_repeated_windows,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = remove_repeated_windows(docs, "text", "doc_id", window_words=2)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_windows", "n_dup_windows", "cleaned_md5"
+    )
+
+
+@query(
     "corpus_stratified_sample",
     oracle="""
     SELECT doc_id, lang

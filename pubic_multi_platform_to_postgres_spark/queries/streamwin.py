@@ -121,3 +121,34 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         [F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")],
     )
+
+
+@query(
+    "stream_dedup_redelivery",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingest under at-least-once delivery: every 7th event
+    is redelivered (union with itself — the duplicate feed a retrying
+    source produces), then keyed dedup collapses the replays before a
+    per-type aggregate. The oracle aggregates the CLEAN feed directly, so
+    the hash only matches if dedup removed exactly the redeliveries.
+    Batch face of :func:`streaming.windows.dedup_exactly_once`; the
+    streaming face (dropDuplicatesWithinWatermark, bounded state) is
+    asserted batch≡streaming in ``test_streaming.py``."""
+    from pubic_multi_platform_to_postgres_spark.streaming.windows import (
+        dedup_exactly_once,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    redelivered = ev.unionAll(ev.filter(F.col("event_id") % 7 == 0))
+    clean = dedup_exactly_once(redelivered, ["event_id"])
+    return clean.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )

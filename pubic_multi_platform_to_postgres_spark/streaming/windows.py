@@ -101,6 +101,30 @@ def session_agg(
     )
 
 
+def dedup_exactly_once(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exactly-once keyed deduplication — the at-least-once-source →
+    exactly-once-sink bridge (K2's streaming ingest analog).
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — the state store keeps
+    a key only until the event-time watermark passes it, so redelivered
+    rows within the watermark horizon are dropped with BOUNDED state
+    (a plain streaming ``dropDuplicates`` would grow state forever).
+    Batch: ``dropDuplicates`` on the same keys, which is the limit of the
+    streaming semantics when every row is in one batch — the equivalence
+    the streaming test asserts across redelivering micro-batches.
+    """
+    if df.isStreaming:
+        if not (ts_col and watermark):
+            raise ValueError("streaming dedup requires ts_col + watermark")
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

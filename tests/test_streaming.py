@@ -207,6 +207,41 @@ def test_streaming_sliding_equals_batch(spark, events_dir, events_batch, tmp_pat
     assert got == want
 
 
+def test_streaming_dedup_drops_cross_batch_redelivery(spark, events_batch, tmp_path):
+    """dedup_exactly_once on a stream: rows REDELIVERED in a later
+    micro-batch are dropped by dropDuplicatesWithinWatermark state, so
+    the sink holds exactly the distinct events — the batch answer."""
+    import time as _time
+
+    from pubic_multi_platform_to_postgres_spark.streaming.windows import (
+        dedup_exactly_once,
+    )
+
+    src = tmp_path / "redelivery_src"
+    subset = events_batch.filter(F.col("event_id") % 7 == 0)
+    events_batch.coalesce(1).write.mode("append").parquet(str(src))
+    _time.sleep(1.1)  # distinct mtime -> replay arrives as a LATER batch
+    subset.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = stream_from_directory(
+        spark, src, events_batch.schema, max_files_per_trigger=1
+    )
+    clean = dedup_exactly_once(stream, ["event_id"], ts_col="ts", watermark="365 days")
+    out_dir, ckpt = tmp_path / "clean", tmp_path / "ckpt"
+    q = (
+        clean.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = spark.read.parquet(str(out_dir))
+    assert got.count() == events_batch.count()
+    assert got.select("event_id").distinct().count() == events_batch.count()
+
+
 def test_stream_stream_interval_join_equals_batch(spark, events_dir, events_batch, tmp_path):
     """Click→purchase attribution as a watermarked stream-stream interval
     join must equal the same join run in batch — including pairs whose
