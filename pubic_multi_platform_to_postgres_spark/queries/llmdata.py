@@ -966,6 +966,126 @@ def corpus_remove_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_contamination_check",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, g.i, g.i + 2), ' ') AS shingle
+        FROM w, generate_series(1, 127) g(i)
+        WHERE g.i <= greatest(len(w) - 2, 1)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 10
+               >= COUNT(*) AS contaminated
+    FROM corpus c LEFT JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+    """,
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents whose
+    word trigrams overlap a held-out evaluation set (here: every 97th
+    doc) by ≥10% — the decontamination pass every LLM data pipeline runs
+    before training.
+
+    Scale shape: the BENCHMARK side is the small one (an eval suite, not
+    the corpus), so its distinct shingles broadcast and the corpus side
+    never shuffles — one map-side broadcast probe + one per-doc
+    aggregation. Shingling is pure JVM array functions; counts are exact
+    integers (no float thresholds to drift cross-engine)."""
+    docs = load(spark, sf_dir, "documents")
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+                " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    bench = (
+        shingles.filter(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = shingles.filter(F.col("doc_id") % 97 != 0)
+    probed = corpus.join(F.broadcast(bench), "shingle", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_shared"),
+        (
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 10
+            >= F.count(F.lit(1))
+        ).alias("contaminated"),
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               NULLIF(list_max(list_transform(v, x -> abs(x))), 0.0) AS mx
+        FROM e
+    ),
+    q AS (
+        SELECT s.vec_id, s.mx, g.i,
+               CAST(round(s.v[g.i] * 127.0 / s.mx) AS BIGINT) AS code
+        FROM s, generate_series(1, 64) g(i)
+        WHERE g.i <= len(s.v)
+    )
+    SELECT vec_id,
+           ANY_VALUE(mx) / 127.0 AS scale,
+           CAST(SUM(i * code) AS BIGINT) AS qsum,
+           CAST(SUM(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS INT)
+               AS n_saturated
+    FROM q
+    GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4× memory cut that
+    makes a 100 TB ANN corpus fit executor RAM (codes ride in int8
+    parquet; the per-vector scale reconstructs approximate floats at
+    score time). Map-side only: transform/zip_with/aggregate over the
+    array column — no shuffle, no Python. The quantization arithmetic
+    (double multiply/divide + round-half-away-from-zero) is
+    bit-reproducible across engines; the gate exports the per-vector
+    scale, an index-weighted checksum of ALL codes, and the saturation
+    count, so any single wrong code breaks the hash. All-zero vectors
+    keep a NULL scale instead of dividing by zero."""
+    emb = load(spark, sf_dir, "embeddings")
+    with_codes = emb.select(
+        "vec_id",
+        F.expr(
+            "nullif(array_max(transform(embedding, x -> abs(cast(x as double)))), 0d)"
+        ).alias("mx"),
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(round(cast(x as double) * 127.0 /"
+            " nullif(array_max(transform(embedding, y -> abs(cast(y as double)))), 0d))"
+            " as bigint))"
+        ).alias("codes"),
+    )
+    return with_codes.select(
+        "vec_id",
+        (F.col("mx") / F.lit(127.0)).alias("scale"),
+        F.expr(
+            "aggregate(zip_with(sequence(1, size(codes)), codes,"
+            " (i, q) -> cast(i as bigint) * q), 0L, (acc, v) -> acc + v)"
+        ).alias("qsum"),
+        F.expr("size(filter(codes, q -> abs(q) = 127))").alias("n_saturated"),
+    )
+
+
+@query(
     "corpus_stratified_sample",
     oracle="""
     SELECT doc_id, lang

@@ -46,6 +46,8 @@ def _norm_value(v: Any) -> Any:
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return tuple(_norm_value(x) for x in v)
+    if type(v).__module__ == "numpy":  # numpy scalar (int32/float32/bool_)
+        return _norm_value(v.item())
     if isinstance(v, (int, bool, str)):
         return v
     if pd.isna(v):
