@@ -155,23 +155,26 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
         body = typ + data
         return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
 
+    import numpy as np
+
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + bytes((seed + y + x) % 256 for x in range(width))
-        for y in range(height)
-    )
+    px = (seed + np.add.outer(np.arange(height), np.arange(width))) % 256
+    rows = np.zeros((height, width + 1), dtype=np.uint8)
+    rows[:, 1:] = px  # leading 0 per scanline = filter byte None
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IDAT", zlib.compress(rows.tobytes()))
         + chunk(b"IEND", b"")
     )
 
 
 def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
     """A minimal valid 24-bpp BMP (BITMAPINFOHEADER, 4-byte row padding)."""
+    import numpy as np
+
     row = (width * 3 + 3) // 4 * 4
-    pixels = bytes((seed + i) % 256 for i in range(row * height))
+    pixels = ((seed + np.arange(row * height)) % 256).astype(np.uint8).tobytes()
     header = struct.pack(
         "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
     ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
@@ -180,8 +183,11 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
 
 def make_ppm(width: int, height: int, seed: int = 0) -> bytes:
     """A binary P6 PPM with a comment line (exercises header skipping)."""
+    import numpy as np
+
     head = f"P6\n# fixture\n{width} {height}\n255\n".encode()
-    return head + bytes((seed + i) % 256 for i in range(width * height * 3))
+    body = ((seed + np.arange(width * height * 3)) % 256).astype(np.uint8).tobytes()
+    return head + body
 
 
 # -- real stdlib pixel codecs ------------------------------------------------
@@ -228,6 +234,10 @@ def decode_png_pixels(blob: bytes):
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("png: IDAT length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    if not arr[:, 0].any():  # every scanline filter=None -> pure reshape
+        out = arr[:, 1:]
+        return out if channels == 1 else out.reshape(h, w, 3)
     out = np.zeros((h, stride), dtype=np.uint8)
     prior = bytes(stride)
     for y in range(h):
@@ -313,39 +323,69 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
     spec-conformant output any decoder accepts (the classic
     uncompressed-GIF technique), with none of the string-table machinery
     a fixture encoder doesn't need."""
+    import numpy as np
+
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     width = min_code_size + 1
-    out = bytearray()
-    acc = nbits = 0
+    # decoder's next free code = end+1+k after k literals; re-clear before
+    # it reaches 2^width - 1, where the decoder would widen its reads
+    run = (1 << width) - 2 - end
+    px = np.frombuffer(bytes(indices), dtype=np.uint8).astype(np.uint16)
+    n_runs = max(1, -(-len(px) // run))
+    codes = np.full(len(px) + n_runs + 1, clear, dtype=np.uint16)
+    for r in range(n_runs):  # ≤ a few dozen iterations, payload vectorized
+        chunk = px[r * run : (r + 1) * run]
+        start = 1 + r * (run + 1)
+        codes[start : start + len(chunk)] = chunk
+    codes[-1] = end
+    # pack `width`-bit codes LSB-first, one numpy pass
+    bits = (codes[:, None] >> np.arange(width, dtype=np.uint16)) & 1
+    return np.packbits(bits.astype(np.uint8).ravel(), bitorder="little").tobytes()
 
-    def put(code: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
 
-    put(clear)
-    since_clear = 0
-    for px in indices:
-        # decoder's next free code = end+1+since_clear; re-clear before it
-        # reaches 2^width, where the decoder would widen its reads
-        if end + 1 + since_clear >= (1 << width) - 1:
-            put(clear)
-            since_clear = 0
-        put(px)
-        since_clear += 1
-    put(end)
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+def _gif_lzw_decode_literal_fast(data: bytes, min_code_size: int) -> bytes | None:
+    """Vectorized decode for literal-only constant-width streams (what
+    :func:`_gif_lzw_encode` and other uncompressed-GIF writers emit).
+
+    Parses every code at the fixed initial width in one numpy pass, then
+    VERIFIES the constant-width assumption: no code may reference the
+    string table (> END), and no inter-clear run may be long enough that
+    a real decoder would have widened its reads. Returns ``None`` when
+    the stream doesn't qualify — the sequential general decoder runs.
+    """
+    import numpy as np
+
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), bitorder="little")
+    n_codes = bits.size // width
+    if n_codes == 0:
+        return None
+    codes = (
+        bits[: n_codes * width].reshape(n_codes, width)
+        @ (1 << np.arange(width, dtype=np.int64))
+    )
+    ends = np.nonzero(codes == end)[0]
+    codes = codes[: ends[0]] if ends.size else codes
+    if codes.size and codes.max() > end:
+        return None  # table references -> real LZW, take the slow path
+    is_clear = codes == clear
+    # longest literal run between clears must stay below the width-growth
+    # threshold (next_code = END+1+run reaching 2^width) for the
+    # constant-width parse to have been valid
+    boundaries = np.concatenate(([-1], np.nonzero(is_clear)[0], [codes.size]))
+    if boundaries.size and np.diff(boundaries).max() - 1 > (1 << width) - 2 - end:
+        return None
+    return codes[~is_clear].astype(np.uint8).tobytes()
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
     """Standard GIF LZW decode (LSB-first packing, growing code width up
-    to 12 bits, CLEAR/END codes, KwKwK case)."""
+    to 12 bits, CLEAR/END codes, KwKwK case). Literal-only constant-width
+    streams take a vectorized fast path (verified, with fallback)."""
+    fast = _gif_lzw_decode_literal_fast(data, min_code_size)
+    if fast is not None:
+        return fast
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     out = bytearray()
     acc = nbits = pos = 0
@@ -393,15 +433,16 @@ def make_gif(width: int, height: int, n_frames: int = 1, seed: int = 0) -> bytes
     LZW data, GCE delay blocks): frame ``f`` pixel ``(y, x)`` is
     ``(seed + 11*f + y + x) % 256`` — the roundtrip fixture for
     :func:`decode_gif_frames`."""
+    import numpy as np
+
     lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
     palette = bytes(v for i in range(256) for v in (i, i, i))
+    grid = np.add.outer(np.arange(height), np.arange(width))
     parts = [b"GIF89a", lsd, palette]
     for f in range(n_frames):
         parts.append(b"\x21\xf9\x04\x00\x04\x00\x00\x00")  # GCE: 4cs delay
         parts.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0))
-        indices = bytes(
-            (seed + 11 * f + y + x) % 256 for y in range(height) for x in range(width)
-        )
+        indices = (((seed + 11 * f) + grid) % 256).astype(np.uint8).tobytes()
         lzw = _gif_lzw_encode(indices, 8)
         parts.append(b"\x08")  # LZW minimum code size
         for i in range(0, len(lzw), 255):

@@ -243,6 +243,59 @@ def test_resize_real_pixels(spark):
     assert out[4]["resized"] is None and "no pixel decoder" in out[4]["resize_error"]
 
 
+def test_png_decode_all_filter_types():
+    """decode_png_pixels must undo all five PNG scanline filters
+    (None/Sub/Up/Average/Paeth) — the vectorized filter-0 fast path may
+    not shadow the general unfilter loop."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+
+    def encode_filtered(px, filters):
+        h, w = px.shape
+        raw, prior = bytearray(), bytes(w)
+        for y, f in zip(range(h), filters):
+            line, enc = bytes(px[y]), bytearray([f])
+            for x in range(w):
+                left = line[x - 1] if x > 0 else 0
+                up, ul = prior[x], (prior[x - 1] if x > 0 else 0)
+                if f == 0:
+                    v = line[x]
+                elif f == 1:
+                    v = (line[x] - left) & 0xFF
+                elif f == 2:
+                    v = (line[x] - up) & 0xFF
+                elif f == 3:
+                    v = (line[x] - ((left + up) >> 1)) & 0xFF
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    v = (line[x] - pred) & 0xFF
+                enc.append(v)
+            raw += enc
+            prior = line
+
+        def chunk(t, d):
+            body = t + d
+            return struct.pack(">I", len(d)) + body + struct.pack(">I", zlib.crc32(body))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+    got = decode_png_pixels(encode_filtered(img, [0, 1, 2, 3, 4]))
+    assert (got == img).all()
+
+
 def test_gif_frame_extraction_real_pixels(spark):
     """extract_gif_frames really LZW-decodes every animated-GIF frame;
     non-GIF blobs produce exactly one dead-letter row."""
