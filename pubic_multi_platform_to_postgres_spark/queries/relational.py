@@ -393,6 +393,55 @@ def join_left_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer_daily_activity",
+    oracle="""
+    WITH od AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    ed AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT COALESCE(od.day, ed.day) AS day,
+           CAST(COALESCE(od.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(ed.n_events, 0) AS BIGINT) AS n_events
+    FROM od FULL OUTER JOIN ed ON od.day = ed.day
+    """,
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-day aggregates whose date ranges only
+    partially overlap (orders span years, events one month) — both
+    left-only and right-only rows are exercised, with COALESCE'd keys and
+    zero-filled measures. The join runs AFTER both aggregations, so the
+    full-outer SMJ (full outer cannot broadcast) sees days, not rows.
+    Day keys are tz-proof on both sides: ``utc_day`` epoch arithmetic
+    for the instant column, wall-date formatting for the naive one."""
+    from pubic_multi_platform_to_postgres_spark.functions.dates import utc_day
+
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ed = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_format(utc_day("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        od.join(ed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query(
     "join_semi_active_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name

@@ -95,11 +95,22 @@ def test_lifecycle_windows_single_shuffle(spark, name):
     assert plan.count("Sort ") == 1, plan
 
 
-@pytest.mark.parametrize("name", ["text_pii_scrub", "corpus_stratified_sample"])
+@pytest.mark.parametrize(
+    "name",
+    ["text_pii_scrub", "corpus_stratified_sample", "embedding_quantize_int8"],
+)
 def test_mapside_ops_no_shuffle(spark, name):
-    """PII scrub and hash-based stratified sampling are pure map-side
-    work — any Exchange in their plan is a regression."""
+    """PII scrub, hash-based stratified sampling, and int8 quantization
+    are pure map-side work — any Exchange in their plan is a regression."""
     assert "Exchange hashpartitioning" not in plan_of(spark, name)
+
+
+def test_contamination_probe_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set (the small side) must broadcast; the
+    corpus must never sort-merge on shingle text."""
+    plan = plan_of(spark, "corpus_contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_cohort_map_broadcasts(spark):
