@@ -869,7 +869,8 @@ def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-expanding multimodal op: each blob ("video") fans out to up to
-    4 fixed-size frame rows via mapInPandas (codec stubbed, the Spark
+    4 fixed-size frame rows via mapInPandas (codec stubbed — see
+    ``multimodal_gif_frames`` for the REAL decoder path; the Spark
     plumbing — fan-out batches, binary output, surrogate frame ids — is
     real). The frame payload itself is engine-side only; the oracle
     checks the expansion arithmetic."""
@@ -1082,6 +1083,75 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (i, q) -> cast(i as bigint) * q), 0L, (acc, v) -> acc + v)"
         ).alias("qsum"),
         F.expr("size(filter(codes, q -> abs(q) = 127))").alias("n_saturated"),
+    )
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l,
+               CAST(floor(sqrt(COUNT(*)) * 1000000.0) AS BIGINT) AS s_l
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT SUM(s_l) AS s, SUM(n_l) // 2 AS t FROM stats
+    ),
+    budget AS (SELECT lang, (t * s_l) // s AS b_l FROM stats, tot),
+    ranked AS (
+        SELECT d.doc_id, d.lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY (d.doc_id % 100000007) * 2654435761 % 4294967296,
+                            d.doc_id) AS rk
+        FROM documents d
+    )
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN budget b USING (lang)
+    WHERE r.rk <= b.b_l
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted multilingual rebalancing (the mT5/XLM-R
+    mixing rule, α=0.5): per-language budgets ∝ √n_l so low-resource
+    languages are upweighted relative to their corpus share, filled to a
+    half-corpus target by deterministic hash rank.
+
+    Cross-engine exactness: √ is IEEE-correctly-rounded on any engine,
+    the √ values are floor-scaled to integers, and every budget after
+    that (Σ, t·s_l ÷ S) is 64-bit integer arithmetic — no float sums
+    whose order could drift. Selection is rank-on-Knuth-hash per
+    language (same hash as `corpus_stratified_sample`), so membership is
+    a pure function of doc_id. Scale: the stats side is |languages| rows
+    (broadcast); the rank is one window shuffle on lang — at a corpus
+    where t·s_l nears 2^63, drop the 10^6 scale to 10^3."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    stats = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .withColumn("s_l", F.floor(F.sqrt("n_l") * F.lit(1000000.0)).cast("long"))
+    )
+    tot = stats.agg(
+        F.sum("s_l").alias("s"), F.expr("sum(n_l) div 2").alias("t")
+    )
+    budget = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn("b_l", F.expr("t * s_l div s"))
+        .select("lang", "b_l")
+    )
+    hash_col = (F.col("doc_id") % 100000007) * 2654435761 % 4294967296
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(hash_col.asc(), F.col("doc_id").asc())
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(budget), "lang")
+        .filter(F.col("rk") <= F.col("b_l"))
+        .select("doc_id", "lang")
     )
 
 
