@@ -1133,13 +1133,14 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_l"))
         .withColumn("s_l", F.floor(F.sqrt("n_l") * F.lit(1000000.0)).cast("long"))
     )
-    tot = stats.agg(
-        F.sum("s_l").alias("s"), F.expr("sum(n_l) div 2").alias("t")
-    )
-    budget = (
-        stats.crossJoin(F.broadcast(tot))
-        .withColumn("b_l", F.expr("t * s_l div s"))
-        .select("lang", "b_l")
+    # corpus totals via an unpartitioned window over the |languages|-row
+    # aggregate — a few rows in one partition, and no 1-row cross join
+    # (which would plan as the forbidden BroadcastNestedLoopJoin)
+    budget = stats.select(
+        "lang",
+        F.expr(
+            "(sum(n_l) over () div 2) * s_l div (sum(s_l) over ())"
+        ).alias("b_l"),
     )
     hash_col = (F.col("doc_id") % 100000007) * 2654435761 % 4294967296
     ranked = docs.select("doc_id", "lang").withColumn(
