@@ -206,6 +206,47 @@ def udaf_mad_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_doc_windows",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws
+        FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id, g.i AS pos,
+           array_to_string(list_slice(ws, g.i * 4 + 1, g.i * 4 + 4), ' ')
+               AS wtext
+    FROM w, generate_series(0, 127) g(i)
+    WHERE g.i < CAST(ceil(len(ws) / 4.0) AS BIGINT)
+    """,
+)
+def udtf_doc_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.8 completion alongside UDF/UDAF): a
+    table-valued function LATERAL-joined per document, fanning each doc
+    out to its 4-word windows. Arrow-optimized UDTF; the engine's
+    PRODUCTION window splitter is the pure-JVM
+    ``remove_repeated_windows`` path (see `corpus_remove_repetition`) —
+    this entry exists because the UDTF API is part of the engine surface
+    users port custom table functions onto, and its fan-out semantics
+    are gate-checked against the same SQL reconstruction."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, wtext string", useArrow=True)
+    class SplitWindows:
+        def eval(self, text: str, w: int):
+            words = (text or "").split(" ")
+            for i in range(0, max(1, -(-len(words) // w))):
+                yield i, " ".join(words[i * w : (i + 1) * w])
+
+    spark.udtf.register("split_windows_udtf", SplitWindows)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    docs.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.wtext "
+        "FROM udtf_docs_v d, LATERAL split_windows_udtf(d.text, 4) s"
+    )
+
+
+@query(
     "window_trailing_7d_spend",
     oracle="""
     SELECT o_orderkey,

@@ -279,6 +279,108 @@ def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_equidepth_order_values",
+    oracle="""
+    WITH t AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_value,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_value
+    FROM t GROUP BY bucket
+    """,
+)
+def histogram_equidepth_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 quantile buckets, ntile): equal row
+    counts per bucket with data-driven boundaries — the profile that
+    exposes skew an equi-width histogram hides, and the same primitive a
+    range-partitioner derives split points from. ntile's fill rule
+    (earlier buckets get the +1 remainder) is identical on both engines;
+    the ORDER BY is tie-broken by primary key so bucket membership is
+    deterministic. One global sort of (value, key) pairs — at 100 TB use
+    approx_percentile split points instead; this is the exact profile
+    for |table| that fits a sort."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_value"),
+            F.max("o_totalprice").cast("double").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "layout_zorder_clustering",
+    oracle="""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % 65536 AS BIGINT) AS xk,
+               CAST(datediff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS yk
+        FROM orders
+    ),
+    z AS (
+        SELECT o_orderkey, xk, yk,
+               CAST(SUM((((xk >> b.i) & 1) << (2 * b.i))
+                   + (((yk >> b.i) & 1) << (2 * b.i + 1))) AS BIGINT) AS z_value
+        FROM keyed, generate_series(0, 15) b(i)
+        GROUP BY o_orderkey, xk, yk
+    )
+    SELECT CAST(z_value // 16384 AS BIGINT) AS z_range,
+           COUNT(*) AS n_orders,
+           CAST(MIN(xk) AS BIGINT) AS min_cust,
+           CAST(MAX(xk) AS BIGINT) AS max_cust,
+           CAST(MIN(yk) AS BIGINT) AS min_day,
+           CAST(MAX(yk) AS BIGINT) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering values over (customer, order-day) —
+    the multi-dimensional layout technique: writing files range-
+    partitioned by z_value makes BOTH a customer filter and a date
+    filter prune files, where single-column sorting prunes only one.
+    Bit interleaving runs as a JVM-side aggregate over the 16 bit
+    positions (no UDF); the query profiles each z-range's bounding box
+    (min/max per dimension) — the per-file min/max stats a reader would
+    prune against. The oracle re-interleaves independently in SQL."""
+    orders = load(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("xk"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') % 65536"
+            " AS BIGINT)"
+        ).alias("yk"),
+    )
+    z = keyed.withColumn(
+        "z_value",
+        F.expr(
+            "aggregate(sequence(0, 15), 0L, (acc, i) ->"
+            " acc + (shiftleft((shiftright(xk, i) % 2), 2 * i))"
+            "     + (shiftleft((shiftright(yk, i) % 2), 2 * i + 1)))"
+        ),
+    )
+    return (
+        z.groupBy(F.expr("z_value div 16384").alias("z_range"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("xk").alias("min_cust"),
+            F.max("xk").alias("max_cust"),
+            F.min("yk").alias("min_day"),
+            F.max("yk").alias("max_day"),
+        )
+    )
+
+
+@query(
     "stats_discount_price_corr",
     # moment scales: the scaled integer |x·10^scale| must stay below 2^53
     # for the round to be exact — price² ≈ 1.2e10 caps syy at scale 4
