@@ -1087,6 +1087,54 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH prev AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 31 = 0 THEN md5(text || ' [old revision]')
+                    ELSE md5(text) END AS fp
+        FROM documents WHERE doc_id % 50 <> 0
+    ),
+    curr AS (SELECT doc_id, md5(text) AS fp FROM documents)
+    SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.fp <> p.fp THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM curr c LEFT JOIN prev p USING (doc_id)
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff by content fingerprint — the
+    incremental-crawl primitive: classify every current document as
+    added / changed / unchanged against the previous snapshot (simulated
+    deterministically: every 50th doc is new, every 31st was revised).
+    One fingerprint projection per side (map-side md5) and one equi-join
+    on the snapshot key; at 100 TB both sides are bucketed by doc_id so
+    the diff join is exchange-free, and the 'unchanged' class short-
+    circuits re-processing downstream (the K2 upsert's input is
+    added+changed only)."""
+    docs = load(spark, sf_dir, "documents")
+    curr = docs.select("doc_id", F.md5("text").alias("fp"))
+    prev = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 31 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" [old revision]"))),
+        ).otherwise(F.md5("text")).alias("fp"),
+    )
+    joined = curr.alias("c").join(
+        prev.alias("p"), F.col("c.doc_id") == F.col("p.doc_id"), "left"
+    )
+    return joined.select(
+        F.col("c.doc_id").alias("doc_id"),
+        F.when(F.col("p.doc_id").isNull(), F.lit("added"))
+        .when(F.col("c.fp") != F.col("p.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+
+
+@query(
     "corpus_temperature_mix",
     oracle="""
     WITH stats AS (
