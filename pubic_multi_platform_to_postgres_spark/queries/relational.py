@@ -452,6 +452,85 @@ def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "join_bloom_prefiltered",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE LOWER(o.o_orderpriority) LIKE '%urgent%'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual Bloom-filter runtime pre-filter — the 100 TB fact-scan
+    pattern: build a Bloom filter over the selective build side (urgent
+    orders), push it into the probe scan as a map-side predicate, THEN
+    do the exact join. At scale this keeps the fact shuffle to
+    candidates only (false positives are culled by the join, so the
+    result is exact regardless of the filter) — the manual twin of
+    AQE's runtime bloom pushdown, controllable and reusable across
+    stages. The oracle is the plain join: correctness must be invariant
+    to the engine-specific xxhash64 membership bits.
+
+    Build: bit positions via explode + bit_or aggregation (distributed),
+    one ≤m/64-row collect to assemble the literal word array — the same
+    build-time driver cost class as the IVF centroid fetch. Probe: pure
+    JVM expressions against the literal, no Python."""
+    M, K = 1 << 15, 3  # bits, hash count — sized for ~3k keys at ~1% fp
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    urgent = o.filter(F.lower("o_orderpriority").like("%urgent%"))
+
+    # hash literals are plain INTs on BOTH build and probe so the
+    # xxhash64 input tuple types (and therefore the bits) agree
+    pos = urgent.select(
+        F.explode(
+            F.array(*[
+                F.expr(f"pmod(xxhash64({i}, o_orderkey), {M})") for i in range(K)
+            ])
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.expr("cast(pos div 64 as int)").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    bits = [0] * (M // 64)
+    for r in words:
+        bits[r["w"]] = r["word"]
+
+    probe = li.withColumn("_bb", F.array(*[F.lit(int(x)) for x in bits]))
+    # & 1, not % 2: SQL's % is sign-preserving, so a negative word
+    # probed at bit 0 would yield -1 and silently drop true candidates
+    cond = " AND ".join(
+        f"(shiftrightunsigned(element_at(_bb,"
+        f" cast(pmod(xxhash64({i}, l_orderkey), {M}) div 64 as int) + 1),"
+        f" cast(pmod(xxhash64({i}, l_orderkey), {M}) % 64 as int)) & 1) = 1"
+        for i in range(K)
+    )
+    candidates = probe.filter(F.expr(cond)).drop("_bb")
+    return (
+        candidates.join(
+            F.broadcast(urgent.select("o_orderkey", "o_orderpriority")),
+            candidates.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
     "join_semi_active_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name
