@@ -206,6 +206,68 @@ def udaf_mad_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "percentiles_disc_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50_disc,
+           CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_disc
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def percentiles_disc_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discontinuous (nearest-rank) percentiles per group — the
+    selection-based quantile that returns an actual data value, needed
+    when the metric must be attributable to a real row (a real order
+    value, not an interpolation). Both engines' DISC definitions select
+    the value at ``ceil(q·n)`` in sort order, so the result is exact and
+    hash-stable; same single-aggregation plan as the CONT variant."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+        .cast("double")
+        .alias("p50_disc"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+        .cast("double")
+        .alias("p90_disc"),
+    )
+
+
+@query(
+    "window_distinct_priorities_7d",
+    oracle="""
+    SELECT o1.o_orderkey,
+           (SELECT COUNT(DISTINCT o2.o_orderpriority) FROM orders o2
+            WHERE o2.o_custkey = o1.o_custkey
+              AND o2.o_orderdate <= o1.o_orderdate
+              AND o2.o_orderdate >= o1.o_orderdate - INTERVAL 7 DAYS
+           ) AS n_priorities_7d
+    FROM orders o1
+    """,
+)
+def window_distinct_priorities_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a trailing event-time window — the windowed
+    cardinality ask (distinct sellers/devices per entity per week) that
+    plain window COUNT can't answer (no DISTINCT over a frame in SQL).
+    Expressed as ``size(array_distinct(collect_list))`` over a RANGE
+    frame: state per row is bounded by the 7-day window's own rows, one
+    window shuffle on the entity key. The oracle derives the same count
+    with a correlated subquery — an independent construction."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-7, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.size(F.array_distinct(F.collect_list("o_orderpriority").over(w)))
+        .cast("long")
+        .alias("n_priorities_7d"),
+    )
+
+
+@query(
     "udtf_doc_windows",
     oracle="""
     WITH w AS (
