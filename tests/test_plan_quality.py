@@ -142,6 +142,22 @@ def test_rank_family_single_window_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_temperature_mix_ranks_only_boundary_bucket(spark):
+    """corpus_temperature_mix must NOT rank the full corpus per language
+    (VERDICT r4 #1: at 100 TB that is a multi-TB single-reducer sort for
+    the dominant language). The plan must be two-pass threshold
+    selection: exactly one row_number window, fed by the boundary-bucket
+    filter (h div 65536 = b_bkt) so only ~1/65536th of the corpus is
+    ever sorted; everything else is a map-side broadcast-threshold keep."""
+    plan = plan_of(spark, "corpus_temperature_mix")
+    # one exact rank (the boundary bucket), not one per full language slice
+    assert plan.count("row_number") == 1, plan
+    # the rank's input is the boundary-bucket filter, not the raw scan
+    assert "b_bkt" in plan, plan
+    # threshold table rides in as a broadcast, never a corpus shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
 def test_chunking_is_mapside_packing_single_shuffle(spark):
     """Chunking is sequence→explode→slice with no Exchange; packing is
     one window shuffle on the lang shard."""
