@@ -269,6 +269,11 @@ def window_distinct_priorities_7d(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "udtf_doc_windows",
+    # ORACLE FIXTURE CAP: generate_series(0,127) assumes ≤ 128 4-word
+    # windows per document (≤ 512 whitespace tokens — TESTDATA.md docs
+    # are ~≤300). The engine side is unbounded; if a future fixture grows
+    # longer documents, widen the series — a gate mismatch here is a
+    # fixture-cap artifact, not an engine regression (ADVICE r4).
     oracle="""
     WITH w AS (
         SELECT doc_id, string_split(text, ' ') AS ws

@@ -688,15 +688,21 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         wgt = np.arange(1, 65, dtype=np.int64).reshape(8, 8)
         for pdf in batches:
+            # Honor the resize dead-letter contract: a blob the decoder
+            # rejected arrives with resized=None + resize_error set; skip
+            # it here instead of letting decode_image_pixels(None) kill
+            # the whole task (ADVICE r4). The fixture blobs all decode,
+            # so the gate still checksums every document.
+            ok = pdf[pdf["resized"].notna()]
             sums = [
                 int((decode_image_pixels(b).astype(np.int64) * wgt).sum())
-                for b in pdf["resized"]
+                for b in ok["resized"]
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
+                    "doc_id": ok["id"],
+                    "width": ok["width"],
+                    "height": ok["height"],
                     "pixel_checksum": sums,
                 }
             )
@@ -968,6 +974,10 @@ def corpus_remove_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_contamination_check",
+    # ORACLE FIXTURE CAP: generate_series(1,127) assumes ≤ 129 words per
+    # document (TESTDATA.md docs are ≤ ~100). Engine side is unbounded; a
+    # longer future fixture needs a wider series here — a mismatch would
+    # be this cap, not an engine regression (ADVICE r4).
     oracle="""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (
@@ -1029,6 +1039,10 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_quantize_int8",
+    # ORACLE FIXTURE CAP: generate_series(1,64) assumes ≤ 64 embedding
+    # dims (TESTDATA.md fixture is 32-d). Engine side handles any width;
+    # widen the series if a future fixture grows — a mismatch would be
+    # this cap, not an engine regression (ADVICE r4).
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     s AS (

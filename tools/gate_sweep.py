@@ -30,19 +30,15 @@ import __spark_entry__ as entry  # noqa: E402
 from pubic_multi_platform_to_postgres_spark.session import get_session  # noqa: E402
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default=str(REPO / "GATE_SWEEP.json"))
-    args = ap.parse_args()
+def sweep(spark, queries, oracles, sf_dir) -> tuple[dict[str, dict], int]:
+    """Run every query against its oracle; return (results, failure count).
 
-    spark = get_session(app_name="spark_graft_gate_sweep")
-    queries = entry.queries()
-    oracles = entry.oracle_sql()
-
+    An ``oracle=None`` registration is a rows-only row: PASS iff the query
+    ran AND returned >0 rows; it is reported separately and never counted
+    in the headline green tally.
+    """
     results: dict[str, dict] = {}
     failures = 0
-    t_start = time.perf_counter()
     for name in sorted(queries):
         row = {
             "rows_match": None,
@@ -53,16 +49,18 @@ def main() -> int:
             "err": None,
         }
         try:
-            spdf = queries[name](spark, args.sf_dir).toPandas()
+            spdf = queries[name](spark, sf_dir).toPandas()
             row["spark_rows"] = len(spdf)
             sql = oracles.get(name)
             if sql is None:
                 # Legitimate non-SQL-expressible op (registry oracle=None):
                 # mirror the driver's weaker rows-only check — the query
-                # ran and returned rows; report separately, not a failure.
-                row["rows_only"] = True
+                # must actually RETURN rows to count (an empty result is a
+                # failure, not a pass). Reported separately from the
+                # headline green count either way.
+                row["rows_only"] = len(spdf) > 0
             else:
-                opdf = run_oracle(sql, args.sf_dir)
+                opdf = run_oracle(sql, sf_dir)
                 row["oracle_rows"] = len(opdf)
                 row["rows_match"] = len(spdf) == len(opdf)
                 row["schema_match"] = sorted(spdf.columns) == sorted(opdf.columns)
@@ -79,7 +77,18 @@ def main() -> int:
         print(f"  {tag} {name} "
               f"(spark={row['spark_rows']} oracle={row['oracle_rows']} err={row['err']})",
               file=sys.stderr)
+    return results, failures
 
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=str(REPO / "GATE_SWEEP.json"))
+    args = ap.parse_args()
+
+    spark = get_session(app_name="spark_graft_gate_sweep")
+    t_start = time.perf_counter()
+    results, failures = sweep(spark, entry.queries(), entry.oracle_sql(), args.sf_dir)
     elapsed = round(time.perf_counter() - t_start, 1)
     Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
     green = sum(1 for r in results.values() if r["hash_match"] is True)
