@@ -18,11 +18,16 @@ Decode surface, two tiers:
   nearest-neighbor resample with integer floor mapping (reproducible by
   a SQL oracle), and a PNG re-encoder — resize is a REAL pixel
   operation, no codec library needed.
-- **Remaining stand-ins**: video frame extraction and the feature
+- **Real frame extraction + temporal sampling**
+  (:func:`decode_gif_frames`, :func:`extract_gif_frames`,
+  :func:`sample_frames`): full GIF87a/89a decode with real LZW, frame
+  fan-out, and evenly-spaced timeline sampling (the ffmpeg-select
+  stride) — animated GIF is the video container this repo fully owns.
+- **Remaining stand-ins**: video containers beyond GIF and the feature
   encoder (the container has no ffmpeg / model runtime); those keep
-  deterministic fakes (``fake_decode``, byte-slice frames, histogram
-  embeddings) behind the REAL Spark contracts (schema in/out, Arrow
-  batching, fan-out shape) so swapping ffmpeg/torchvision in is a
+  deterministic stand-ins (``fake_decode`` generic byte metadata,
+  histogram embeddings) behind the REAL Spark contracts (schema in/out,
+  Arrow batching, fan-out shape) so swapping ffmpeg/torchvision in is a
   one-function change.
 
 Scale notes: binary payloads dominate row size → keep
@@ -695,48 +700,69 @@ def resize_images(
     return cols.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
+SAMPLED_FRAMES_SCHEMA = (
+    "frame_id string, id long, frame_idx int, src_frame_idx int, "
+    "n_frames int, frame binary, frame_error string"
+)
+
+
 def sample_frames(
     df: DataFrame,
     blob_col: str,
     id_col: str,
-    frame_bytes: int = 64,
     max_frames: int = 4,
 ) -> DataFrame:
-    """Sample frames from every video blob — codec STUBBED, expansion real.
+    """REAL temporal frame sampling over video blobs (animated GIF —
+    the one video container whose codec this repo fully owns; see
+    :func:`decode_gif_frames`, real LZW).
 
-    One input row fans out to ``min(max_frames, n_bytes // frame_bytes)``
-    frame rows — the row-expanding ``mapInPandas`` shape a real
-    ffmpeg-backed sampler needs (yielded batches need not be 1:1 with
-    input batches). The stand-in "frame" is the byte-slice at the frame's
-    offset. Output: (frame_id, id, frame_idx, frame_offset, frame).
+    Each blob's frames are decoded, then ``k = min(max_frames,
+    n_frames)`` sample points are taken EVENLY ACROSS THE TIMELINE —
+    ``src = (i * n_frames) // k``, the same stride an ffmpeg
+    ``select``-filter sampler uses — and each sampled frame is
+    re-encoded as PNG. This is the thumbnail/strip op a training
+    pipeline runs on video corpora; containers beyond GIF (H.264 etc.
+    — no codec can ship in this sandbox) follow the dead-letter
+    contract: one row with ``frame_idx = -1``, NULL payload, and the
+    decoder's message, so ids never silently vanish.
+
+    Row-expanding ``mapInPandas``: yielded batches are not 1:1 with
+    input batches, blobs never leave the executors. Output:
+    (frame_id, id, frame_idx, src_frame_idx, n_frames, frame PNG,
+    frame_error).
     """
     cols = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, offs, frames = [], [], [], []
-            for _, row in pdf.iterrows():
-                blob = row["blob"]
-                n = 0 if blob is None else len(blob)
-                for i in range(min(max_frames, n // frame_bytes)):
-                    ids.append(row["id"])
-                    idxs.append(i)
-                    offs.append(i * frame_bytes)
-                    frames.append(bytes(blob[i * frame_bytes : (i + 1) * frame_bytes]))
-            yield pd.DataFrame(
-                {
-                    "frame_id": [f"{a}_{b}" for a, b in zip(ids, idxs)],
-                    "id": ids,
-                    "frame_idx": idxs,
-                    "frame_offset": offs,
-                    "frame": frames,
-                }
-            )
+            out = {k: [] for k in ("frame_id", "id", "frame_idx", "src_frame_idx",
+                                   "n_frames", "frame", "frame_error")}
+            for rid, blob in zip(pdf["id"], pdf["blob"]):
+                try:
+                    frames = decode_gif_frames(blob)
+                except (ValueError, TypeError) as exc:
+                    out["frame_id"].append(f"{rid}_err")
+                    out["id"].append(rid)
+                    out["frame_idx"].append(-1)
+                    out["src_frame_idx"].append(-1)
+                    out["n_frames"].append(0)
+                    out["frame"].append(None)
+                    out["frame_error"].append(str(exc))
+                    continue
+                nf = len(frames)
+                k = min(max_frames, nf)
+                for i in range(k):
+                    src = (i * nf) // k
+                    out["frame_id"].append(f"{rid}_{i}")
+                    out["id"].append(rid)
+                    out["frame_idx"].append(i)
+                    out["src_frame_idx"].append(src)
+                    out["n_frames"].append(nf)
+                    out["frame"].append(encode_png(frames[src]))
+                    out["frame_error"].append(None)
+            yield pd.DataFrame(out)
 
-    return cols.mapInPandas(
-        run,
-        schema="frame_id string, id long, frame_idx int, frame_offset long, frame binary",
-    )
+    return cols.mapInPandas(run, schema=SAMPLED_FRAMES_SCHEMA)
 
 
 FRAMES_SCHEMA = (

@@ -323,23 +323,37 @@ def test_gif_frame_extraction_real_pixels(spark):
 
 
 def test_feature_extract_plumbing(spark):
+    import numpy as np
     from pyspark.sql import functions as F
 
     from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_image_pixels,
         extract_features,
         sample_frames,
     )
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import make_gif
 
     blobs = _docs(spark).select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
     )
 
-    frames = sample_frames(blobs, "blob", "doc_id", frame_bytes=16, max_frames=3)
-    rows = frames.collect()
-    # every doc here is >= 48 bytes -> full 3 frames each, contiguous slices
-    assert len(rows) == 12
-    one = next(r for r in rows if r["frame_id"] == "1_1")
-    assert one["frame_offset"] == 16 and len(one["frame"]) == 16
+    # real temporal sampler: 7-frame GIF sampled to 3 evenly-spaced frames
+    gifs = spark.createDataFrame(
+        [(1, make_gif(5, 4, n_frames=7, seed=9)), (2, b"not a video")],
+        "doc_id long, blob binary",
+    )
+    rows = sample_frames(gifs, "blob", "doc_id", max_frames=3).collect()
+    good = sorted((r for r in rows if r["id"] == 1), key=lambda r: r["frame_idx"])
+    # stride (i * 7) // 3 -> source frames 0, 2, 4
+    assert [r["src_frame_idx"] for r in good] == [0, 2, 4]
+    assert all(r["n_frames"] == 7 for r in good)
+    px = decode_image_pixels(bytes(good[1]["frame"]))  # src frame 2, seed 9
+    exp = np.array([[(9 + 22 + y + x) % 256 for x in range(5)] for y in range(4)],
+                   dtype=np.uint8)
+    assert (px == exp).all()
+    bad = [r for r in rows if r["id"] == 2]
+    assert len(bad) == 1 and bad[0]["frame_idx"] == -1 and bad[0]["frame"] is None
 
     feats = extract_features(blobs, "blob", "doc_id", dim=8).collect()
     by_id = {r["id"]: r["embedding"] for r in feats}
