@@ -458,6 +458,130 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_ann_oracle_sql(dim: int = 16, n_cells: int = 16,
+                               nprobe: int = 4, k: int = 10) -> str:
+    """DuckDB replay of the full multimodal→embedding→quantize→ANN
+    pipeline. Exactness chain: histogram counts are integers (any
+    accumulation order is exact below 2^53); the L2 norm is
+    sqrt(exact-integer) (correctly rounded everywhere); each element is
+    ONE division, then ONE float32 cast (Arrow and DuckDB round
+    identically); quantize/dequantize are single IEEE ops written with
+    the same parenthesization on both sides; and every dot product is a
+    sequential fold (fold_dots ↔ list_dot_product). So the byte
+    histogram, the int8 round-trip, cell assignment, probing, and the
+    final ranking are all bit-identical.
+
+    ORACLE FIXTURE CAP: generate_series(1,1024) bounds document length
+    (TESTDATA.md max is 577 chars; the fixture is pure ASCII so byte ==
+    ascii(char)). Widen if a future fixture grows."""
+    vc = _COS.format(a="e.v", b="cv")
+    cq = _COS.format(a="cv", b="qv")
+    fq = _COS.format(a="c.v", b="q.qv")
+    return f"""
+    WITH ch AS (
+        SELECT doc_id, ascii(substr(text, g.i, 1)) % {dim} AS bkt
+        FROM documents, generate_series(1, 1024) g(i)
+        WHERE g.i <= length(text)
+    ),
+    hist AS (
+        SELECT doc_id, bkt, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM ch GROUP BY doc_id, bkt
+    ),
+    dense AS (
+        SELECT d.doc_id, g.i AS bkt, COALESCE(h.c, 0.0) AS c
+        FROM documents d
+        CROSS JOIN generate_series(0, {dim - 1}) g(i)
+        LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bkt = g.i
+    ),
+    cnt AS (
+        SELECT doc_id, list(c ORDER BY bkt) AS cv FROM dense GROUP BY doc_id
+    ),
+    emb AS (
+        SELECT doc_id,
+               list_transform(
+                   cv, x -> CAST(CAST(x / sqrt(list_dot_product(cv, cv))
+                                      AS FLOAT) AS DOUBLE)) AS fv
+        FROM cnt
+    ),
+    mxed AS (
+        SELECT doc_id, fv,
+               NULLIF(list_max(list_transform(fv, x -> abs(x))), 0.0) AS mx
+        FROM emb
+    ),
+    e AS (
+        SELECT doc_id AS vec_id,
+               list_transform(
+                   fv, x -> round(x * 127.0 / mx) * (mx / 127.0)) AS v
+        FROM mxed
+    ),
+    q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+    cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        FROM e ORDER BY vec_id LIMIT {n_cells}
+    ),
+    assign AS (
+        SELECT e.vec_id, e.v, cidx,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {vc} DESC, cidx) AS rn
+        FROM e CROSS JOIN cents
+    ),
+    probes AS (
+        SELECT cidx FROM cents, q ORDER BY {cq} DESC, cidx LIMIT {nprobe}
+    ),
+    cand AS (
+        SELECT vec_id, v FROM assign
+        WHERE rn = 1 AND cidx IN (SELECT cidx FROM probes)
+    )
+    SELECT c.vec_id AS doc_id, {fq} AS cosine
+    FROM cand c, q
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+@query("multimodal_ann_pipeline", oracle=_multimodal_ann_oracle_sql())
+def multimodal_ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END multimodal retrieval pipeline (VERDICT r4 #4):
+    binary blobs → ``extract_features`` (per-partition encoder contract;
+    byte-histogram stand-in, the one thing a sandbox can't hold is the
+    real model) → int8 quantize + dequantize (the 4× storage format ANN
+    serves from — same arithmetic as ``embedding_quantize_int8``) →
+    seeded-IVF top-10 over the dequantized vectors. One gate row
+    exercises all three stages: the oracle rebuilds the histogram
+    embedding, the int8 round-trip, AND the IVF probe/rank in SQL, so a
+    real encoder can drop into ``extract_features`` knowing every stage
+    downstream of it is verified. All feature work is Arrow-batched
+    mapInPandas; quantization is map-side JVM array exprs; the IVF
+    centroid collect is 16 rows."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        extract_features,
+    )
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        topk_cosine_ivf_seeded,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    emb = extract_features(docs, "blob", "doc_id", dim=16)
+    mx = "nullif(array_max(transform(embedding, y -> abs(cast(y as double)))), 0d)"
+    deq = emb.select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"transform(embedding, x -> round(cast(x as double) * 127.0 / {mx})"
+            f" * ({mx} / 127.0))"
+        ).alias("embedding"),
+    )
+    qv = [
+        float(x)
+        for x in deq.orderBy("doc_id").select("embedding").first()["embedding"]
+    ]
+    out = topk_cosine_ivf_seeded(
+        deq, "embedding", "doc_id", qv, k=10, n_cells=16, nprobe=4
+    )
+    return out.select("doc_id", "cosine")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 
