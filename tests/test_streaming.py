@@ -242,6 +242,106 @@ def test_streaming_dedup_drops_cross_batch_redelivery(spark, events_batch, tmp_p
     assert got.select("event_id").distinct().count() == events_batch.count()
 
 
+def test_crash_recovery_restart_from_checkpoint_exactly_once(
+    spark, events_dir, events_batch, tmp_path
+):
+    """Kill the query mid-stream — AFTER the foreachBatch sink write but
+    BEFORE Spark commits the epoch — then restart from the checkpoint.
+    Spark replays the uncommitted micro-batch (at-least-once delivery);
+    the keyed upsert absorbs the replay idempotently, so the sink ends
+    EXACTLY equal to the batch answer: at-least-once replay + idempotent
+    MERGE = exactly-once observable effect (VERDICT r4 #8)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    aggs = lambda: [F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")]  # noqa: E731
+    batch_result = tumbling_agg(events_batch, "ts", "1 hour", ["event_type"], aggs())
+
+    sink = ParquetUpsertSink(
+        spark, tmp_path / "agg", keys=["window_start", "event_type"]
+    )
+    crash_flag = tmp_path / "crashed_once"
+    ckpt = tmp_path / "ckpt"
+
+    def write_then_maybe_crash(batch, epoch):
+        sink.write(batch)  # delivered to the sink...
+        if epoch >= 1 and not crash_flag.exists():
+            crash_flag.write_text("boom")
+            raise RuntimeError("injected crash after sink write")  # ...then die
+
+    def start():
+        stream = stream_from_directory(
+            spark, events_dir, events_batch.schema, max_files_per_trigger=1
+        )
+        windowed = tumbling_agg(
+            stream, "ts", "1 hour", ["event_type"], aggs(), watermark="2 hours"
+        )
+        return (
+            windowed.writeStream.outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .foreachBatch(write_then_maybe_crash)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(180)
+    assert crash_flag.exists()  # the failure really was the injected one
+
+    q2 = start()  # same checkpoint: resumes at the uncommitted epoch
+    assert q2.awaitTermination(180)
+
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    got = _collect_sorted(spark.read.parquet(str(tmp_path / "agg")), cols)
+    want = _collect_sorted(batch_result, cols)
+    assert got == want  # replayed epoch upserted, not duplicated
+
+
+def test_crash_recovery_dedup_state_survives_restart(spark, events_batch, tmp_path):
+    """dropDuplicatesWithinWatermark state must RECOVER from the
+    checkpoint: ids seen before a crash, redelivered in a file that only
+    arrives after the restart, are still dropped — the bounded-state
+    exactly-once dedup claim holds across process death, not just across
+    micro-batches of one run."""
+    import time as _time
+
+    from pubic_multi_platform_to_postgres_spark.streaming.windows import (
+        dedup_exactly_once,
+    )
+
+    src, out_dir, ckpt = tmp_path / "src", tmp_path / "clean", tmp_path / "ckpt"
+    subset = events_batch.filter(F.col("event_id") % 7 == 0)
+
+    def run_cycle():
+        stream = stream_from_directory(
+            spark, src, events_batch.schema, max_files_per_trigger=1
+        )
+        clean = dedup_exactly_once(
+            stream, ["event_id"], ts_col="ts", watermark="365 days"
+        )
+        q = (
+            clean.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    # cycle 1: full corpus lands, state records every event_id, query stops
+    events_batch.coalesce(1).write.mode("append").parquet(str(src))
+    run_cycle()
+    # "crash": the query object is gone; only the checkpoint remains.
+    _time.sleep(1.1)  # distinct mtime -> new file is a post-restart batch
+    subset.coalesce(1).write.mode("append").parquet(str(src))
+    run_cycle()  # fresh query, same checkpoint -> state restored
+
+    got = spark.read.parquet(str(out_dir))
+    assert got.count() == events_batch.count()  # replays after restart dropped
+    assert got.select("event_id").distinct().count() == events_batch.count()
+
+
 def test_stream_stream_interval_join_equals_batch(spark, events_dir, events_batch, tmp_path):
     """Click→purchase attribution as a watermarked stream-stream interval
     join must equal the same join run in batch — including pairs whose
