@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Scale-proof bench: measure the LLM-data family at 10× and 100× the
+bench scale (VERDICT r4, Next-round #1).
+
+SCALE.md argues every operator survives 100×; this converts the argument
+into measurement. Fixtures come from ``tools/make_scaled_sf.py``
+(replica-mutated sf0.1 — NO artificial cross-replica near-dups, so pair
+counts stay honest). For every query we record, per scale point:
+
+- wall-clock (median of ``--repeats`` at sf0.1/sf1; sf10 runs once —
+  the 100× point is a curve check, not a pin),
+- growth ratios vs sf0.1,
+- shuffle evidence from the Spark UI REST API (first run): total
+  shuffle-write bytes, the widest stage's task count, and the task
+  count of the heaviest-shuffle stage — a query "collapsing to a single
+  task" or exploding its shuffle shows up here, not just in wall-clock.
+
+A watchdog cancels any query exceeding ``--timeout`` (recorded as
+``timed_out``), so one quadratic blow-up cannot stall the evidence run.
+
+Usage::
+
+    python tools/bench_scale.py --out BENCH_SF1_r05.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+import __spark_entry__ as entry  # noqa: E402
+from make_scaled_sf import build  # noqa: E402
+
+from pubic_multi_platform_to_postgres_spark.session import get_session  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/spark_graft_sf1"
+SF10 = "/tmp/spark_graft_sf10"
+
+# Every query of the LLM-data family named by the verdict, measured at
+# sf0.1 and sf1 (10×):
+SF1_QUERIES = [
+    # dedup family
+    "dedup_exact_keep_min", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_embedding_neardup", "dedup_levenshtein_prefix",
+    # ANN family
+    "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
+    "multimodal_ann_pipeline",
+    # corpus curation
+    "corpus_contamination_check", "corpus_temperature_mix",
+    "corpus_remove_repetition", "corpus_stratified_sample",
+    "corpus_quality_filter", "corpus_chunk_documents",
+    "corpus_pack_sequences", "corpus_snapshot_diff",
+    "text_pii_scrub", "text_fingerprint", "embedding_quantize_int8",
+    # heaviest multimodal (real codecs)
+    "multimodal_gif_frames", "multimodal_resize", "multimodal_frame_sample",
+]
+# 100× point: the operators whose scale ledger claims map-side / single
+# bounded shuffle behavior (the codec-bound multimodal tier and the
+# blocked pair generators are 10×-verified above; at 100× their
+# per-replica fan-out would time-dominate the run without adding
+# scaling information).
+SF10_QUERIES = [
+    "corpus_stratified_sample", "text_pii_scrub", "text_fingerprint",
+    "embedding_quantize_int8", "corpus_quality_filter",
+    "corpus_chunk_documents", "corpus_pack_sequences",
+    "corpus_snapshot_diff", "corpus_temperature_mix",
+    "dedup_exact_keep_min", "sim_topk_bruteforce", "sim_topk_lsh",
+    "sim_topk_ivf",
+]
+
+
+def _stages(app_id: str) -> list[dict]:
+    url = f"http://localhost:4040/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.load(r)
+
+
+def _run_once(spark, fn, sf_dir: str, timeout_s: float) -> tuple[float, bool]:
+    group = f"scale-{time.monotonic_ns()}"
+    sc = spark.sparkContext
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            sc.cancelJobGroup(group)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    sc.setJobGroup(group, "bench_scale", interruptOnCancel=True)
+    t.start()
+    t0 = time.perf_counter()
+    try:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0, False
+    except Exception:  # noqa: BLE001 — cancelled by watchdog
+        return time.perf_counter() - t0, True
+    finally:
+        done.set()
+        sc.setJobGroup("", "")
+
+
+def measure(spark, app_id, name, sf_dir, repeats, timeout_s):
+    fn = entry.queries()[name]
+    before = {s["stageId"] for s in _stages(app_id)}
+    runs, timed_out = [], False
+    for i in range(repeats):
+        el, to = _run_once(spark, fn, sf_dir, timeout_s)
+        if to:
+            timed_out = True
+            break
+        runs.append(el)
+        if i == 0:
+            after = [s for s in _stages(app_id) if s["stageId"] not in before]
+            shuffle_write = sum(s.get("shuffleWriteBytes", 0) for s in after)
+            max_tasks = max((s.get("numCompleteTasks", 0) for s in after), default=0)
+            heaviest = max(
+                after, key=lambda s: s.get("shuffleWriteBytes", 0), default=None
+            ) if after else None
+            metrics = {
+                "shuffle_write_bytes": int(shuffle_write),
+                "spilled_bytes": int(
+                    sum(s.get("memoryBytesSpilled", 0) for s in after)
+                ),
+                "peak_execution_memory": int(
+                    max((s.get("peakExecutionMemory", 0) for s in after), default=0)
+                ),
+                "n_stages": len(after),
+                "widest_stage_tasks": int(max_tasks),
+                "heaviest_shuffle_stage_tasks": int(
+                    heaviest.get("numCompleteTasks", 0)
+                ) if heaviest else 0,
+            }
+    if timed_out:
+        return {"timed_out": True, "timeout_s": timeout_s}
+    return {
+        "median_s": round(statistics.median(runs), 4),
+        "runs": [round(x, 4) for x in runs],
+        **metrics,
+    }
+
+
+def summarize(report: dict) -> None:
+    """Attach growth ratios + a headline summary to the report dict."""
+    for pts in report["queries"].values():
+        base = pts.get("sf0.1", {}).get("median_s")
+        for label, mult in (("sf1", 10), ("sf10", 100)):
+            cur = pts.get(label, {})
+            if base and cur.get("median_s") is not None:
+                cur["growth_vs_sf0.1"] = round(cur["median_s"] / base, 2)
+                cur["growth_per_10x"] = round(
+                    (cur["median_s"] / base) ** (10 / mult), 2
+                )
+    g1 = {n: p["sf1"]["growth_vs_sf0.1"] for n, p in report["queries"].items()
+          if "growth_vs_sf0.1" in p.get("sf1", {})}
+    g10 = {n: p["sf10"]["growth_vs_sf0.1"] for n, p in report["queries"].items()
+           if "growth_vs_sf0.1" in p.get("sf10", {})}
+    report["summary"] = {
+        "n_queries": len(report["queries"]),
+        "n_timed_out": sum(
+            1 for p in report["queries"].values()
+            for v in p.values() if v.get("timed_out")
+        ),
+        "n_spilled": sum(
+            1 for p in report["queries"].values()
+            for v in p.values() if v.get("spilled_bytes")
+        ),
+        "sf1_worst_growth": max(g1.items(), key=lambda kv: kv[1]) if g1 else None,
+        "sf1_median_growth": round(
+            statistics.median(g1.values()), 2) if g1 else None,
+        "sf10_worst_growth": max(g10.items(), key=lambda kv: kv[1]) if g10 else None,
+        "sf10_median_growth": round(
+            statistics.median(g10.values()), 2) if g10 else None,
+        "notes": [
+            "growth_vs_sf0.1 at sf1 is over 10x the data; at sf10 over 100x"
+            " the data - sublinear growth means fixed overhead dominates,"
+            " superlinear means the operator pays more than linearly.",
+            "sf0.1 fixtures are single parquet files (widest stage = 1 task"
+            " for map-side queries), so the sf0.1 base is"
+            " parallelism-starved; scaled fixtures are multi-file and run"
+            " 10-33 tasks wide, which is why codec-bound multimodal queries"
+            " hold near-constant wall-clock at 10x the blobs.",
+        ],
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO / "BENCH_SF1_r05.json"))
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--timeout", type=float, default=300.0)
+    args = ap.parse_args()
+
+    for out, factor in ((SF1, 10), (SF10, 100)):
+        if not Path(out, "documents.parquet").exists():
+            build(SF01, factor, out)
+
+    spark = get_session(
+        app_name="spark_graft_bench_scale",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    report: dict = {
+        "sf_points": {"sf0.1": 1, "sf1": 10, "sf10": 100},
+        "repeats": {"sf0.1": args.repeats, "sf1": args.repeats, "sf10": 1},
+        "queries": {},
+    }
+    plan = [
+        ("sf0.1", SF01, SF1_QUERIES, args.repeats),
+        ("sf1", SF1, SF1_QUERIES, args.repeats),
+        ("sf10", SF10, SF10_QUERIES, 1),
+    ]
+    for label, sf_dir, names, repeats in plan:
+        for name in names:
+            r = measure(spark, app_id, name, sf_dir, repeats, args.timeout)
+            report["queries"].setdefault(name, {})[label] = r
+            msg = (
+                f"TIMEOUT>{args.timeout}s" if r.get("timed_out")
+                else f"{r['median_s']}s"
+            )
+            print(f"  {label:6s} {name}: {msg}", file=sys.stderr)
+
+    summarize(report)
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+    print(f"-> {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

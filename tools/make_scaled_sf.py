@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Generate scaled-up documents/embeddings fixtures for scale-proof benches.
+
+Replicates the driver's sf0.1 fixtures ``factor``× with DETERMINISTIC
+per-replica mutation, so a 10×/100× corpus keeps the per-replica duplicate
+/ language / length structure of the original while adding NO artificial
+cross-replica near-duplicates (which would turn linear operators into
+quadratic pair-explosions and invalidate the scaling measurement):
+
+- ``documents``: ``doc_id + k·N``; every token of replica ``k>0`` gets a
+  replica-specific prefix (``r{k}q``), so cross-replica shingle/minhash/
+  simhash similarity collapses to ~0 while token counts and length
+  distributions are preserved. ``n_chars`` is recomputed.
+- ``embeddings``: ``vec_id + k·M``; the vector is rotated by ``k % dim``
+  positions (norm-preserving, direction-changing), labels unchanged.
+
+Output is one parquet file PER REPLICA under ``<out>/documents.parquet/``
+and ``<out>/embeddings.parquet/`` (directory tables — the same layout
+Spark writes), so scans parallelize across files instead of collapsing
+to one row-group task.
+
+These scaled fixtures live OUTSIDE /root/testdata (which is read-only
+driver ground truth); they exist only for timing evidence — no oracle
+runs at these scales. Usage::
+
+    python tools/make_scaled_sf.py --factor 10 --out /tmp/spark_graft_sf1
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import duckdb
+
+BASE = "/root/testdata/sf0.1"
+
+
+def build(base: str, factor: int, out: str) -> None:
+    con = duckdb.connect()
+    outp = Path(out)
+    (outp / "documents.parquet").mkdir(parents=True, exist_ok=True)
+    (outp / "embeddings.parquet").mkdir(parents=True, exist_ok=True)
+
+    n_docs, = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{base}/documents.parquet')"
+    ).fetchone()
+    n_vecs, dim = con.execute(
+        f"SELECT COUNT(*), max(len(embedding))"
+        f" FROM read_parquet('{base}/embeddings.parquet')"
+    ).fetchone()
+
+    for k in range(factor):
+        mut = (
+            "text"
+            if k == 0
+            else f"'r{k}q' || replace(text, ' ', ' r{k}q')"
+        )
+        con.execute(
+            f"""
+            COPY (
+                SELECT doc_id + {k * n_docs} AS doc_id,
+                       {mut} AS text,
+                       lang, source,
+                       CAST(length({mut}) AS BIGINT) AS n_chars
+                FROM read_parquet('{base}/documents.parquet')
+            ) TO '{out}/documents.parquet/part-{k:05d}.parquet'
+              (FORMAT PARQUET)
+            """
+        )
+        rot = k % dim
+        vec = (
+            "embedding"
+            if rot == 0
+            else f"embedding[{rot + 1}:] || embedding[:{rot}]"
+        )
+        con.execute(
+            f"""
+            COPY (
+                SELECT vec_id + {k * n_vecs} AS vec_id,
+                       CAST({vec} AS FLOAT[]) AS embedding,
+                       label
+                FROM read_parquet('{base}/embeddings.parquet')
+            ) TO '{out}/embeddings.parquet/part-{k:05d}.parquet'
+              (FORMAT PARQUET)
+            """
+        )
+    total, = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/documents.parquet/*.parquet')"
+    ).fetchone()
+    assert total == factor * n_docs, (total, factor, n_docs)
+    print(f"built {out}: {total} docs, {factor * n_vecs} embeddings")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=BASE)
+    ap.add_argument("--factor", type=int, required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+    build(args.base, args.factor, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    main()
