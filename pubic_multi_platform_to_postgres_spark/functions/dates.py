@@ -51,24 +51,61 @@ def epoch_ms_to_ts(c: Column | str) -> Column:
     return F.timestamp_millis(_col(c).cast("long"))
 
 
+# Session-timezone spellings Java resolves to a fixed zero offset: under
+# any of these, date_format renders UTC wall-clock, so the single-call
+# formatter below is exact.
+_UTC_ZONE_IDS = frozenset(
+    {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Z", "+00:00", "Universal", "Zulu"}
+)
+
+
+def _session_tz_is_utc() -> bool:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        return spark.conf.get("spark.sql.session.timeZone") in _UTC_ZONE_IDS
+    except Exception:  # noqa: BLE001 — unreadable conf → take the safe path
+        return False
+
+
 def epoch_ms_to_iso(c: Column | str) -> Column:
     """Epoch milliseconds → ISO-8601 UTC ms string ('Z' suffix).
 
-    Built from epoch ARITHMETIC, not timestamp rendering:
-    ``date_format(timestamp_millis(ms), …)`` renders in the session
-    timezone, so a vanilla session on a non-UTC host would label local
-    wall-clock with a literal 'Z' (caught by running the oracle gate
-    under TZ=America/New_York). Day/time fields derive from integer
-    division; only a DATE (timezone-less by type) is ever formatted.
+    Two plans, chosen at build time by the session timezone:
+
+    - **UTC session (the engine's own sessions — ``session.py`` pins
+      ``spark.sql.session.timeZone=UTC``)**: one
+      ``date_format(timestamp_millis(ms), ISO_MS_FMT)`` call. date_format
+      renders in the session zone, which here IS UTC, so the 'Z' label is
+      truthful — and the single formatter call runs at the scan floor
+      (~2.3× faster than the arithmetic plan on 100k rows: the packed-int
+      substring/concat chain was the cost, not the Java formatter).
+    - **Any other / unknown session zone**: epoch ARITHMETIC, because
+      ``date_format`` would label local wall-clock with a literal 'Z'
+      (caught by running the oracle gate under TZ=America/New_York).
+      Day/time fields derive from integer division; only a DATE
+      (timezone-less by type) is ever formatted.
+
+    The branch is chosen when the Column is BUILT, but date_format's zone
+    is resolved when the plan is ANALYZED — so a fast-path Column carried
+    across a later session-zone change would render in the new zone.
+    Rebuild after a zone change (every engine call site builds
+    per-query, so this only concerns callers caching raw Columns).
     """
+    if _session_tz_is_utc():
+        return F.date_format(F.timestamp_millis(_col(c).cast("long")), ISO_MS_FMT)
     ms_total = _col(c).cast("long")
     days = F.floor(ms_total / 86400000)
     d = F.date_add(F.lit(datetime.date(1970, 1, 1)), days.cast("int"))
     rem = ms_total - days * F.lit(86400000)
     # Zero-padding via ONE integer: 1hhmmssSSS as a 10-digit long, cast to
-    # string once, sliced — ~2× faster than four lpad(cast(...)) chains
-    # (measured 0.48→0.25 s on 1.05 M rows; the lpads dominated the old
-    # plan). Integer-only, so still session-timezone-proof.
+    # string once, sliced — faster than four lpad(cast(...)) chains, and
+    # integer-only, so session-timezone-proof. (Still ~2× the single
+    # date_format call — that's why the UTC fast path above exists; this
+    # branch is the correctness fallback for non-UTC sessions.)
     packed = (
         F.lit(1000000000)
         + (rem / 3600000).cast("long") * 10000000

@@ -289,6 +289,42 @@ def test_format_roundtrip(spark):
     assert row["wrike"] == "2023-01-01T00:00:00Z"
 
 
+def test_epoch_ms_to_iso_branches_agree(spark):
+    """The UTC-session fast path (single date_format) and the non-UTC
+    arithmetic fallback must render identical strings for the same epoch
+    values — including negative epochs, day boundaries, and ms edges."""
+    from pubic_multi_platform_to_postgres_spark.functions import dates as D
+
+    ms_values = [
+        0,
+        1,
+        999,
+        1000,
+        86399999,            # last ms of epoch day 0
+        86400000,            # first ms of day 1
+        -1,                  # 1969-12-31T23:59:59.999Z
+        -86400000,
+        1672531200123,
+        1705322096789,
+        253402300799999,     # 9999-12-31T23:59:59.999Z
+    ]
+    df = spark.createDataFrame([Row(ms=v) for v in ms_values])
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert D._session_tz_is_utc()
+        fast = [r.iso for r in df.select(D.epoch_ms_to_iso("ms").alias("iso")).collect()]
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert not D._session_tz_is_utc()
+        slow = [r.iso for r in df.select(D.epoch_ms_to_iso("ms").alias("iso")).collect()]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert fast == slow
+    assert fast[0] == "1970-01-01T00:00:00.000Z"
+    assert fast[6] == "1969-12-31T23:59:59.999Z"
+
+
 def test_parse_date_fallback(spark):
     df = spark.createDataFrame([Row(s="2023-01-02 03:04:05"), Row(s="02/01/2023")])
     out = df.select(
