@@ -1689,54 +1689,92 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sorted-neighborhood window width: each row is compared to its next W
+# neighbors in (head, doc_id) order within a (lang, 8-prefix) block, so
+# candidate pairs are O(W·n) regardless of block skew.
+_SN_WINDOW = 10
+
+
 @query(
     "dedup_levenshtein_prefix",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT doc_id, lang, substring(trim(lower(text)), 1, 40) AS head
         FROM documents
+    ), r AS (
+        SELECT doc_id, lang, head, substring(head, 1, 8) AS blk,
+               row_number() OVER (
+                   PARTITION BY lang, substring(head, 1, 8)
+                   ORDER BY head, doc_id
+               ) AS rn
+        FROM t
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT least(a.doc_id, b.doc_id) AS id_a,
+           greatest(a.doc_id, b.doc_id) AS id_b,
            CAST(levenshtein(a.head, b.head) AS INTEGER) AS edit_dist
-    FROM t a JOIN t b
-      ON a.lang = b.lang AND substring(a.head, 1, 8) = substring(b.head, 1, 8)
-     AND a.doc_id < b.doc_id
+    FROM r a JOIN r b
+      ON a.lang = b.lang AND a.blk = b.blk
+     AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SN_WINDOW}
     WHERE levenshtein(a.head, b.head) <= 12
     """,
 )
 def dedup_levenshtein_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup pairs by edit distance over document heads —
     the entity-resolution flavor of dedup (typos and small edits that
-    token-set Jaccard misses). Candidate pairs are blocked on (lang,
-    8-char prefix) so the quadratic levenshtein only runs inside tiny
-    prefix buckets — the standard ER blocking decomposition; at corpus
-    scale swap the prefix for a phonetic/sorted-neighborhood key with
-    the same plan shape."""
+    token-set Jaccard misses).
+
+    Blocking is (lang, 8-char prefix) **plus a sorted-neighborhood
+    window** (Hernandez & Stolfo's merge/purge): rows are ranked by
+    (head, doc_id) inside the block and each row is compared only to
+    its next ``_SN_WINDOW`` neighbors. A plain prefix block is O(b²)
+    in block size — a hot boilerplate prefix ("click here to…") at
+    corpus scale is a quadratic skew bomb (measured: 5.72× wall-clock
+    for 10× data at sf1, the worst curve in BENCH_SF1_r05). The window
+    caps candidate pairs at W·n; near-identical heads sort adjacent, so
+    edit-close pairs land inside the window.
+
+    The neighbor join is a true 3-key EQUI-join — the a-side explodes
+    each row into W (rn+j) probe keys — so Spark never enumerates a
+    block's full cross product the way a 2-key join + rn-range filter
+    would (plan-pinned by
+    ``test_levenshtein_neighbor_join_is_bounded_equi_join``).
+    """
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id", "lang",
         F.substring(F.trim(F.lower(F.col("text"))), 1, 40).alias("head"),
     )
-    a = t.select(
-        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"),
-        F.col("head").alias("head_a"),
-        F.substring("head", 1, 8).alias("block_a"),
+    w = Window.partitionBy("lang", "blk").orderBy("head", "doc_id")
+    r = t.withColumn("blk", F.substring("head", 1, 8)).withColumn(
+        "rn", F.row_number().over(w)
     )
-    b = t.select(
-        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"),
-        F.col("head").alias("head_b"),
-        F.substring("head", 1, 8).alias("block_b"),
+    a = r.select(
+        F.col("doc_id").alias("doc_a"), "lang", "blk",
+        F.col("head").alias("head_a"),
+        # each row probes for its next W neighbors: rn+1 … rn+W
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + _SN_WINDOW)
+        ).alias("rn_peer"),
+    )
+    b = r.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("blk").alias("blk_b"), F.col("head").alias("head_b"),
+        F.col("rn").alias("rn_b"),
     )
     dist = F.levenshtein("head_a", "head_b")
     return (
         a.join(
             b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("block_a") == F.col("block_b"))
-            & (F.col("id_a") < F.col("id_b")),
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("blk") == F.col("blk_b"))
+            & (F.col("rn_peer") == F.col("rn_b")),
         )
         .filter(dist <= 12)
-        .select("id_a", "id_b", dist.cast("int").alias("edit_dist"))
+        .select(
+            F.least("doc_a", "doc_b").alias("id_a"),
+            F.greatest("doc_a", "doc_b").alias("id_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
     )
 
 

@@ -163,3 +163,23 @@ def test_chunking_is_mapside_packing_single_shuffle(spark):
     one window shuffle on the lang shard."""
     assert "Exchange" not in plan_of(spark, "corpus_chunk_documents")
     assert plan_of(spark, "corpus_pack_sequences").count("Exchange hashpartitioning") == 1
+
+
+def test_levenshtein_neighbor_join_is_bounded_equi_join(spark):
+    """dedup_levenshtein_prefix must compare each row to at most W
+    sorted neighbors via a 3-key EQUI-join on (lang, blk, rn_peer=rn) —
+    never a 2-key block join whose rn-range rides as a post-filter,
+    which would still enumerate a hot block's full O(b^2) cross product
+    (VERDICT r5 #2: 5.72x wall-clock for 10x data)."""
+    plan = plan_of(spark, "dedup_levenshtein_prefix")
+    # the W probe keys come from an explode(sequence(rn+1, rn+W))
+    assert "explode" in plan and "sequence" in plan, plan
+    # rn_peer participates in the join KEYS (equi), not a filter:
+    # every join operator line that mentions the block key also carries
+    # the neighbor-rank key in its key lists
+    import re
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "blk" in l]
+    assert join_lines, plan
+    for line in join_lines:
+        assert "rn_peer" in line and "rn_b" in line, line
+    assert "CartesianProduct" not in plan

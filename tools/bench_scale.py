@@ -45,6 +45,7 @@ from pubic_multi_platform_to_postgres_spark.session import get_session  # noqa: 
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/spark_graft_sf1"
+SF3 = "/tmp/spark_graft_sf3"
 SF10 = "/tmp/spark_graft_sf10"
 
 # Every query of the LLM-data family named by the verdict, measured at
@@ -78,6 +79,13 @@ SF10_QUERIES = [
     "corpus_snapshot_diff", "corpus_temperature_mix",
     "dedup_exact_keep_min", "sim_topk_bruteforce", "sim_topk_lsh",
     "sim_topk_ivf",
+]
+# 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
+# claim that band fan-out is linear needs a curve (>= 3 scale points),
+# not the single sf1 measurement. One repeat — a curve check, not a pin.
+SF3_QUERIES = [
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_levenshtein_prefix",
 ]
 
 
@@ -154,7 +162,7 @@ def summarize(report: dict) -> None:
     """Attach growth ratios + a headline summary to the report dict."""
     for pts in report["queries"].values():
         base = pts.get("sf0.1", {}).get("median_s")
-        for label, mult in (("sf1", 10), ("sf10", 100)):
+        for label, mult in (("sf1", 10), ("sf3", 30), ("sf10", 100)):
             cur = pts.get(label, {})
             if base and cur.get("median_s") is not None:
                 cur["growth_vs_sf0.1"] = round(cur["median_s"] / base, 2)
@@ -163,6 +171,8 @@ def summarize(report: dict) -> None:
                 )
     g1 = {n: p["sf1"]["growth_vs_sf0.1"] for n, p in report["queries"].items()
           if "growth_vs_sf0.1" in p.get("sf1", {})}
+    g3 = {n: p["sf3"]["growth_vs_sf0.1"] for n, p in report["queries"].items()
+          if "growth_vs_sf0.1" in p.get("sf3", {})}
     g10 = {n: p["sf10"]["growth_vs_sf0.1"] for n, p in report["queries"].items()
            if "growth_vs_sf0.1" in p.get("sf10", {})}
     report["summary"] = {
@@ -178,6 +188,7 @@ def summarize(report: dict) -> None:
         "sf1_worst_growth": max(g1.items(), key=lambda kv: kv[1]) if g1 else None,
         "sf1_median_growth": round(
             statistics.median(g1.values()), 2) if g1 else None,
+        "sf3_pair_family_growth": g3 or None,
         "sf10_worst_growth": max(g10.items(), key=lambda kv: kv[1]) if g10 else None,
         "sf10_median_growth": round(
             statistics.median(g10.values()), 2) if g10 else None,
@@ -196,12 +207,12 @@ def summarize(report: dict) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=str(REPO / "BENCH_SF1_r05.json"))
+    ap.add_argument("--out", default=str(REPO / "BENCH_SF1_r06.json"))
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--timeout", type=float, default=300.0)
     args = ap.parse_args()
 
-    for out, factor in ((SF1, 10), (SF10, 100)):
+    for out, factor in ((SF1, 10), (SF3, 30), (SF10, 100)):
         if not Path(out, "documents.parquet").exists():
             build(SF01, factor, out)
 
@@ -220,6 +231,7 @@ def main() -> int:
     plan = [
         ("sf0.1", SF01, SF1_QUERIES, args.repeats),
         ("sf1", SF1, SF1_QUERIES, args.repeats),
+        ("sf3", SF3, SF3_QUERIES, 1),
         ("sf10", SF10, SF10_QUERIES, 1),
     ]
     for label, sf_dir, names, repeats in plan:
