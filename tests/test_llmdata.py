@@ -362,6 +362,42 @@ def test_feature_extract_plumbing(spark):
     assert abs(norm - 1.0) < 1e-5  # L2-normalized
 
 
+def test_sample_frames_dead_letters_non_gif_containers(spark):
+    """VERDICT r5 #6: any container the GIF codec can't decode — a
+    perfectly valid PNG, arbitrary garbage, or a NULL blob — must yield
+    EXACTLY ONE dead-letter row (frame_idx=-1, NULL payload, decoder
+    message) and never drop the id."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        make_gif,
+        make_png,
+        sample_frames,
+    )
+
+    blobs = spark.createDataFrame(
+        [
+            (1, make_png(6, 4, seed=3)),       # valid image, wrong container
+            (2, b"\x00garbage\xff" * 7),       # arbitrary bytes
+            (3, None),                          # NULL blob
+            (4, make_gif(4, 3, n_frames=2)),   # control: decodable
+        ],
+        "doc_id long, blob binary",
+    )
+    rows = sample_frames(blobs, "blob", "doc_id", max_frames=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert set(by_id) == {1, 2, 3, 4}  # no id vanishes
+    for bad_id in (1, 2, 3):
+        assert len(by_id[bad_id]) == 1, by_id[bad_id]
+        (r,) = by_id[bad_id]
+        assert r["frame_idx"] == -1 and r["src_frame_idx"] == -1
+        assert r["n_frames"] == 0 and r["frame"] is None
+        assert r["frame_error"]  # decoder message present
+    assert "gif" in by_id[1][0]["frame_error"].lower()  # PNG refused as gif
+    assert len(by_id[4]) == 2  # control decodes both frames
+    assert all(r["frame_error"] is None for r in by_id[4])
+
+
 def test_simhash_neardup_pairs_banding(spark):
     from pubic_multi_platform_to_postgres_spark.operators.dedup import (
         simhash_neardup_pairs,
