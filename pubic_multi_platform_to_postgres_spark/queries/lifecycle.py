@@ -318,6 +318,9 @@ def histogram_equidepth_order_values(spark: SparkSession, sf_dir: str) -> DataFr
 
 @query(
     "layout_zorder_clustering",
+    # NOT a fixture cap: generate_series(0,15) iterates the 16 bit
+    # positions of the 16-bit (% 65536) quantized keys — an algorithmic
+    # constant matched by the engine's bit-interleave, fixture-independent.
     oracle="""
     WITH keyed AS (
         SELECT o_orderkey,

@@ -787,6 +787,9 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_resize",
+    # NOT a fixture cap: generate_series(0,7) is the fixed 8×8 resize
+    # TARGET grid (the operator's width/height args) — an algorithmic
+    # constant, fixture-independent.
     oracle="""
     WITH g AS (SELECT i FROM generate_series(0, 7) s(i)),
     px AS (
@@ -868,6 +871,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_gif_frames",
+    # ORACLE FIXTURE CAPS (bounded BY CONSTRUCTION of the synthetic
+    # render below, not by TESTDATA.md): f ≤ 4 frames (nf = 1+doc_id%4),
+    # gy ≤ 24 rows (h = 1+(doc_id//5)%24), gx ≤ 32 cols (w = 1+doc_id%32).
+    # Widen alongside the render arithmetic if the fixture shape changes.
     oracle="""
     WITH fr AS (
         SELECT d.doc_id,
@@ -962,6 +969,9 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_pixel_histogram",
+    # ORACLE FIXTURE CAPS (bounded BY CONSTRUCTION of the synthetic
+    # render below): gy ≤ 48 rows (h = 1+(doc_id//7)%48), gx ≤ 64 cols
+    # (w = 1+doc_id%64) — the WHERE clauses trim to the exact dims.
     oracle="""
     WITH px AS (
         SELECT d.doc_id,
@@ -1011,8 +1021,9 @@ def multimodal_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_frame_sample",
     # ORACLE FIXTURE CAPS: the gy/gx series bound the synthetic frame
-    # dims (h ≤ 12, w ≤ 16 by construction below); widen alongside the
-    # render arithmetic if the fixture shape changes.
+    # dims (h ≤ 12, w ≤ 16 by construction below), and g(0,3) bounds the
+    # sample count (k = least(4, …) by construction); widen alongside
+    # the render arithmetic if the fixture shape changes.
     oracle="""
     WITH p AS (
         SELECT doc_id,
@@ -1152,6 +1163,9 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_remove_repetition",
+    # ORACLE FIXTURE CAP: generate_series(0,127) assumes ≤ 256 words per
+    # document (128 2-word windows — TESTDATA.md docs are ≤ ~100 words).
+    # Engine side is unbounded; widen if a future fixture grows.
     oracle="""
     WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     win AS (
