@@ -1796,6 +1796,15 @@ def dedup_levenshtein_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("rn") + 1, F.col("rn") + _SN_WINDOW)
         ).alias("rn_peer"),
     )
+    # The probe side's shuffle BYTES are tiny (ranks + 40-char heads) but
+    # its CPU is the whole levenshtein budget; AQE sizes partitions by
+    # bytes, so at mid scales it coalesces the window exchange to ~1
+    # partition and the scoring stage runs single-task (measured: a 6 s
+    # one-task stage at 10× data). The build side is a broadcast (no key
+    # partitioning required of the probes — and a sort-merge promotion
+    # at larger scale re-shuffles by key anyway), so spread the probes
+    # round-robin to full width; explicit N is exempt from AQE coalesce.
+    a = a.repartition(spark.sparkContext.defaultParallelism)
     b = r.select(
         F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
         F.col("blk").alias("blk_b"), F.col("head").alias("head_b"),

@@ -244,6 +244,20 @@ def main() -> int:
             )
             print(f"  {label:6s} {name}: {msg}", file=sys.stderr)
 
+    # Pair-LISTING queries have output that grows superlinearly in the
+    # replica factor by CONSTRUCTION (a doc's replicas are near-dups of
+    # each other, so qualifying pairs grow ~quadratically per family).
+    # Record output rows per scale point so the wall-clock growth ratios
+    # above can be read against the answer size, not just the input size.
+    counts: dict = {}
+    for name in SF3_QUERIES:
+        fn = entry.queries()[name]
+        counts[name] = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1), ("sf3", SF3)):
+            counts[name][label] = fn(spark, sf_dir).count()
+        print(f"  rows   {name}: {counts[name]}", file=sys.stderr)
+    report["pair_output_rows"] = counts
+
     summarize(report)
     Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
     print(f"-> {args.out}", file=sys.stderr)
