@@ -172,3 +172,91 @@ def remove_repeated_windows(
             )
         ).alias("cleaned_md5"),
     )
+
+
+# --- char-bigram LM scoring (CCNet/KenLM-style perplexity filter) ----------
+
+LM_SEED = 0xB16A   # seeded stand-in weights: only the TRAINED values are
+LM_ALPHABET = 27   # a-z + everything-else-as-space
+LM_DIM = LM_ALPHABET * LM_ALPHABET
+
+
+LM_SCALE = 1_000_000.0  # table quantized to integer micro-logprobs
+
+
+def lm_logprob_micros(seed: int = LM_SEED):
+    """The 27×27 char-bigram log-probability table, flattened row-major
+    (idx = 27·c1 + c2 with c = letter−'a', space/other = 26), in INTEGER
+    micro-logprobs (float64 holding exact integers = logprob·10⁶).
+    Seeded-normal stand-in centred on a plausible scale (−8 ± 2 nats) —
+    the shape and arithmetic of a real KenLM-style scorer; a trained
+    table drops in via the same array. Quantized so that count·weight
+    products and their sums are all exactly-representable integers far
+    below 2⁵³: the dot product is then bit-identical under ANY
+    accumulation order (GEMM, SQL fold, SIMD blocking) — no strict-fold
+    gate branch needed, unlike the unquantized-float operators. One
+    deterministic generation shared by the executor-side scorer and the
+    DuckDB oracle literals.
+    """
+    import numpy as np
+
+    return np.rint(np.random.default_rng(seed).normal(-8.0, 2.0, LM_DIM) * LM_SCALE)
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    seed: int = LM_SEED,
+) -> DataFrame:
+    """Mean char-bigram log-probability per document — the
+    perplexity-proxy quality signal every CCNet-style curation pipeline
+    computes before training (docs scoring far below the corpus norm are
+    boilerplate/garble candidates).
+
+    Text is normalized to the 27-symbol alphabet (lower; non-[a-z] →
+    space), bigram COUNTS are exact integers, and the score is the dot
+    product of the 729-dim count vector with the seeded micro-logprob
+    table — integer×integer throughout, so the GEMM is exact and
+    bit-identical to the DuckDB oracle's ``list_dot_product`` replay
+    regardless of accumulation order (see ``lm_logprob_micros``); the
+    mean pays exactly two IEEE divisions (÷scale, ÷count) in a fixed
+    order on both engines. Map-side only: one Arrow-batched projection,
+    no shuffle. Documents with no bigram (length < 2) score NULL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    table = lm_logprob_micros(seed)
+    cols = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            cnt = np.zeros((n, LM_DIM), dtype=np.float64)
+            nbg = np.zeros(n, dtype=np.int64)
+            for r, t in enumerate(pdf["text"]):
+                if t is None:
+                    continue
+                b = np.frombuffer(t.lower().encode("ascii", "replace"), dtype=np.uint8)
+                # int64 BEFORE the *27 fold: uint8 index arithmetic wraps
+                sym = np.where(
+                    (b >= 97) & (b <= 122), b - 97, LM_ALPHABET - 1
+                ).astype(np.int64)
+                if sym.shape[0] < 2:
+                    continue
+                idx = sym[:-1] * LM_ALPHABET + sym[1:]
+                np.add.at(cnt[r], idx, 1.0)
+                nbg[r] = idx.shape[0]
+            score = cnt @ table  # exact: integer-valued doubles throughout
+            mean = np.where(nbg > 0, (score / LM_SCALE) / np.maximum(nbg, 1), np.nan)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bigrams": nbg,
+                    "mean_logprob": [None if nbg[i] == 0 else float(mean[i])
+                                     for i in range(n)],
+                }
+            )
+
+    return cols.mapInPandas(run, schema="id long, n_bigrams long, mean_logprob double")

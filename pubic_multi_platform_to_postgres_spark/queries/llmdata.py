@@ -1386,6 +1386,138 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_perplexity_oracle_sql(threshold: float = -8.0) -> str:
+    """DuckDB replay of the char-bigram LM scorer. Counts are exact
+    integers and the table is integer micro-logprobs, so every product
+    and partial sum in ``list_dot_product(counts, table)`` is an
+    exactly-representable integer — bit-identical to the scorer's GEMM
+    under ANY accumulation order; the mean then pays the same two IEEE
+    divisions (÷10⁶, ÷count) in the same order, so the threshold
+    comparison can't flip cross-engine.
+
+    ORACLE FIXTURE CAP: generate_series(1,1023) bounds bigram positions
+    (TESTDATA.md max doc is 577 chars, pure ASCII — so Python's
+    ascii-replace byte path and DuckDB's per-character walk agree
+    position-for-position). Widen if a future fixture grows."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        LM_ALPHABET,
+        LM_DIM,
+        lm_logprob_micros,
+    )
+
+    table_lits = ", ".join(repr(float(x)) for x in lm_logprob_micros())
+    sym = (
+        "CASE WHEN ascii(substr(norm, {i}, 1)) BETWEEN 97 AND 122 "
+        "THEN ascii(substr(norm, {i}, 1)) - 97 ELSE {sp} END"
+    )
+    s1 = sym.format(i="g.i", sp=LM_ALPHABET - 1)
+    s2 = sym.format(i="g.i + 1", sp=LM_ALPHABET - 1)
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, lower(text) AS norm FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ({s1}) * {LM_ALPHABET} + ({s2}) AS idx
+        FROM norm, generate_series(1, 1023) g(i)
+        WHERE g.i + 1 <= length(norm)
+    ),
+    hist AS (
+        SELECT doc_id, idx, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM bg GROUP BY doc_id, idx
+    ),
+    dense AS (
+        SELECT n.doc_id, g.i AS idx, COALESCE(h.c, 0.0) AS c
+        FROM norm n
+        CROSS JOIN generate_series(0, {LM_DIM - 1}) g(i)
+        LEFT JOIN hist h ON h.doc_id = n.doc_id AND h.idx = g.i
+        WHERE length(n.norm) >= 2
+    ),
+    cnt AS (
+        SELECT doc_id, list(c ORDER BY idx) AS cv,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams
+        FROM dense GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_bigrams,
+           (list_dot_product(cv, [{table_lits}]) / 1000000.0) / n_bigrams
+               AS mean_logprob
+    FROM cnt
+    WHERE (list_dot_product(cv, [{table_lits}]) / 1000000.0) / n_bigrams
+          >= {threshold!r}
+    """
+
+
+@query("text_lm_perplexity_filter", oracle=_lm_perplexity_oracle_sql())
+def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style perplexity-proxy quality filter: score every
+    document with a char-bigram LM (seeded stand-in weights — the
+    trained values are the only thing a sandbox can't hold; the count →
+    dot-product → mean arithmetic is the real scorer) and keep documents
+    at or above the corpus-scale threshold. Map-side only: one
+    Arrow-batched projection per batch, no shuffle; the 729-double
+    table loads once per partition like a real LM."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = lm_score(docs, "text", "doc_id")
+    return (
+        scored.filter(F.col("mean_logprob") >= -8.0)
+        .select(F.col("id").alias("doc_id"), "n_bigrams", "mean_logprob")
+    )
+
+
+@query(
+    "dedup_incremental_new_batch",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, md5(trim(lower(text))) AS fp
+        FROM documents
+    ),
+    corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+    batch AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+    fresh AS (
+        SELECT b.* FROM batch b LEFT JOIN corp c USING (fp)
+        WHERE c.fp IS NULL
+    )
+    SELECT doc_id, lang, fp FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fresh
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a NEW ingest batch against the landed corpus
+    — the daily-production pattern (each crawl/delivery is deduped
+    against everything already ingested, by CONTENT, not by key — the
+    same page arriving from a different URL must still drop). The
+    deterministic split: every 5th doc_id is the incoming batch, the
+    rest is the corpus.
+
+    Plan: one map-side fingerprint projection per side (md5 of
+    normalized text), a LEFT ANTI equi-join of batch vs the corpus's
+    distinct fingerprints, then a keep-min-doc_id window inside the
+    batch (first-wins within the delivery). Only fingerprints cross the
+    wire — never text. At 100 TB the corpus fingerprint table is the
+    big side: store it bucketed by fp so the anti-join co-locates
+    without an exchange, or front it with the bloom pre-filter
+    (``queries/relational.py``) so the batch probes a bitmap before the
+    join; the batch side (a day's crawl) stays the small shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "lang", F.md5(F.trim(F.lower(F.col("text")))).alias("fp")
+    )
+    batch = fp.filter(F.col("doc_id") % 5 == 0)
+    corp = fp.filter(F.col("doc_id") % 5 != 0).select("fp").distinct()
+    fresh = batch.join(corp, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "fp")
+    )
+
+
 @query(
     "corpus_temperature_mix",
     oracle="""

@@ -152,3 +152,52 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
     )
+
+
+@query(
+    "stream_interval_join_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: every purchase within 30 minutes of a
+    same-user click — the canonical stream-stream interval join. Batch
+    face of :func:`streaming.windows.interval_join_stream` (this IS the
+    builder the streaming path runs; the streaming face is asserted
+    batch≡streaming in ``test_streaming.py`` with two-sided watermarks,
+    so join state stays bounded by the watermark + interval horizon).
+    Plan: one equi-shuffle on user_id with the time range as a join
+    residual — no cross product; at 100 TB both streams hash-partition
+    by user and state eviction follows the watermark."""
+    from pubic_multi_platform_to_postgres_spark.streaming.windows import (
+        interval_join_stream,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = interval_join_stream(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        max_delay_s=1800,
+    )
+    return joined.select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
+        F.col("r_value").alias("purchase_value"),
+    )

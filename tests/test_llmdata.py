@@ -431,3 +431,67 @@ def test_connected_components_chain_clique_and_pair(spark):
     assert {labels[n] for n in (1, 2, 3, 4, 5)} == {1}
     assert {labels[n] for n in (10, 11, 12)} == {10}
     assert {labels[n] for n in (20, 21)} == {20}
+
+
+def test_lm_score_edges_and_exactness(spark):
+    """Char-bigram LM scorer: NULL/empty/1-char docs score NULL with 0
+    bigrams; the quantized micro-logprob table makes the GEMM exact, so
+    a direct integer recomputation matches bit-for-bit."""
+    import numpy as np
+
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        LM_ALPHABET,
+        LM_SCALE,
+        lm_logprob_micros,
+        lm_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello, LM!"), (2, ""), (3, None), (4, "x"), (5, "ab")],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in lm_score(df, "text", "doc_id").collect()}
+    for bad in (2, 3, 4):
+        assert rows[bad]["n_bigrams"] == 0 and rows[bad]["mean_logprob"] is None
+    tab = lm_logprob_micros()
+    for did, text in ((1, "Hello, LM!"), (5, "ab")):
+        b = np.frombuffer(text.lower().encode("ascii", "replace"), dtype=np.uint8)
+        sym = np.where((b >= 97) & (b <= 122), b - 97, LM_ALPHABET - 1).astype(
+            np.int64
+        )
+        idx = sym[:-1] * LM_ALPHABET + sym[1:]
+        expect = (float(tab[idx].sum()) / LM_SCALE) / len(idx)
+        assert rows[did]["n_bigrams"] == len(idx)
+        assert rows[did]["mean_logprob"] == expect  # exact, not approx
+
+
+def test_incremental_dedup_drops_known_content_and_batch_dups(spark):
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    df = spark.createDataFrame(
+        [
+            # corpus (doc_id % 5 != 0)
+            (1, "known text", "en"),
+            (2, "other corpus text", "en"),
+            # batch (doc_id % 5 == 0)
+            (5, "known text", "en"),        # content already landed -> drop
+            (10, "brand new text", "en"),   # survives
+            (15, "brand new text", "en"),   # batch dup -> first wins
+            (20, "  Brand New TEXT ", "en"),# normalization: same fp as 10
+        ],
+        "doc_id long, text string, lang string",
+    )
+    import pubic_multi_platform_to_postgres_spark.queries.registry as R
+    orig = R.load
+    try:
+        R.load = lambda spark, sf, table: df  # the query only reads documents
+        import pubic_multi_platform_to_postgres_spark.queries.llmdata as L
+        orig_l = L.load
+        L.load = R.load
+        try:
+            out = REGISTRY["dedup_incremental_new_batch"].fn(spark, "unused").collect()
+        finally:
+            L.load = orig_l
+    finally:
+        R.load = orig
+    assert sorted(r["doc_id"] for r in out) == [10]
