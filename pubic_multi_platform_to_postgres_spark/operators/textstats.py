@@ -260,3 +260,41 @@ def lm_score(
             )
 
     return cols.mapInPandas(run, schema="id long, n_bigrams long, mean_logprob double")
+
+
+def lm_bigram_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Sparse per-document char-bigram counts: (id, idx, c) rows over
+    the 27-symbol alphabet (idx = 27·c1 + c2, see ``lm_logprob_micros``).
+    One Arrow-batched map-side projection — the shared featurizer for
+    both LM scoring paths (seeded table in ``lm_score``, corpus-trained
+    table in ``text_lm_self_perplexity``). Counts are exact integers, so
+    every downstream aggregate is order-independent."""
+    import numpy as np
+    import pandas as pd
+
+    cols = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, cs = [], [], []
+            for rid, t in zip(pdf["id"], pdf["text"]):
+                if t is None:
+                    continue
+                b = np.frombuffer(t.lower().encode("ascii", "replace"), dtype=np.uint8)
+                sym = np.where(
+                    (b >= 97) & (b <= 122), b - 97, LM_ALPHABET - 1
+                ).astype(np.int64)
+                if sym.shape[0] < 2:
+                    continue
+                idx = sym[:-1] * LM_ALPHABET + sym[1:]
+                u, c = np.unique(idx, return_counts=True)
+                ids.extend([rid] * len(u))
+                idxs.extend(int(x) for x in u)
+                cs.extend(int(x) for x in c)
+            yield pd.DataFrame({"id": ids, "idx": idxs, "c": cs})
+
+    return cols.mapInPandas(run, schema="id long, idx int, c long")

@@ -1447,6 +1447,118 @@ def _lm_perplexity_oracle_sql(threshold: float = -8.0) -> str:
     """
 
 
+def _lm_self_perplexity_oracle_sql() -> str:
+    """DuckDB replay of the corpus-trained self-perplexity scorer.
+    Everything is integer-exact until the final two divisions: bigram
+    counts are integers; the add-one-smoothed probability is quantized
+    by INTEGER floor division ((c+1)·10⁹ // (N+729)); a document's
+    score is a SUM of those integers (order-independent, < 2⁵³); the
+    mean pays the same two IEEE divisions in the same order as the
+    Spark plan. So the hash matches with no fold machinery at all.
+
+    ORACLE FIXTURE CAP: generate_series(1,1023) bounds bigram positions
+    (TESTDATA.md max doc is 577 chars, pure ASCII)."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        LM_ALPHABET,
+        LM_DIM,
+    )
+
+    sym = (
+        "CASE WHEN ascii(substr(norm, {i}, 1)) BETWEEN 97 AND 122 "
+        "THEN ascii(substr(norm, {i}, 1)) - 97 ELSE {sp} END"
+    )
+    s1 = sym.format(i="g.i", sp=LM_ALPHABET - 1)
+    s2 = sym.format(i="g.i + 1", sp=LM_ALPHABET - 1)
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, lower(text) AS norm FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ({s1}) * {LM_ALPHABET} + ({s2}) AS idx
+        FROM norm, generate_series(1, 1023) g(i)
+        WHERE g.i + 1 <= length(norm)
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM bg),
+    tab AS (
+        SELECT idx,
+               (COUNT(*) + 1) * 1000000000 // ((SELECT n FROM tot) + {LM_DIM})
+                   AS pm
+        FROM bg GROUP BY idx
+    ),
+    s AS (
+        SELECT b.doc_id, SUM(t.pm) AS sc, COUNT(*) AS nb
+        FROM bg b JOIN tab t USING (idx)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, nb AS n_bigrams,
+           (CAST(sc AS DOUBLE) / 1000000000.0) / nb AS mean_prob
+    FROM s
+    """
+
+
+@query("text_lm_self_perplexity", oracle=_lm_self_perplexity_oracle_sql())
+def text_lm_self_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-TRAINED LM perplexity proxy — the CCNet recipe with no
+    stand-in weights at all: train an add-one-smoothed char-bigram model
+    on the corpus itself, then score every document by its mean bigram
+    probability under that model (documents whose character statistics
+    deviate from the corpus — garble, boilerplate, wrong-language — sit
+    in the low tail; the curation step drops or down-weights them).
+
+    Distributed train→score with one 1-row driver fetch (the corpus
+    bigram total — same collect class as the IVF centroids): the sparse
+    per-doc bigram counts (one Arrow-batched projection) feed BOTH the
+    729-row probability table (one tiny aggregate, broadcast back)
+    and the scoring join; a document's score is an exact integer SUM of
+    quantized probabilities — order-independent, no fold machinery —
+    and the mean pays two IEEE divisions in a pinned order. At 100 TB
+    the counts projection is map-side, the model table is O(alphabet²)
+    regardless of corpus size, and scoring is a broadcast join +
+    per-doc sum — one shuffle on doc id."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        LM_DIM,
+        lm_bigram_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = lm_bigram_counts(docs, "text", "doc_id")
+    # 1-row driver fetch of the corpus bigram total (same class as the
+    # ANN query-vector .first() / the 16-row IVF centroid collect) —
+    # a crossJoin of the 1-row aggregate would plan a
+    # BroadcastNestedLoopJoin, which the plan suite forbids suite-wide.
+    n_total = counts.agg(F.sum("c")).first()[0] or 0
+    tab = (
+        counts.groupBy("idx")
+        .agg(F.sum("c").alias("ci"))
+        .select(
+            "idx",
+            # INTEGER floor division (SQL `div`), matching DuckDB's `//`
+            # bit-for-bit — a double `/` + cast can land one off when
+            # the true quotient sits within rounding of an integer.
+            # (ci+1)·10⁹ stays in int64 up to ~9·10⁹ corpus bigrams per
+            # cell; past that, drop the scale a decade.
+            F.expr(f"(ci + 1) * 1000000000L div ({n_total}L + {LM_DIM})").alias(
+                "pm"
+            ),
+        )
+    )
+    scored = (
+        counts.join(F.broadcast(tab), "idx")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("c") * F.col("pm")).alias("sc"),
+            F.sum("c").alias("nb"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias("doc_id"),
+        F.col("nb").alias("n_bigrams"),
+        ((F.col("sc").cast("double") / F.lit(1000000000.0)) / F.col("nb")).alias(
+            "mean_prob"
+        ),
+    )
+
+
 @query("text_lm_perplexity_filter", oracle=_lm_perplexity_oracle_sql())
 def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet/KenLM-style perplexity-proxy quality filter: score every

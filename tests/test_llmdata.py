@@ -495,3 +495,45 @@ def test_incremental_dedup_drops_known_content_and_batch_dups(spark):
     finally:
         R.load = orig
     assert sorted(r["doc_id"] for r in out) == [10]
+
+
+def test_lm_self_perplexity_tiny_corpus_by_hand(spark):
+    """Train+score on a 2-doc corpus and check the smoothed quantized
+    table and the scores against a by-hand computation."""
+    import numpy as np
+
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        LM_ALPHABET,
+        LM_DIM,
+        lm_bigram_counts,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    texts = {1: "abab", 2: "ba"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    import pubic_multi_platform_to_postgres_spark.queries.llmdata as L
+    orig = L.load
+    L.load = lambda spark, sf, table: df
+    try:
+        out = {r["doc_id"]: r for r in
+               REGISTRY["text_lm_self_perplexity"].fn(spark, "unused").collect()}
+    finally:
+        L.load = orig
+
+    # by hand: bigrams doc1 = ab,ba,ab ; doc2 = ba -> N=4
+    # counts: ab=2, ba=2 ; pm = (c+1)*1e9 // (4+729)
+    pm_ab = (2 + 1) * 1000000000 // (4 + LM_DIM)
+    pm_ba = (2 + 1) * 1000000000 // (4 + LM_DIM)
+    s1 = 2 * pm_ab + 1 * pm_ba
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_prob"] == (s1 / 1e9) / 3
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["mean_prob"] == (pm_ba / 1e9) / 1
+
+    # sparse counts operator: exact sparse rows
+    rows = {(r["id"], r["idx"]): r["c"]
+            for r in lm_bigram_counts(df, "text", "doc_id").collect()}
+    idx_ab = 0 * LM_ALPHABET + 1
+    idx_ba = 1 * LM_ALPHABET + 0
+    assert rows == {(1, idx_ab): 2, (1, idx_ba): 1, (2, idx_ba): 1}

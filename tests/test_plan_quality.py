@@ -199,3 +199,13 @@ def test_ngram_jaccard_candidates_via_prefix_token_equi_join(spark):
     # boundary, so it shows as Scan ExistingRDD here — asserted by the
     # oracle match instead)
     assert "CartesianProduct" not in plan
+
+
+def test_lm_self_perplexity_broadcasts_model_table(spark):
+    """text_lm_self_perplexity must score via a BROADCAST join of the
+    O(alphabet^2) model table — never a corpus-wide shuffle join — and
+    aggregate per doc id (one hash shuffle)."""
+    plan = plan_of(spark, "text_lm_self_perplexity")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
+    # the 1-row total rides in as a broadcast nested loop (1xN), allowed

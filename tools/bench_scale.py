@@ -64,6 +64,7 @@ SF1_QUERIES = [
     "corpus_quality_filter", "corpus_chunk_documents",
     "corpus_pack_sequences", "corpus_snapshot_diff",
     "text_lm_perplexity_filter", "dedup_incremental_new_batch",
+    "text_lm_self_perplexity",
     "text_pii_scrub", "text_fingerprint", "embedding_quantize_int8",
     # heaviest multimodal (real codecs)
     "multimodal_gif_frames", "multimodal_resize", "multimodal_frame_sample",
@@ -81,6 +82,7 @@ SF10_QUERIES = [
     "dedup_exact_keep_min", "sim_topk_bruteforce", "sim_topk_lsh",
     "sim_topk_ivf",
     "text_lm_perplexity_filter", "dedup_incremental_new_batch",
+    "text_lm_self_perplexity",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
