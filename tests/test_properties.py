@@ -202,3 +202,117 @@ def test_apply_cdc_matches_python_model(spark, scenario):
 
     got = {r["id"]: r["v"] for r in apply_cdc(tgt, ch, ["id"], "seq").collect()}
     assert got == model_apply_cdc(tgt_rows, chs)
+
+
+# --- round-6 re-planned dedup algorithms vs reference models ---------------
+
+
+@st.composite
+def tiny_corpus(draw):
+    """Small docs over a tiny vocabulary — forces shared tokens, shared
+    prefixes, and multi-member blocks."""
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    n_docs = draw(st.integers(2, 8))
+    docs = []
+    for i in range(n_docs):
+        words = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=6))
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(tiny_corpus())
+def test_prefix_filter_jaccard_equals_bruteforce(spark, docs):
+    """The SSJoin/AllPairs prefix-filter candidate generation must be
+    LOSSLESS: output pairs and jaccard values identical to the all-pairs
+    reference model (same block, distinct-token Jaccard >= t)."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").withColumn(
+        "blk", F.lit(1)
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "doc_id", ["blk"], threshold=0.5, ngram=1
+        ).collect()
+    }
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= 0.5:
+                    want[(a, b)] = inter / union
+    assert got == want
+
+
+@st.composite
+def head_corpus(draw):
+    """Docs sharing a handful of 8-char prefixes with small suffix edits
+    — exercises block formation and window adjacency."""
+    prefixes = ["abcdefgh", "abcdefgx", "zzzzzzzz"]
+    n = draw(st.integers(2, 10))
+    docs = []
+    for i in range(n):
+        p = draw(st.sampled_from(prefixes))
+        tail = draw(st.text(alphabet="abc", min_size=0, max_size=6))
+        docs.append((i, "en", p + tail))
+    return docs
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(head_corpus())
+def test_sorted_neighborhood_lev_sound_and_neighbor_complete(spark, docs):
+    """Sorted-neighborhood edit-distance pairs: every reported pair must
+    be VALID (same lang+prefix block, dist <= 12), and every ADJACENT
+    pair in the block's (head, doc_id) sort order with dist <= 12 must
+    be reported (W >= 1 guarantees at least adjacency coverage)."""
+    import pubic_multi_platform_to_postgres_spark.queries.llmdata as L
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    df = df.withColumn("n_chars", F.length("text"))
+    orig = L.load
+    L.load = lambda spark, sf, table: df
+    try:
+        got = {
+            (r["id_a"], r["id_b"]): r["edit_dist"]
+            for r in L.dedup_levenshtein_prefix(spark, "unused").collect()
+        }
+    finally:
+        L.load = orig
+
+    def lev(a, b):
+        # reference edit distance (dp)
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    heads = {i: t.strip().lower()[:40] for i, _, t in docs}
+    # soundness: every reported pair valid
+    for (a, b), d in got.items():
+        assert heads[a][:8] == heads[b][:8]
+        assert d == lev(heads[a], heads[b]) <= 12
+    # neighbor completeness: adjacent sorted pairs within a block
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for i, h in heads.items():
+        blocks[h[:8]].append((h, i))
+    for members in blocks.values():
+        members.sort()
+        for (h1, i1), (h2, i2) in zip(members, members[1:]):
+            if lev(h1, h2) <= 12:
+                key = (min(i1, i2), max(i1, i2))
+                assert key in got, (key, got)
