@@ -1521,7 +1521,10 @@ def text_lm_self_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    counts = lm_bigram_counts(docs, "text", "doc_id")
+    # The sparse-counts projection feeds THREE consumers (corpus total,
+    # model-table aggregate, scoring join) — materialize it once instead
+    # of re-running the featurizer per branch.
+    counts = lm_bigram_counts(docs, "text", "doc_id").localCheckpoint(eager=False)
     # 1-row driver fetch of the corpus bigram total (same class as the
     # ANN query-vector .first() / the 16-row IVF centroid collect) —
     # a crossJoin of the 1-row aggregate would plan a
