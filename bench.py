@@ -53,17 +53,29 @@ def main() -> None:
             timings[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock_median_per_query_sum",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "suite_wall_clock_median_per_query_sum",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(payload)
+    # The driver captures only the stdout TAIL, which truncates the
+    # per-query map (BENCH_r05/r06 landed "parsed: null" — VERDICT r6 #3).
+    # Always ALSO write the full JSON to a file next to this script so a
+    # complete copy is committable every round.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

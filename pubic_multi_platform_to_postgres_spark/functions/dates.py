@@ -59,22 +59,17 @@ _UTC_ZONE_IDS = frozenset(
 )
 
 
-def _session_tz_is_utc() -> bool:
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        return False
-    try:
-        return spark.conf.get("spark.sql.session.timeZone") in _UTC_ZONE_IDS
-    except Exception:  # noqa: BLE001 — unreadable conf → take the safe path
-        return False
-
-
 def epoch_ms_to_iso(c: Column | str) -> Column:
     """Epoch milliseconds → ISO-8601 UTC ms string ('Z' suffix).
 
-    Two plans, chosen at build time by the session timezone:
+    Two plans, chosen at EXECUTION time by the session timezone (the
+    branch condition is ``current_timezone() IN <utc spellings>`` — a
+    runtime-replaceable expression Catalyst folds to a literal per
+    execution, so the CASE collapses to the chosen branch and a Column
+    built under one zone but executed after a session-zone change still
+    renders correctly; r6 resolved the branch at Column-BUILD time,
+    which silently labeled local wall-clock with 'Z' in that scenario —
+    ADVICE r6):
 
     - **UTC session (the engine's own sessions — ``session.py`` pins
       ``spark.sql.session.timeZone=UTC``)**: one
@@ -83,20 +78,21 @@ def epoch_ms_to_iso(c: Column | str) -> Column:
       truthful — and the single formatter call runs at the scan floor
       (~2.3× faster than the arithmetic plan on 100k rows: the packed-int
       substring/concat chain was the cost, not the Java formatter).
-    - **Any other / unknown session zone**: epoch ARITHMETIC, because
+    - **Any other session zone**: epoch ARITHMETIC, because
       ``date_format`` would label local wall-clock with a literal 'Z'
       (caught by running the oracle gate under TZ=America/New_York).
       Day/time fields derive from integer division; only a DATE
       (timezone-less by type) is ever formatted.
-
-    The branch is chosen when the Column is BUILT, but date_format's zone
-    is resolved when the plan is ANALYZED — so a fast-path Column carried
-    across a later session-zone change would render in the new zone.
-    Rebuild after a zone change (every engine call site builds
-    per-query, so this only concerns callers caching raw Columns).
     """
-    if _session_tz_is_utc():
-        return F.date_format(F.timestamp_millis(_col(c).cast("long")), ISO_MS_FMT)
+    fast = F.date_format(F.timestamp_millis(_col(c).cast("long")), ISO_MS_FMT)
+    return F.when(
+        F.expr("current_timezone()").isin(list(_UTC_ZONE_IDS)), fast
+    ).otherwise(_epoch_ms_to_iso_arith(c))
+
+
+def _epoch_ms_to_iso_arith(c: Column | str) -> Column:
+    """The session-timezone-proof arithmetic rendering (see
+    ``epoch_ms_to_iso``; split out so tests can pin branch agreement)."""
     ms_total = _col(c).cast("long")
     days = F.floor(ms_total / 86400000)
     d = F.date_add(F.lit(datetime.date(1970, 1, 1)), days.cast("int"))

@@ -311,58 +311,73 @@ def ngram_jaccard_pairs(
     small integers, so it is bit-identical to any other engine's ratio
     of the same counts; 64-bit token hashing makes a set-altering
     collision ~2⁻⁴⁰ improbable.
+
+    Internal working columns carry a ``__njp_`` prefix so user-supplied
+    ``id_col``/``block_cols`` can take any ordinary name (ADVICE r6: the
+    r6 internals ``g``/``gdf``/``sg`` shadowed same-named user columns);
+    the prefix itself plus the output names are reserved and rejected.
+    The lazily-checkpointed shared subtree is unpersisted by Spark's
+    ContextCleaner once the returned frame is no longer referenced.
     """
+    reserved = {"id_a", "id_b", "jaccard"}
+    bad = [c for c in (id_col, *block_cols)
+           if c in reserved or c.startswith("__njp_")]
+    if bad:
+        raise ValueError(
+            f"ngram_jaccard_pairs: column names {bad} are reserved "
+            "(output names id_a/id_b/jaccard and the __njp_ internal prefix)"
+        )
     tokens = tokenize(F.col(text_col))
     grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
     hashed = df.select(
-        F.col(id_col).alias("_id"),
+        F.col(id_col).alias("__njp_id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(
             F.transform(grams, lambda g: F.xxhash64(g))
-        ).alias("_g"),
+        ).alias("__njp_g"),
     )
     # materialize once: the subtree feeds candidate generation AND both
     # verification branches (same pattern as the simhash pairs join)
     hashed = hashed.localCheckpoint(eager=False)
 
-    tok = hashed.select("_id", *block_cols, F.explode("_g").alias("g"))
+    tok = hashed.select("__njp_id", *block_cols, F.explode("__njp_g").alias("__njp_g_tok"))
     # global document frequency = the canonical rarest-first token order
-    gdf = tok.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    gdf = tok.groupBy("__njp_g_tok").agg(F.count(F.lit(1)).alias("__njp_df"))
     ordered = (
-        tok.join(gdf, "g")
-        .groupBy("_id", *block_cols)
-        .agg(F.array_sort(F.collect_list(F.struct("gdf", "g"))).alias("sg"))
+        tok.join(gdf, "__njp_g_tok")
+        .groupBy("__njp_id", *block_cols)
+        .agg(F.array_sort(F.collect_list(F.struct("__njp_df", "__njp_g_tok"))).alias("__njp_sg"))
     )
     # p = |X| - ceil(t|X|) + 1; the 1e-9 nudge guards float-up rounding
     # of t*|X| (an over-long prefix is safe, a short one loses pairs)
     pref = ordered.select(
-        "_id",
+        "__njp_id",
         *block_cols,
         F.explode(
             F.expr(
-                "transform(slice(sg, 1, size(sg) - "
-                f"cast(ceil({threshold!r} * size(sg) - 1e-9) as int) + 1), "
-                "s -> s.g)"
+                "transform(slice(__njp_sg, 1, size(__njp_sg) - "
+                f"cast(ceil({threshold!r} * size(__njp_sg) - 1e-9) as int) + 1), "
+                "s -> s.__njp_g_tok)"
             )
-        ).alias("g"),
+        ).alias("__njp_g_tok"),
     )
     a = pref.select(
-        F.col("_id").alias("id_a"), *[F.col(c).alias(f"_ba_{c}") for c in block_cols],
-        "g",
+        F.col("__njp_id").alias("id_a"), *[F.col(c).alias(f"__njp_ba_{c}") for c in block_cols],
+        "__njp_g_tok",
     )
     b = pref.select(
-        F.col("_id").alias("id_b"), *[F.col(c).alias(f"_bb_{c}") for c in block_cols],
-        F.col("g").alias("g_b"),
+        F.col("__njp_id").alias("id_b"), *[F.col(c).alias(f"__njp_bb_{c}") for c in block_cols],
+        F.col("__njp_g_tok").alias("__njp_g_b"),
     )
-    cond = (F.col("g") == F.col("g_b")) & (F.col("id_a") < F.col("id_b"))
+    cond = (F.col("__njp_g_tok") == F.col("__njp_g_b")) & (F.col("id_a") < F.col("id_b"))
     for c in block_cols:
-        cond &= F.col(f"_ba_{c}").eqNullSafe(F.col(f"_bb_{c}"))
+        cond &= F.col(f"__njp_ba_{c}").eqNullSafe(F.col(f"__njp_bb_{c}"))
     cand = a.join(b, cond).select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
 
-    ga = hashed.select(F.col("_id").alias("id_a"), F.col("_g").alias("_ga"))
-    gb = hashed.select(F.col("_id").alias("id_b"), F.col("_g").alias("_gb"))
-    inter = F.size(F.array_intersect("_ga", "_gb"))
-    den = F.size("_ga") + F.size("_gb") - inter
+    ga = hashed.select(F.col("__njp_id").alias("id_a"), F.col("__njp_g").alias("__njp_ga"))
+    gb = hashed.select(F.col("__njp_id").alias("id_b"), F.col("__njp_g").alias("__njp_gb"))
+    inter = F.size(F.array_intersect("__njp_ga", "__njp_gb"))
+    den = F.size("__njp_ga") + F.size("__njp_gb") - inter
     jac = inter.cast("double") / den.cast("double")
     return (
         cand.join(ga, "id_a")

@@ -176,58 +176,47 @@ def remove_repeated_windows(
 
 # --- char-bigram LM scoring (CCNet/KenLM-style perplexity filter) ----------
 
-LM_SEED = 0xB16A   # seeded stand-in weights: only the TRAINED values are
 LM_ALPHABET = 27   # a-z + everything-else-as-space
 LM_DIM = LM_ALPHABET * LM_ALPHABET
 
-
-LM_SCALE = 1_000_000.0  # table quantized to integer micro-logprobs
-
-
-def lm_logprob_micros(seed: int = LM_SEED):
-    """The 27×27 char-bigram log-probability table, flattened row-major
-    (idx = 27·c1 + c2 with c = letter−'a', space/other = 26), in INTEGER
-    micro-logprobs (float64 holding exact integers = logprob·10⁶).
-    Seeded-normal stand-in centred on a plausible scale (−8 ± 2 nats) —
-    the shape and arithmetic of a real KenLM-style scorer; a trained
-    table drops in via the same array. Quantized so that count·weight
-    products and their sums are all exactly-representable integers far
-    below 2⁵³: the dot product is then bit-identical under ANY
-    accumulation order (GEMM, SQL fold, SIMD blocking) — no strict-fold
-    gate branch needed, unlike the unquantized-float operators. One
-    deterministic generation shared by the executor-side scorer and the
-    DuckDB oracle literals.
-    """
-    import numpy as np
-
-    return np.rint(np.random.default_rng(seed).normal(-8.0, 2.0, LM_DIM) * LM_SCALE)
+LM_PROB_SCALE = 1_000_000_000  # trained probabilities quantized to ·10⁹ ints
 
 
 def lm_score(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    seed: int = LM_SEED,
+    prob_micros,
 ) -> DataFrame:
-    """Mean char-bigram log-probability per document — the
-    perplexity-proxy quality signal every CCNet-style curation pipeline
-    computes before training (docs scoring far below the corpus norm are
-    boilerplate/garble candidates).
+    """Score documents against a TRAINED char-bigram model — the
+    production half of the CCNet recipe (train once on the reference
+    corpus, then score every new batch map-side against the frozen
+    table). ``prob_micros`` is the flattened 27×27 table of
+    integer-quantized bigram probabilities at scale 10⁹ — exactly what
+    ``text_lm_self_perplexity``'s training aggregate produces
+    ((c+1)·10⁹ div (N+729)); collect those 729 rows once and hand them
+    here to score any other frame without re-training.
 
     Text is normalized to the 27-symbol alphabet (lower; non-[a-z] →
     space), bigram COUNTS are exact integers, and the score is the dot
-    product of the 729-dim count vector with the seeded micro-logprob
-    table — integer×integer throughout, so the GEMM is exact and
-    bit-identical to the DuckDB oracle's ``list_dot_product`` replay
-    regardless of accumulation order (see ``lm_logprob_micros``); the
-    mean pays exactly two IEEE divisions (÷scale, ÷count) in a fixed
-    order on both engines. Map-side only: one Arrow-batched projection,
-    no shuffle. Documents with no bigram (length < 2) score NULL.
-    """
+    product of the 729-dim count vector with the quantized table —
+    integer-valued float64 throughout (products ≤ count·10⁹, sums far
+    below 2⁵³ for docs under ~9M chars), so the GEMM is exact and
+    bit-identical to the equivalent broadcast-join-and-sum plan under
+    ANY accumulation order; the mean pays exactly two IEEE divisions
+    (÷10⁹, ÷count) in the same fixed order as the join path. Map-side
+    only: one Arrow-batched projection, no shuffle; the table rides in
+    the closure like real LM weights. Documents with no bigram
+    (length < 2) score NULL."""
     import numpy as np
     import pandas as pd
 
-    table = lm_logprob_micros(seed)
+    table = np.zeros(LM_DIM, dtype=np.float64)
+    if hasattr(prob_micros, "items"):  # sparse {idx: pm} from a collect
+        for i, pm in prob_micros.items():
+            table[int(i)] = float(pm)
+    else:
+        table[:] = np.asarray(prob_micros, dtype=np.float64)
     cols = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
     def run(batches):
@@ -249,17 +238,19 @@ def lm_score(
                 np.add.at(cnt[r], idx, 1.0)
                 nbg[r] = idx.shape[0]
             score = cnt @ table  # exact: integer-valued doubles throughout
-            mean = np.where(nbg > 0, (score / LM_SCALE) / np.maximum(nbg, 1), np.nan)
+            mean = np.where(
+                nbg > 0, (score / LM_PROB_SCALE) / np.maximum(nbg, 1), np.nan
+            )
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "n_bigrams": nbg,
-                    "mean_logprob": [None if nbg[i] == 0 else float(mean[i])
-                                     for i in range(n)],
+                    "mean_prob": [None if nbg[i] == 0 else float(mean[i])
+                                  for i in range(n)],
                 }
             )
 
-    return cols.mapInPandas(run, schema="id long, n_bigrams long, mean_logprob double")
+    return cols.mapInPandas(run, schema="id long, n_bigrams long, mean_prob double")
 
 
 def lm_bigram_counts(
@@ -268,11 +259,12 @@ def lm_bigram_counts(
     id_col: str,
 ) -> DataFrame:
     """Sparse per-document char-bigram counts: (id, idx, c) rows over
-    the 27-symbol alphabet (idx = 27·c1 + c2, see ``lm_logprob_micros``).
-    One Arrow-batched map-side projection — the shared featurizer for
-    both LM scoring paths (seeded table in ``lm_score``, corpus-trained
-    table in ``text_lm_self_perplexity``). Counts are exact integers, so
-    every downstream aggregate is order-independent."""
+    the 27-symbol alphabet (idx = 27·c1 + c2 with c = letter−'a',
+    space/other = 26). One Arrow-batched map-side projection — the
+    shared featurizer for both LM paths (the in-query train→score join
+    in ``text_lm_self_perplexity`` and the frozen-table map-side scorer
+    ``lm_score``). Counts are exact integers, so every downstream
+    aggregate is order-independent."""
     import numpy as np
     import pandas as pd
 

@@ -292,7 +292,10 @@ def test_format_roundtrip(spark):
 def test_epoch_ms_to_iso_branches_agree(spark):
     """The UTC-session fast path (single date_format) and the non-UTC
     arithmetic fallback must render identical strings for the same epoch
-    values — including negative epochs, day boundaries, and ms edges."""
+    values — including negative epochs, day boundaries, and ms edges.
+    The branch now resolves at EXECUTION time (ADVICE r6): the SAME
+    Column object must render identically under UTC and after a
+    session-zone change, and the arithmetic path must agree with both."""
     from pubic_multi_platform_to_postgres_spark.functions import dates as D
 
     ms_values = [
@@ -309,18 +312,27 @@ def test_epoch_ms_to_iso_branches_agree(spark):
         253402300799999,     # 9999-12-31T23:59:59.999Z
     ]
     df = spark.createDataFrame([Row(ms=v) for v in ms_values])
+    sel = df.select(D.epoch_ms_to_iso("ms").alias("iso"))  # built ONCE
 
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        assert D._session_tz_is_utc()
-        fast = [r.iso for r in df.select(D.epoch_ms_to_iso("ms").alias("iso")).collect()]
+        fast = [r.iso for r in sel.collect()]
+        # under UTC the CASE must constant-fold to the single formatter
+        opt = sel._jdf.queryExecution().optimizedPlan().toString()
+        assert "CASE WHEN" not in opt, opt
+        # zone change AFTER build: the stale-Column scenario from the r6
+        # advisory — execution-time resolution must pick the arithmetic
+        # branch and still render true UTC
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        assert not D._session_tz_is_utc()
-        slow = [r.iso for r in df.select(D.epoch_ms_to_iso("ms").alias("iso")).collect()]
+        stale = [r.iso for r in sel.collect()]
+        arith = [
+            r.iso
+            for r in df.select(D._epoch_ms_to_iso_arith("ms").alias("iso")).collect()
+        ]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
-    assert fast == slow
+    assert fast == stale == arith
     assert fast[0] == "1970-01-01T00:00:00.000Z"
     assert fast[6] == "1969-12-31T23:59:59.999Z"
 

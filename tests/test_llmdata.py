@@ -433,36 +433,89 @@ def test_connected_components_chain_clique_and_pair(spark):
     assert {labels[n] for n in (20, 21)} == {20}
 
 
-def test_lm_score_edges_and_exactness(spark):
-    """Char-bigram LM scorer: NULL/empty/1-char docs score NULL with 0
-    bigrams; the quantized micro-logprob table makes the GEMM exact, so
-    a direct integer recomputation matches bit-for-bit."""
-    import numpy as np
-
+def test_lm_score_trained_table_edges_and_join_equivalence(spark):
+    """Frozen-table map-side scorer (``lm_score``): NULL/empty/1-char
+    docs score NULL with 0 bigrams, and scoring a corpus against ITS OWN
+    trained table is bit-identical to the broadcast-join train→score
+    plan (``text_lm_self_perplexity``) — the GEMM and the join sum both
+    accumulate exactly-representable integers, then pay the same two
+    IEEE divisions in the same order."""
     from pubic_multi_platform_to_postgres_spark.operators.textstats import (
-        LM_ALPHABET,
-        LM_SCALE,
-        lm_logprob_micros,
+        LM_DIM,
+        lm_bigram_counts,
         lm_score,
     )
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
 
     df = spark.createDataFrame(
         [(1, "Hello, LM!"), (2, ""), (3, None), (4, "x"), (5, "ab")],
         "doc_id long, text string",
     )
-    rows = {r["id"]: r for r in lm_score(df, "text", "doc_id").collect()}
+    # train the quantized table exactly as the query does (sparse
+    # aggregate → (c+1)·1e9 div (N+729)), collect the ≤729 rows
+    counts = lm_bigram_counts(df, "text", "doc_id")
+    n_total = counts.agg({"c": "sum"}).first()[0]
+    tab = {
+        r["idx"]: (r["ci"] + 1) * 1000000000 // (n_total + LM_DIM)
+        for r in counts.groupBy("idx").agg(F.sum("c").alias("ci")).collect()
+    }
+    rows = {r["id"]: r for r in lm_score(df, "text", "doc_id", tab).collect()}
     for bad in (2, 3, 4):
-        assert rows[bad]["n_bigrams"] == 0 and rows[bad]["mean_logprob"] is None
-    tab = lm_logprob_micros()
-    for did, text in ((1, "Hello, LM!"), (5, "ab")):
-        b = np.frombuffer(text.lower().encode("ascii", "replace"), dtype=np.uint8)
-        sym = np.where((b >= 97) & (b <= 122), b - 97, LM_ALPHABET - 1).astype(
-            np.int64
-        )
-        idx = sym[:-1] * LM_ALPHABET + sym[1:]
-        expect = (float(tab[idx].sum()) / LM_SCALE) / len(idx)
-        assert rows[did]["n_bigrams"] == len(idx)
-        assert rows[did]["mean_logprob"] == expect  # exact, not approx
+        assert rows[bad]["n_bigrams"] == 0 and rows[bad]["mean_prob"] is None
+
+    import pubic_multi_platform_to_postgres_spark.queries.llmdata as L
+    orig = L.load
+    L.load = lambda spark, sf, table: df
+    try:
+        joined = {r["doc_id"]: r for r in
+                  REGISTRY["text_lm_self_perplexity"].fn(spark, "unused").collect()}
+    finally:
+        L.load = orig
+    assert set(joined) == {1, 5}  # length<2 docs are absent from the join path
+    for did in (1, 5):
+        assert rows[did]["n_bigrams"] == joined[did]["n_bigrams"]
+        assert rows[did]["mean_prob"] == joined[did]["mean_prob"]  # exact
+
+
+def test_lm_perplexity_filter_p10_threshold_by_hand(spark):
+    """Corpus-trained perplexity filter: on a 10-doc corpus the
+    nearest-rank P10 threshold is the single lowest score, so exactly
+    that document's VALUE becomes the cut and every doc scoring >= it
+    survives (the garble doc with off-distribution bigrams drops)."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    texts = [(i, "the cat sat on the mat") for i in range(1, 10)]
+    texts.append((10, "zqxj vkwz qzzx jxqv"))  # off-distribution garble
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    import pubic_multi_platform_to_postgres_spark.queries.llmdata as L
+    orig = L.load
+    L.load = lambda spark, sf, table: df
+    try:
+        out = REGISTRY["text_lm_perplexity_filter"].fn(spark, "unused").collect()
+    finally:
+        L.load = orig
+    kept = sorted(r["doc_id"] for r in out)
+    # k = ceil(10/10) = 1 -> threshold = the minimum score = the garble
+    # doc's own score -> keep-by-value keeps ALL docs (ties/boundary
+    # rows survive; the filter only bites with k >= 2)
+    assert kept == list(range(1, 11))
+
+    # 20 docs: k = 2 -> threshold = 2nd-smallest score; the two garble
+    # docs (distinct bigram stats, both far below the prose scores) now
+    # leave exactly the lowest one out
+    texts = [(i, "the cat sat on the mat") for i in range(1, 19)]
+    texts += [(19, "zqxj vkwz qzzx jxqv"), (20, "qqqq zzzz xxxx jjjj")]
+    df2 = spark.createDataFrame(texts, "doc_id long, text string")
+    L.load = lambda spark, sf, table: df2
+    try:
+        out2 = REGISTRY["text_lm_perplexity_filter"].fn(spark, "unused").collect()
+    finally:
+        L.load = orig
+    kept2 = sorted(r["doc_id"] for r in out2)
+    assert [d for d in kept2 if d <= 18] == list(range(1, 19))  # prose survives
+    # exactly the lower-scoring of the two garble docs is cut
+    assert len(kept2) == 19 and ((19 in kept2) != (20 in kept2))
 
 
 def test_incremental_dedup_drops_known_content_and_batch_dups(spark):

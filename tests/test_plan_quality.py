@@ -192,7 +192,7 @@ def test_ngram_jaccard_candidates_via_prefix_token_equi_join(spark):
     measured quadratic (46x wall-clock for 30x data) once blocks grow
     with the corpus."""
     plan = plan_of(spark, "dedup_ngram_jaccard")
-    join_lines = [l for l in plan.splitlines() if "Join" in l and "g_b" in l]
+    join_lines = [l for l in plan.splitlines() if "Join" in l and "__njp_g_b" in l]
     assert join_lines, plan  # the candidate join keys carry the token
     assert "array_intersect" in plan, plan  # exact per-candidate verify
     # (the rarest-first array_sort lives behind the localCheckpoint
@@ -209,3 +209,20 @@ def test_lm_self_perplexity_broadcasts_model_table(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan.replace("BroadcastNestedLoopJoin", "")
     # the 1-row total rides in as a broadcast nested loop (1xN), allowed
+
+
+def test_tfidf_no_forced_vocab_broadcast(spark):
+    """corpus_tfidf_top_terms must NOT carry an explicit broadcast hint
+    on the document-frequency table: df is |vocab|-cardinality and at
+    web scale the typo/noise vocabulary is unbounded, so a forced hint
+    is an executor-memory bomb that also overrides AQE's size-based
+    choice (VERDICT r6 "what's wrong" #2). The tf⋈df join stays an
+    equi-join; AQE may still pick broadcast at runtime when df measures
+    small — that is allowed, the HINT is not."""
+    df = REGISTRY["corpus_tfidf_top_terms"].fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    assert "UnresolvedHint" not in analyzed, analyzed
+    # still a keyed join, never a product
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

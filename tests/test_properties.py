@@ -251,6 +251,35 @@ def test_prefix_filter_jaccard_equals_bruteforce(spark, docs):
     assert got == want
 
 
+def test_prefix_filter_jaccard_user_column_names(spark):
+    """User columns named like the r6 internals (``g``, ``sg``, ``gdf``)
+    must pass through untouched (ADVICE r6: they used to shadow the
+    working columns), and the genuinely reserved names must be rejected
+    loudly rather than silently corrupt the join."""
+    import pytest as _pytest
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", 1, 7), (2, "alpha beta gamma", 1, 7),
+         (3, "zeta", 1, 7)],
+        "sg long, text string, g long, gdf long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "text", "sg", ["g", "gdf"], threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    with _pytest.raises(ValueError, match="reserved"):
+        ngram_jaccard_pairs(df, "text", "sg", ["id_a"])
+    with _pytest.raises(ValueError, match="reserved"):
+        ngram_jaccard_pairs(df, "text", "__njp_id", ["g"])
+
+
 @st.composite
 def head_corpus(draw):
     """Docs sharing a handful of 8-char prefixes with small suffix edits
@@ -316,3 +345,40 @@ def test_sorted_neighborhood_lev_sound_and_neighbor_complete(spark, docs):
             if lev(h1, h2) <= 12:
                 key = (min(i1, i2), max(i1, i2))
                 assert key in got, (key, got)
+
+
+def test_sorted_neighborhood_recall_vs_full_block_quantified(spark):
+    """The W-bounded RECALL CONTRACT, measured (ADVICE r6): against the
+    full-block all-pairs reference on a skewed hot-block fixture, the
+    sorted-neighborhood plan reports exactly the pairs within W sorted
+    ranks — here 15 edit-close docs share one block, so the reference
+    has C(15,2)=105 pairs, the plan finds the sum_{d=1..W}(15-d)=95
+    within-window ones, and recall is 95/105 ≈ 0.905. The oracle was
+    rewritten in lockstep with the re-plan, so the gate can't see this
+    trade — this test pins it as an explicit, quantified contract
+    rather than a silent drop."""
+    import pubic_multi_platform_to_postgres_spark.queries.llmdata as L
+
+    W = L._SN_WINDOW
+    n = 15
+    assert n > W + 1  # the fixture must actually exceed the window
+    # one hot block: identical 8-char prefix, single-char variations at
+    # position 9 -> every pair is within edit distance 2 <= 12
+    docs = [(i, "en", "abcdefgh" + "abcdefghijklmno"[i] + "tail") for i in range(n)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    orig = L.load
+    L.load = lambda spark, sf, table: df
+    try:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in L.dedup_levenshtein_prefix(spark, "unused").collect()
+        }
+    finally:
+        L.load = orig
+    full_block = {(a, b) for a in range(n) for b in range(a + 1, n)}
+    # sorted order == doc_id order here (heads sort by the varied char)
+    within_window = {(a, b) for a, b in full_block if b - a <= W}
+    assert got == within_window  # soundness + exact W-bounded recall
+    recall = len(got) / len(full_block)
+    expect = sum(n - d for d in range(1, W + 1)) / (n * (n - 1) / 2)
+    assert recall == expect  # 95/105 for n=15, W=10

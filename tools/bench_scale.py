@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import statistics
 import sys
 import threading
@@ -90,6 +91,9 @@ SF10_QUERIES = [
 SF3_QUERIES = [
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
     "dedup_levenshtein_prefix",
+    # r7 (VERDICT r6 #5): end-to-end curve for the re-planned candidate
+    # generator feeding connected components.
+    "dedup_clusters",
 ]
 
 
@@ -170,8 +174,11 @@ def summarize(report: dict) -> None:
             cur = pts.get(label, {})
             if base and cur.get("median_s") is not None:
                 cur["growth_vs_sf0.1"] = round(cur["median_s"] / base, 2)
+                # Per-decade growth: ratio over log10(mult) decades, so
+                # ratio ** (1/log10(mult)).  (r6 shipped ratio ** (10/mult),
+                # which understated sf3/sf10 per-decade growth — ADVICE r6.)
                 cur["growth_per_10x"] = round(
-                    (cur["median_s"] / base) ** (10 / mult), 2
+                    (cur["median_s"] / base) ** (1 / math.log10(mult)), 2
                 )
     g1 = {n: p["sf1"]["growth_vs_sf0.1"] for n, p in report["queries"].items()
           if "growth_vs_sf0.1" in p.get("sf1", {})}
@@ -228,8 +235,9 @@ def main() -> int:
     app_id = spark.sparkContext.applicationId
 
     report: dict = {
-        "sf_points": {"sf0.1": 1, "sf1": 10, "sf10": 100},
-        "repeats": {"sf0.1": args.repeats, "sf1": args.repeats, "sf10": 1},
+        "sf_points": {"sf0.1": 1, "sf1": 10, "sf3": 30, "sf10": 100},
+        "repeats": {"sf0.1": args.repeats, "sf1": args.repeats, "sf3": 1,
+                    "sf10": 1},
         "queries": {},
     }
     plan = [
