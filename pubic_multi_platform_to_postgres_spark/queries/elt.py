@@ -435,3 +435,205 @@ def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         # event (Jan 30) is stale -> a deliberate non-zero freshness row
         expect_freshness(events, "ts", 259200, 1707091200, "events"),
     ])
+
+
+# --- end-to-end REST -> land -> query integration gate (VERDICT r6 #7) -----
+
+# Recorded API session (the VCR/cassette pattern): two sync cycles against a
+# Wrike-shaped source. Cycle 1 pages a token-paginated `tasks` endpoint
+# (S2: two pages, stop on missing nextPageToken) and full-scans `contacts`
+# (S7) whose rows carry a nested `profiles` sub-stream. Cycle 2 redelivers
+# t1 unchanged (PK dedup must collapse it), re-sends t2 with a newer
+# updatedDate (upsert must take the new version), and adds t4.
+_E2E_TASK = {
+    "t1": {"id": "t1", "title": "Proposal alpha", "status": "Active",
+           "updatedDate": "2024-01-01T00:00:00.000Z",
+           "dates": {"start": "2024-01-01", "due": "2024-03-01"},
+           "droppedByProjection": "x"},
+    "t2": {"id": "t2", "title": "Quote beta", "status": "Active",
+           "updatedDate": "2024-01-02T00:00:00.000Z",
+           "dates": {"start": "2024-01-05", "due": "2024-03-05"}},
+    "t3": {"id": "t3", "title": "Proposal gamma", "status": "Completed",
+           "updatedDate": "2024-01-03T00:00:00.000Z",
+           "dates": {"start": "2024-01-06", "due": "2024-02-06"}},
+    "t2v2": {"id": "t2", "title": "Quote beta v2", "status": "Completed",
+             "updatedDate": "2024-01-10T00:00:00.000Z",
+             "dates": {"start": "2024-01-05", "due": "2024-03-05"}},
+    "t4": {"id": "t4", "title": "Proposal delta", "status": "Active",
+           "updatedDate": "2024-01-09T00:00:00.000Z",
+           "dates": {"start": "2024-01-09", "due": "2024-04-09"}},
+}
+_E2E_CONTACTS = [
+    {"id": "c1", "firstName": "Ada", "profiles": [
+        {"accountId": "A1", "email": "ada@a1.example"},
+        {"accountId": "A2", "email": "ada@a2.example"},
+    ]},
+    {"id": "c2", "firstName": "Grace", "profiles": []},
+]
+_E2E_CYCLES = [
+    {
+        "tasks": [
+            {"data": [_E2E_TASK["t1"], _E2E_TASK["t2"]],
+             "nextPageToken": "p2", "responseSize": 2},
+            {"data": [_E2E_TASK["t3"]], "responseSize": 1},
+        ],
+        "contacts": [{"data": _E2E_CONTACTS}],
+    },
+    {
+        "tasks": [
+            {"data": [_E2E_TASK["t1"], _E2E_TASK["t2v2"], _E2E_TASK["t4"]],
+             "responseSize": 3},
+        ],
+        "contacts": [{"data": _E2E_CONTACTS}],
+    },
+]
+
+_E2E_TASKS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "id": {"type": "string"},
+        "title": {"type": ["null", "string"]},
+        "status": {"type": ["null", "string"]},
+        "updatedDate": {"type": ["null", "string"]},
+        "dates-start": {"type": ["null", "string"]},
+        "dates-due": {"type": ["null", "string"]},
+    },
+    "additionalProperties": False,
+}
+_E2E_CONTACTS_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "id": {"type": "string"},
+        "firstName": {"type": ["null", "string"]},
+    },
+    "additionalProperties": False,
+}
+_E2E_PROFILES_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "id": {"type": "string"},
+        "parent_id": {"type": ["null", "string"]},
+        "accountId": {"type": ["null", "string"]},
+        "email": {"type": ["null", "string"]},
+    },
+    "additionalProperties": False,
+}
+
+
+@query(
+    "elt_end_to_end_land",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('tasks', 't1', 'Proposal alpha|Active|2024-01-01|2024-01-01T00:00:00.000Z'),
+        ('tasks', 't2', 'Quote beta v2|Completed|2024-01-05|2024-01-10T00:00:00.000Z'),
+        ('tasks', 't3', 'Proposal gamma|Completed|2024-01-06|2024-01-03T00:00:00.000Z'),
+        ('tasks', 't4', 'Proposal delta|Active|2024-01-09|2024-01-09T00:00:00.000Z'),
+        ('contacts', 'c1', 'Ada'),
+        ('contacts', 'c2', 'Grace'),
+        ('contacts_profiles', 'c1_A1', 'c1|ada@a1.example'),
+        ('contacts_profiles', 'c1_A2', 'c1|ada@a2.example')
+    ) AS t(tbl, id, info)
+    """,
+)
+def elt_end_to_end_land(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end extraction integration gate: a RECORDED two-cycle API
+    session drives the REAL pipeline — token-paginated REST scan (S2) +
+    full scan (S7) through ``Fetcher``/``RecordedTransport``, raw JSON →
+    nested DataFrame, recursive flatten (P1: ``dates`` → ``dates-start``),
+    sub-stream split with surrogate keys (U1/U3: ``c1_A1``), typed schema
+    projection (P4: ``droppedByProjection`` never lands), keyed parquet
+    upsert (K2: cycle 2 redelivers t1 unchanged → dedup, re-sends t2 with
+    a newer ``updatedDate`` → overwrite, adds t4 → append), and §2.7
+    run-start bookmark persistence. The landed lake is then read back and
+    compared to a hand-computed golden oracle — the FIXTURES.md golden-ELT
+    test promoted into the sweep (VERDICT r6 #7). The fixture is constant,
+    so the result is sf-independent by design; the moving parts under
+    test are the operators, not the data volume.
+
+    Reference parity: tap_wrike/utility.py:82-143 (S2 token scan),
+    tap_wrike/utility.py:34-56 (flatten), tap_wrike/fetch.py:13-20
+    (profiles surrogate key), runner/__init__.py:342-366 (state file).
+    """
+    import tempfile
+    from pathlib import Path
+
+    from pubic_multi_platform_to_postgres_spark.plans.catalog import Catalog
+    from pubic_multi_platform_to_postgres_spark.sources.pipeline import (
+        Pipeline,
+        StreamSpec,
+    )
+    from pubic_multi_platform_to_postgres_spark.sources.rest import (
+        Fetcher,
+        RecordedTransport,
+        RetryPolicy,
+        scan_full,
+        scan_token,
+    )
+
+    cat = Catalog()
+    cat.register_json_schema(
+        "tasks", _E2E_TASKS_SCHEMA, key_properties=["id"],
+        replication_key="updatedDate", source="wrike",
+    )
+    cat.register_json_schema(
+        "contacts", _E2E_CONTACTS_SCHEMA, key_properties=["id"], source="wrike"
+    )
+    cat.register_json_schema(
+        "contacts_profiles", _E2E_PROFILES_SCHEMA, key_properties=["id"],
+        parent="contacts", source="wrike",
+    )
+
+    def tasks_transform(df: DataFrame) -> dict[str, DataFrame]:
+        return {"tasks": flatten(df) if df.columns else df}
+
+    def contacts_transform(df: DataFrame) -> dict[str, DataFrame]:
+        if "profiles" not in df.columns:
+            return {"contacts": df}
+        profiles = split_substream(
+            df, "profiles", parent_key="id", key_parts=["accountId"]
+        )
+        return {"contacts": df.drop("profiles"), "contacts_profiles": profiles}
+
+    # per-cycle recorded transport; the extract closures read `fetch[0]`
+    # so the SAME specs replay each cycle's recording in turn
+    fetch: list[Fetcher] = [None]  # type: ignore[list-item]
+    specs = [
+        StreamSpec(
+            cat.get("tasks"),
+            lambda bm: scan_token(fetch[0], "tasks", page_size=1000),
+            tasks_transform,
+        ),
+        StreamSpec(
+            cat.get("contacts"),
+            lambda bm: scan_full(fetch[0], "contacts"),
+            contacts_transform,
+        ),
+    ]
+    root = Path(tempfile.mkdtemp(prefix="spark_graft_e2e_"))
+    pipe = Pipeline("wrike", cat, specs, root)
+    for cycle in _E2E_CYCLES:
+        fetch[0] = Fetcher(
+            transport=RecordedTransport(cycle),
+            retry=RetryPolicy(sleep=lambda s: None),
+        )
+        reports = pipe.run(spark)
+        errs = [r.error for r in reports if not r.ok]
+        if errs:
+            raise RuntimeError(f"elt_end_to_end_land sync failed: {errs}")
+
+    tasks = spark.read.parquet(str(root / "tasks")).select(
+        F.lit("tasks").alias("tbl"),
+        "id",
+        F.concat_ws(
+            "|", "title", "status", F.col("dates-start"), "updatedDate"
+        ).alias("info"),
+    )
+    contacts = spark.read.parquet(str(root / "contacts")).select(
+        F.lit("contacts").alias("tbl"), "id", F.col("firstName").alias("info")
+    )
+    profiles = spark.read.parquet(str(root / "contacts_profiles")).select(
+        F.lit("contacts_profiles").alias("tbl"),
+        "id",
+        F.concat_ws("|", "parent_id", "email").alias("info"),
+    )
+    return tasks.unionByName(contacts).unionByName(profiles)

@@ -73,6 +73,35 @@ class UrllibTransport:
             return json.loads(resp.read().decode("utf-8"))
 
 
+class RecordedTransport:
+    """Replay transport: serves canned JSON responses per path, FIFO.
+
+    The offline face of the extraction layer (the VCR/cassette pattern):
+    a recording maps each path to the ordered list of page payloads a
+    live API returned; each ``get`` pops the next one, so every
+    pagination scan (S1–S7) walks a recorded session exactly as it
+    walked the live one. Used by the ``elt_end_to_end_land`` gate query
+    to drive the REAL scan → flatten/unnest → upsert pipeline without a
+    network, and by integration tests. A path with an exhausted (or
+    missing) recording raises ``KeyError`` — a scan requesting more
+    pages than were recorded is a pagination bug, not an empty page.
+    """
+
+    def __init__(self, recording: dict[str, list[Any]]) -> None:
+        self._pages = {path: list(pages) for path, pages in recording.items()}
+        self.calls: list[tuple[str, dict[str, Any] | None]] = []
+
+    def get(self, url, params=None, headers=None):
+        self.calls.append((url, dict(params) if params else None))
+        pages = self._pages.get(url)
+        if not pages:
+            raise KeyError(f"RecordedTransport: no recorded page left for {url!r}")
+        return pages.pop(0)
+
+    def post(self, url, data=None, headers=None):
+        return self.get(url, data, headers)
+
+
 class RateLimiter:
     """Token-bucket throttle, default 1.2 req/s (reference O3: identical
     class in all three taps, ``tap_wrike/utility.py:211-239``)."""

@@ -63,6 +63,45 @@ def fetcher(responses) -> Fetcher:
 # Pagination scans
 
 
+def test_recorded_transport_replays_fifo_and_raises_when_exhausted():
+    """RecordedTransport: pages replay per-path in order; an exhausted
+    recording raises (a scan over-requesting pages is a pagination bug,
+    not an empty page); the source lists are never mutated."""
+    from pubic_multi_platform_to_postgres_spark.sources.rest import RecordedTransport
+
+    recording = {"tasks": [{"data": [1]}, {"data": [2]}]}
+    t = RecordedTransport(recording)
+    assert t.get("tasks") == {"data": [1]}
+    assert t.get("tasks", {"nextPageToken": "x"}) == {"data": [2]}
+    with pytest.raises(KeyError):
+        t.get("tasks")
+    with pytest.raises(KeyError):
+        t.get("unknown")
+    assert len(recording["tasks"]) == 2  # defensive copy
+    assert t.calls[1] == ("tasks", {"nextPageToken": "x"})
+
+
+def test_elt_end_to_end_land_golden(spark):
+    """The promoted integration gate row: recorded 2-cycle session →
+    real scan/flatten/unnest/upsert pipeline → landed lake matches the
+    hand-computed golden rows (redelivery dedup + newer-version
+    overwrite + surrogate keys + projection drop all visible)."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    out = {(r["tbl"], r["id"]): r["info"]
+           for r in REGISTRY["elt_end_to_end_land"].fn(spark, "unused").collect()}
+    assert out == {
+        ("tasks", "t1"): "Proposal alpha|Active|2024-01-01|2024-01-01T00:00:00.000Z",
+        ("tasks", "t2"): "Quote beta v2|Completed|2024-01-05|2024-01-10T00:00:00.000Z",
+        ("tasks", "t3"): "Proposal gamma|Completed|2024-01-06|2024-01-03T00:00:00.000Z",
+        ("tasks", "t4"): "Proposal delta|Active|2024-01-09|2024-01-09T00:00:00.000Z",
+        ("contacts", "c1"): "Ada",
+        ("contacts", "c2"): "Grace",
+        ("contacts_profiles", "c1_A1"): "c1|ada@a1.example",
+        ("contacts_profiles", "c1_A2"): "c1|ada@a2.example",
+    }
+
+
 def test_scan_cursor_follows_after_until_absent():
     pages = {
         None: {"results": [{"id": 1}, {"id": 2}], "paging": {"next": {"after": "A"}}},
