@@ -278,47 +278,7 @@ def minhash_dedup_pairs(
     return cand.mapInPandas(partition_pairs, out_schema).distinct()
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    block_cols: list[str],
-    threshold: float = 0.5,
-    ngram: int = 1,
-) -> DataFrame:
-    """Exact Jaccard near-dup pairs within a blocking key, by PREFIX
-    FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs —
-    the standard exact set-similarity join).
-
-    Jaccard over *distinct* token n-gram sets; only pairs inside the
-    same block qualify. A naive in-block all-pairs scorer is O(b²) in
-    block size — measured quadratic on replica-scaled corpora
-    (BENCH_SF1: 46× wall-clock for 30× data) — so candidates come from
-    the prefix-filter theorem instead: order tokens globally
-    rarest-first; with prefix π(X) = the first |X| − ⌈t·|X|⌉ + 1 tokens
-    of X, any pair with J(A,B) ≥ t shares a token in BOTH prefixes
-    (if A∩B missed π(A), then A∩B ⊆ A∖π(A), so |A∩B| ≤ ⌈t·|A|⌉ − 1
-    < t·|A| ≤ t·|A∪B| ≤ |A∩B| — contradiction). Candidate generation
-    is therefore a token EQUI-join on (block, prefix-token) — the rare
-    half of each vocabulary, so hot stopwords never fan out — followed
-    by exact per-candidate verification with JVM ``array_intersect``.
-    Lossless: the output is identical to the all-pairs scorer.
-
-    Every stage is a linear shuffle (explode/groupBy/equi-join); no
-    stage enumerates a block cross product, so a hot (lang, len-bucket)
-    block costs what its qualifying pairs cost, not its size squared.
-    The reported ``jaccard`` is a single IEEE division of two exact
-    small integers, so it is bit-identical to any other engine's ratio
-    of the same counts; 64-bit token hashing makes a set-altering
-    collision ~2⁻⁴⁰ improbable.
-
-    Internal working columns carry a ``__njp_`` prefix so user-supplied
-    ``id_col``/``block_cols`` can take any ordinary name (ADVICE r6: the
-    r6 internals ``g``/``gdf``/``sg`` shadowed same-named user columns);
-    the prefix itself plus the output names are reserved and rejected.
-    The lazily-checkpointed shared subtree is unpersisted by Spark's
-    ContextCleaner once the returned frame is no longer referenced.
-    """
+def _validate_njp_names(id_col: str, block_cols: list[str]) -> None:
     reserved = {"id_a", "id_b", "jaccard"}
     bad = [c for c in (id_col, *block_cols)
            if c in reserved or c.startswith("__njp_")]
@@ -327,6 +287,23 @@ def ngram_jaccard_pairs(
             f"ngram_jaccard_pairs: column names {bad} are reserved "
             "(output names id_a/id_b/jaccard and the __njp_ internal prefix)"
         )
+
+
+def _jaccard_prefix_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float,
+    ngram: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate generator for the SSJoin/AllPairs prefix filter:
+    returns ``(hashed, cand)`` — the checkpointed per-doc distinct-gram
+    arrays and the candidate ``(id_a, id_b)`` pairs from the rarest-first
+    prefix-token equi-join (see ``ngram_jaccard_pairs`` for the theorem
+    and the scale argument). ``ngram_jaccard_candidates`` exposes the
+    candidate face alone so scale evidence can measure candidate growth
+    without paying the verify join."""
     tokens = tokenize(F.col(text_col))
     grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
     hashed = df.select(
@@ -373,7 +350,74 @@ def ngram_jaccard_pairs(
     for c in block_cols:
         cond &= F.col(f"__njp_ba_{c}").eqNullSafe(F.col(f"__njp_bb_{c}"))
     cand = a.join(b, cond).select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    return hashed, cand
 
+
+def ngram_jaccard_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    ngram: int = 1,
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs from the prefix filter ONLY —
+    no verification join. Every qualifying pair is a candidate
+    (the prefix theorem is lossless), so the candidate count bounds the
+    verify join's probe size; ``tools/bench_scale.py`` measures it at
+    100x to close the extrapolation gap without the verify join's
+    output-sized shuffle (VERDICT r6 next-round #6)."""
+    _validate_njp_names(id_col, block_cols)
+    return _jaccard_prefix_candidates(
+        df, text_col, id_col, block_cols, threshold, ngram
+    )[1]
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs within a blocking key, by PREFIX
+    FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs —
+    the standard exact set-similarity join).
+
+    Jaccard over *distinct* token n-gram sets; only pairs inside the
+    same block qualify. A naive in-block all-pairs scorer is O(b²) in
+    block size — measured quadratic on replica-scaled corpora
+    (BENCH_SF1: 46× wall-clock for 30× data) — so candidates come from
+    the prefix-filter theorem instead: order tokens globally
+    rarest-first; with prefix π(X) = the first |X| − ⌈t·|X|⌉ + 1 tokens
+    of X, any pair with J(A,B) ≥ t shares a token in BOTH prefixes
+    (if A∩B missed π(A), then A∩B ⊆ A∖π(A), so |A∩B| ≤ ⌈t·|A|⌉ − 1
+    < t·|A| ≤ t·|A∪B| ≤ |A∩B| — contradiction). Candidate generation
+    is therefore a token EQUI-join on (block, prefix-token) — the rare
+    half of each vocabulary, so hot stopwords never fan out — followed
+    by exact per-candidate verification with JVM ``array_intersect``.
+    Lossless: the output is identical to the all-pairs scorer.
+
+    Every stage is a linear shuffle (explode/groupBy/equi-join); no
+    stage enumerates a block cross product, so a hot (lang, len-bucket)
+    block costs what its qualifying pairs cost, not its size squared.
+    The reported ``jaccard`` is a single IEEE division of two exact
+    small integers, so it is bit-identical to any other engine's ratio
+    of the same counts; 64-bit token hashing makes a set-altering
+    collision ~2⁻⁴⁰ improbable.
+
+    Internal working columns carry a ``__njp_`` prefix so user-supplied
+    ``id_col``/``block_cols`` can take any ordinary name (ADVICE r6: the
+    r6 internals ``g``/``gdf``/``sg`` shadowed same-named user columns);
+    the prefix itself plus the output names are reserved and rejected.
+    The lazily-checkpointed shared subtree is unpersisted by Spark's
+    ContextCleaner once the returned frame is no longer referenced.
+    """
+    _validate_njp_names(id_col, block_cols)
+    hashed, cand = _jaccard_prefix_candidates(
+        df, text_col, id_col, block_cols, threshold, ngram
+    )
     ga = hashed.select(F.col("__njp_id").alias("id_a"), F.col("__njp_g").alias("__njp_ga"))
     gb = hashed.select(F.col("__njp_id").alias("id_b"), F.col("__njp_g").alias("__njp_gb"))
     inter = F.size(F.array_intersect("__njp_ga", "__njp_gb"))
@@ -513,6 +557,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: ``(node, label)``
     with ``label`` = the smallest node id in the component — the cluster
@@ -605,6 +650,13 @@ def connected_components(
         n_part = max(1, n_part // 2)
         if edges.isEmpty():
             break
+
+    if stats is not None:
+        # local-contraction rounds actually run (scale-evidence hook:
+        # BENCH_SF1 records this alongside cluster counts — the recursion
+        # depth is the "union-find iteration count" of the distributed
+        # algorithm; the in-partition union-find itself is single-pass)
+        stats["rounds"] = len(mappings)
 
     # compose node → round-0 root → … → final label; labels already final
     # at an earlier level pass through the left join untouched.

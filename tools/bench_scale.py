@@ -84,6 +84,12 @@ SF10_QUERIES = [
     "sim_topk_ivf",
     "text_lm_perplexity_filter", "dedup_incremental_new_batch",
     "text_lm_self_perplexity",
+    # r7 (VERDICT r6 #6): the sorted-neighborhood plan is O(W·n) with a
+    # bounded verify (levenshtein over 40-char heads), so the FULL query
+    # is affordable at 100x — its curve no longer stops at sf3. The
+    # jaccard verify join's output-sized shuffle is not; its 100x point
+    # is candidate-count-only (see sf10_candidate_counts below).
+    "dedup_levenshtein_prefix",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
@@ -218,7 +224,7 @@ def summarize(report: dict) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=str(REPO / "BENCH_SF1_r06.json"))
+    ap.add_argument("--out", default=str(REPO / "BENCH_SF1_r07.json"))
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--timeout", type=float, default=300.0)
     args = ap.parse_args()
@@ -268,7 +274,77 @@ def main() -> int:
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1), ("sf3", SF3)):
             counts[name][label] = fn(spark, sf_dir).count()
         print(f"  rows   {name}: {counts[name]}", file=sys.stderr)
+    # the sorted-neighborhood query also ran (and is output-counted) at
+    # 100x — its output is W-bounded, so the count is affordable there
+    counts["dedup_levenshtein_prefix"]["sf10"] = (
+        entry.queries()["dedup_levenshtein_prefix"](spark, SF10).count()
+    )
     report["pair_output_rows"] = counts
+
+    # r7 (VERDICT r6 #5): end-to-end curve for the cluster-collapse
+    # consumer of the re-planned candidate generator — wall-clock,
+    # local-contraction (union-find) rounds, node and cluster counts.
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_candidates,
+        ngram_jaccard_pairs,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries.registry import (
+        load as load_table,
+    )
+
+    def _blocked_docs(sf_dir):
+        return load_table(spark, sf_dir, "documents").withColumn(
+            "len_bucket", F.floor(F.col("n_chars") / 50)
+        )
+
+    cstats: dict = {}
+    for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1), ("sf3", SF3)):
+        pairs = ngram_jaccard_pairs(
+            _blocked_docs(sf_dir), "text", "doc_id",
+            block_cols=["lang", "len_bucket"], threshold=0.5, ngram=1,
+        )
+        st: dict = {}
+        t0 = time.perf_counter()
+        agg = (
+            connected_components(pairs, stats=st)
+            .agg(
+                F.count(F.lit(1)).alias("nodes"),
+                F.count_distinct("label").alias("clusters"),
+            )
+            .first()
+        )
+        cstats[label] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "uf_rounds": st.get("rounds"),
+            "nodes": int(agg["nodes"]),
+            "clusters": int(agg["clusters"]),
+        }
+        print(f"  cc     {label}: {cstats[label]}", file=sys.stderr)
+    report["cluster_stats"] = cstats
+
+    # r7 (VERDICT r6 #6): jaccard CANDIDATE counts through 100x — the
+    # prefix filter's probe volume, measured without the verify join's
+    # output-sized shuffle (the quantity that must stay linear for the
+    # plan to survive; output pairs grow superlinearly by replica
+    # construction and are normalized separately above).
+    jstats: dict = {}
+    for label, sf_dir in (
+        ("sf0.1", SF01), ("sf1", SF1), ("sf3", SF3), ("sf10", SF10),
+    ):
+        t0 = time.perf_counter()
+        n_cand = ngram_jaccard_candidates(
+            _blocked_docs(sf_dir), "text", "doc_id",
+            block_cols=["lang", "len_bucket"], threshold=0.5, ngram=1,
+        ).count()
+        jstats[label] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "candidate_pairs": int(n_cand),
+        }
+        print(f"  jcand  {label}: {jstats[label]}", file=sys.stderr)
+    report["jaccard_candidate_counts"] = jstats
 
     summarize(report)
     Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
