@@ -427,10 +427,16 @@ def test_connected_components_chain_clique_and_pair(spark):
          (20, 21)],
         ["id_a", "id_b"],
     )
-    labels = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    st: dict = {}
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, stats=st).collect()
+    }
     assert {labels[n] for n in (1, 2, 3, 4, 5)} == {1}
     assert {labels[n] for n in (10, 11, 12)} == {10}
     assert {labels[n] for n in (20, 21)} == {20}
+    # the stats hook reports how many local-contraction rounds ran
+    assert isinstance(st.get("rounds"), int) and 1 <= st["rounds"] <= 25
 
 
 def test_lm_score_trained_table_edges_and_join_equivalence(spark):
