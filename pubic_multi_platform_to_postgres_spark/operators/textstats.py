@@ -174,6 +174,65 @@ def remove_repeated_windows(
     )
 
 
+def scrub_boilerplate_windows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int,
+    window_words: int = 3,
+) -> DataFrame:
+    """CROSS-document boilerplate removal (the CCNet/RefinedWeb
+    shared-passage filter — the corpus-level sibling of
+    ``remove_repeated_windows``): drop every aligned ``window_words``-word
+    window whose exact text occurs in at least ``min_docs`` DISTINCT
+    documents (navigation chrome, cookie banners, license footers — text
+    shared across many pages is template, not content), and reassemble
+    the survivors.
+
+    Plan: windows build map-side (``split``/``sequence``/``transform``/
+    ``slice`` — no Python); cross-doc document frequency is one shuffle
+    on window text; the flagged set joins back by window-text equi-join
+    with NO broadcast hint — though note the flagged set is bounded by
+    construction at ANY corpus size: a window needs ≥ ``min_docs`` docs,
+    so |flagged| ≤ total windows / min_docs ≈ (mean windows per doc) /
+    frac — corpus-size-independent when ``min_docs`` is a fraction of
+    |docs|, so AQE will in practice always broadcast it; the final
+    reassembly is one shuffle on doc id. Output: ``(id, n_windows,
+    n_boiler_windows, cleaned_md5)`` — ``cleaned_md5`` is NULL when every
+    window was boilerplate (nothing survives).
+    """
+    w = window_words
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) / {w}.0)) - 1),"
+                f" i -> array_join(slice(split({text_col}, ' '), i * {w} + 1, {w}), ' '))"
+            )
+        ).alias("pos", "wtext"),
+    )
+    flagged = (
+        wins.groupBy("wtext")
+        .agg(F.count_distinct("id").alias("bdf"))
+        .filter(F.col("bdf") >= F.lit(min_docs))
+        .select("wtext", F.lit(True).alias("boiler"))
+    )
+    marked = wins.join(flagged, "wtext", "left").select(
+        "id", "pos", "wtext", F.coalesce("boiler", F.lit(False)).alias("boiler")
+    )
+    kept = F.array_sort(
+        F.collect_list(F.when(~F.col("boiler"), F.struct("pos", "wtext")))
+    )
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("boiler").cast("long")).alias("n_boiler_windows"),
+        F.when(
+            F.size(kept) > 0,
+            F.md5(F.array_join(F.transform(kept, lambda s: s["wtext"]), " ")),
+        ).alias("cleaned_md5"),
+    )
+
+
 # --- char-bigram LM scoring (CCNet/KenLM-style perplexity filter) ----------
 
 LM_ALPHABET = 27   # a-z + everything-else-as-space

@@ -2211,3 +2211,359 @@ def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@query(
+    "dedup_levenshtein_snm2",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, substring(trim(lower(text)), 1, 40) AS head
+        FROM documents
+    ),
+    r1 AS (
+        SELECT doc_id, lang, head, substring(head, 1, 8) AS blk,
+               row_number() OVER (
+                   PARTITION BY lang, substring(head, 1, 8)
+                   ORDER BY head, doc_id
+               ) AS rn
+        FROM t
+    ),
+    r2 AS (
+        SELECT doc_id, lang, head, substring(head, 1, 8) AS blk,
+               row_number() OVER (
+                   PARTITION BY lang, substring(head, 1, 8)
+                   ORDER BY reverse(head), doc_id
+               ) AS rn
+        FROM t
+    ),
+    cand AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.head AS ha, b.head AS hb
+        FROM r1 a JOIN r1 b
+          ON a.lang = b.lang AND a.blk = b.blk
+         AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SN_WINDOW}
+        UNION ALL
+        SELECT a.doc_id, b.doc_id, a.head, b.head
+        FROM r2 a JOIN r2 b
+          ON a.lang = b.lang AND a.blk = b.blk
+         AND b.rn BETWEEN a.rn + 1 AND a.rn + {_SN_WINDOW}
+    )
+    SELECT DISTINCT least(da, db) AS id_a, greatest(da, db) AS id_b,
+           CAST(levenshtein(ha, hb) AS INTEGER) AS edit_dist
+    FROM cand
+    WHERE levenshtein(ha, hb) <= 12
+    """,
+)
+def dedup_levenshtein_snm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood edit-distance dedup (Hernandez &
+    Stolfo's multi-pass merge/purge): the W-bounded recall contract of
+    ``dedup_levenshtein_prefix`` is bought back by a second pass that
+    re-ranks each block by the REVERSED head — pairs whose heads differ
+    early (scattered > W apart in forward order) but agree late sort
+    adjacent in reverse order and land inside the second window. Each
+    pass is the same O(W·n) exploded-rank equi-join plan (probe side
+    spread to full width against AQE byte-coalescing); the union is
+    pair-DISTINCT, so the output is a strict superset of the one-pass
+    query at exactly 2× the bounded candidate budget. Recall gain is
+    quantified by ``test_snm2_second_pass_buys_recall``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang",
+        F.substring(F.trim(F.lower(F.col("text"))), 1, 40).alias("head"),
+    ).withColumn("blk", F.substring("head", 1, 8))
+
+    def one_pass(sort_key):
+        w = Window.partitionBy("lang", "blk").orderBy("skey", "doc_id")
+        r = t.withColumn("skey", sort_key).withColumn(
+            "rn", F.row_number().over(w)
+        )
+        a = r.select(
+            F.col("doc_id").alias("doc_a"), "lang", "blk",
+            F.col("head").alias("head_a"),
+            F.explode(
+                F.sequence(F.col("rn") + 1, F.col("rn") + _SN_WINDOW)
+            ).alias("rn_peer"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        b = r.select(
+            F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+            F.col("blk").alias("blk_b"), F.col("head").alias("head_b"),
+            F.col("rn").alias("rn_b"),
+        )
+        return a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("blk") == F.col("blk_b"))
+            & (F.col("rn_peer") == F.col("rn_b")),
+        ).select("doc_a", "doc_b", "head_a", "head_b")
+
+    cand = one_pass(F.col("head")).unionAll(one_pass(F.reverse(F.col("head"))))
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        cand.filter(dist <= 12)
+        .select(
+            F.least("doc_a", "doc_b").alias("id_a"),
+            F.greatest("doc_a", "doc_b").alias("id_b"),
+            dist.cast("int").alias("edit_dist"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS grams
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / CAST(len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    lbl AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(l.label, d.doc_id) AS group_id,
+           CASE WHEN (COALESCE(l.label, d.doc_id) % 100000007)
+                     * 2654435761 % 4294967296 < 429496729
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+    """,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/validation split: assign WHOLE near-dup
+    clusters — not individual documents — to splits, so no document in
+    the validation set has a near-duplicate in the training set (the
+    contamination that silently inflates held-out metrics; doc-level
+    random splits leak through every near-dup pair). Group id = the
+    connected-component label from the exact-Jaccard pair graph
+    (``dedup_clusters``); unpaired documents are their own singleton
+    group. Split membership is the same deterministic Knuth
+    multiplicative hash as ``corpus_stratified_sample`` applied to the
+    GROUP id (~10% val), so the split is a pure function of content
+    clusters — reproducible across runs, partitionings, and engines,
+    and every member of a cluster lands on the same side by
+    construction. Scale: the pair/label machinery is the measured
+    ``dedup_clusters`` path (BENCH_SF1 curves); the label join is a
+    plain doc_id equi-join (labels ≤ |paired docs| rows, no broadcast
+    hint — AQE decides) and the hash split is map-side. The oracle
+    recomputes components with a recursive transitive-closure CTE — an
+    independent algorithm, so cluster-atomicity itself is verified."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50)
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang", "len_bucket"],
+        threshold=0.5, ngram=1,
+    )
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    grouped = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("group_id"),
+        )
+    )
+    keep_hash = (F.col("group_id") % 100000007) * 2654435761 % 4294967296
+    return grouped.select(
+        "doc_id",
+        "group_id",
+        F.when(keep_hash < 429496729, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+@query(
+    "corpus_boilerplate_scrub",
+    # ORACLE FIXTURE CAP: generate_series(0,127) assumes <= 384 words per
+    # document (128 3-word windows - TESTDATA.md docs are <= ~100 words).
+    # Engine side is unbounded; widen if a future fixture grows.
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    win AS (
+        SELECT doc_id, g.i AS pos,
+               array_to_string(list_slice(w, g.i * 3 + 1, g.i * 3 + 3), ' ')
+                   AS wtext
+        FROM words, generate_series(0, 127) g(i)
+        WHERE g.i < CAST(ceil(len(w) / 3.0) AS BIGINT)
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    flag AS (
+        SELECT wtext FROM win
+        GROUP BY wtext
+        HAVING COUNT(DISTINCT doc_id) * 5 >= (SELECT n_docs FROM n)
+    ),
+    marked AS (
+        SELECT w.doc_id, w.pos, w.wtext, f.wtext IS NOT NULL AS boiler
+        FROM win w LEFT JOIN flag f USING (wtext)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler_windows,
+           md5(string_agg(CASE WHEN NOT boiler THEN wtext END, ' '
+                          ORDER BY pos)) AS cleaned_md5
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def corpus_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal: drop every aligned 3-word
+    window whose exact text occurs in >= 20% of the corpus's documents
+    (template chrome — navigation, banners, footers — is text SHARED
+    across pages; the intra-doc scrub ``corpus_remove_repetition``
+    cannot see it) and reassemble the survivors per document. The 20%
+    threshold is integer-exact on both engines (df·5 >= n_docs). The
+    flagged set is corpus-size-INDEPENDENT by construction (<= mean
+    windows-per-doc / 0.2 distinct windows can clear the bar), so at
+    100 TB the join-back is effectively a broadcast — but carries no
+    hint; AQE decides from measured size (the tfidf lesson). Oracle
+    rebuilds windows, the df threshold, and the reassembled digest
+    independently; docs that are 100% boilerplate yield NULL digests on
+    both engines."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        scrub_boilerplate_windows,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # one scalar (benign 1-row fetch, same class as the tfidf corpus
+    # count): the absolute doc threshold for the 20% rule
+    n_docs = docs.count()
+    min_docs = -(-n_docs // 5)  # ceil(n/5): df*5 >= n  <=>  df >= ceil(n/5)
+    out = scrub_boilerplate_windows(
+        docs, "text", "doc_id", min_docs=min_docs, window_words=3
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_windows", "n_boiler_windows",
+        "cleaned_md5",
+    )
+
+
+def _ann_recall_oracle_sql(
+    n_probes: int = 8, n_cells: int = 16, nprobe: int = 4, k: int = 10
+) -> str:
+    """DuckDB replay of the IVF recall evaluation: the same seeded
+    quantizer as ``sim_topk_ivf`` generalized over the ``n_probes``
+    lowest-id query vectors (cell assignment is probe-independent, so
+    it is computed once), exact brute-force top-k per probe, and
+    recall = |ivf top-k ∩ exact top-k| / k — one division of two small
+    exact integers. Every cosine is the shared strict-fold expression,
+    so both rankings agree bit-for-bit and the sets are identical even
+    at top-k boundary ties (ties break by vec_id on both engines)."""
+    vc = _COS.format(a="e.v", b="cv")
+    cq = _COS.format(a="cv", b="qs.qv")
+    ac = _COS.format(a="a.v", b="qs.qv")
+    bc = _COS.format(a="e.v", b="qs.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qs AS (SELECT vec_id AS pid, v AS qv FROM e ORDER BY vec_id LIMIT {n_probes}),
+    cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        FROM e ORDER BY vec_id LIMIT {n_cells}
+    ),
+    assign AS (
+        SELECT vec_id, v, cidx FROM (
+            SELECT e.vec_id, e.v, cidx,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {vc} DESC, cidx) AS rn
+            FROM e CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT pid, cidx FROM (
+            SELECT qs.pid, cidx,
+                   ROW_NUMBER() OVER (PARTITION BY qs.pid
+                                      ORDER BY {cq} DESC, cidx) AS rn
+            FROM cents CROSS JOIN qs
+        ) WHERE rn <= {nprobe}
+    ),
+    ivf_topk AS (
+        SELECT pid, vec_id FROM (
+            SELECT p.pid, a.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.pid
+                                      ORDER BY {ac} DESC, a.vec_id) AS rn
+            FROM assign a JOIN probes p ON a.cidx = p.cidx
+            JOIN qs ON qs.pid = p.pid
+        ) WHERE rn <= {k}
+    ),
+    brute_topk AS (
+        SELECT pid, vec_id FROM (
+            SELECT qs.pid, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qs.pid
+                                      ORDER BY {bc} DESC, e.vec_id) AS rn
+            FROM e CROSS JOIN qs
+        ) WHERE rn <= {k}
+    )
+    SELECT b.pid AS probe_id,
+           SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
+               AS recall_at_10
+    FROM brute_topk b LEFT JOIN ivf_topk i
+      ON i.pid = b.pid AND i.vec_id = b.vec_id
+    GROUP BY b.pid
+    """
+
+
+@query("ann_recall_at_k", oracle=_ann_recall_oracle_sql())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY measurement — the evaluation loop every
+    production vector index needs next to its build path: for a
+    deterministic probe sample (the 8 lowest-id embeddings), compute
+    exact brute-force top-10 and seeded-IVF(16 cells, 4 probes) top-10,
+    and report per-probe recall@10 = |approx ∩ exact| / 10. Probe count
+    is a CONSTANT sample by design — at 100 TB you evaluate recall on a
+    sampled probe set, never per corpus row — so the plan is 8 unioned
+    constant-size top-k subplans (each a TakeOrderedAndProject /
+    bounded candidate rank, the measured `sim_topk_*` machinery) plus
+    one tiny join; the 8-row probe fetch is the same benign collect
+    class as the IVF centroids. Recall is one IEEE division of two
+    small exact integers. The oracle replays quantization, probing,
+    both rankings, and the overlap independently."""
+    from functools import reduce
+
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        topk_cosine_ivf_seeded,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = (
+        emb.orderBy("vec_id").select("vec_id", "embedding").limit(8).collect()
+    )
+    brutes, ivfs = [], []
+    for p in probes:
+        qv = [float(x) for x in p["embedding"]]
+        pid = F.lit(p["vec_id"]).alias("probe_id")
+        brutes.append(
+            topk_cosine_bruteforce(emb, "embedding", "vec_id", qv, k=10)
+            .select(pid, "vec_id")
+        )
+        ivfs.append(
+            topk_cosine_ivf_seeded(
+                emb, "embedding", "vec_id", qv, k=10, n_cells=16, nprobe=4
+            ).select(pid, "vec_id")
+        )
+    brute = reduce(lambda a, b: a.unionAll(b), brutes)
+    ivf = reduce(lambda a, b: a.unionAll(b), ivfs).withColumn("hit", F.lit(1))
+    return (
+        brute.join(ivf, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.lit(10.0)).alias("recall_at_10"))
+    )

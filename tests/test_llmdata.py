@@ -439,6 +439,52 @@ def test_connected_components_chain_clique_and_pair(spark):
     assert isinstance(st.get("rounds"), int) and 1 <= st["rounds"] <= 25
 
 
+def test_ann_recall_at_k_bounds(spark):
+    """ANN recall evaluation: 8 probe rows, each recall in [0,1] on the
+    1/10 grid; every probe finds at least ITSELF (its own vector is the
+    exact top-1 and IVF always probes its own cell), so recall >= 0.1
+    for every row."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["ann_recall_at_k"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 8
+    for r in rows:
+        v = r["recall_at_10"]
+        assert 0.1 <= v <= 1.0 and round(v * 10) == v * 10, r
+
+
+def test_boilerplate_scrub_cross_doc_by_hand(spark):
+    """Cross-doc boilerplate scrub: a 3-word window shared by >= the doc
+    threshold is stripped from every document (position order preserved
+    in the reassembly digest); a document that is 100% boilerplate gets
+    a NULL digest; unique windows survive."""
+    import hashlib
+
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        scrub_boilerplate_windows,
+    )
+
+    boiler = "cookie banner text"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique one here"),
+            (2, boiler + " other words now"),
+            (3, boiler),                      # 100% boilerplate
+            (4, "totally fresh content doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in
+           scrub_boilerplate_windows(df, "text", "doc_id", min_docs=3).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1]["n_windows"] == 2 and out[1]["n_boiler_windows"] == 1
+    assert out[1]["cleaned_md5"] == md5("unique one here")
+    assert out[2]["cleaned_md5"] == md5("other words now")
+    assert out[3]["n_boiler_windows"] == 1 and out[3]["cleaned_md5"] is None
+    assert out[4]["n_boiler_windows"] == 0
+    assert out[4]["cleaned_md5"] == md5("totally fresh content doc")
+
+
 def test_lm_score_trained_table_edges_and_join_equivalence(spark):
     """Frozen-table map-side scorer (``lm_score``): NULL/empty/1-char
     docs score NULL with 0 bigrams, and scoring a corpus against ITS OWN

@@ -280,6 +280,65 @@ def test_prefix_filter_jaccard_user_column_names(spark):
         ngram_jaccard_pairs(df, "text", "__njp_id", ["g"])
 
 
+def test_snm2_second_pass_buys_recall(spark):
+    """Multi-pass SNM: a pair adjacent in REVERSED-head order but > W
+    ranks apart in forward order (same 8-char block, shared tail,
+    divergent 9th char, 12 fillers between) is invisible to the one-pass
+    query and found by the two-pass one; the two-pass output is a strict
+    superset of the one-pass output on the same corpus."""
+    import pubic_multi_platform_to_postgres_spark.queries.llmdata as L
+
+    tail = "same0"
+    docs = [(0, "en", "abcdefgh" + "a" + tail), (13, "en", "abcdefgh" + "z" + tail)]
+    docs += [(i, "en", "abcdefgh" + "bcdefghijklm"[i - 1] + "other")
+             for i in range(1, 13)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    orig = L.load
+    L.load = lambda spark, sf, table: df
+    try:
+        one = {(r["id_a"], r["id_b"])
+               for r in L.dedup_levenshtein_prefix(spark, "unused").collect()}
+        two = {(r["id_a"], r["id_b"])
+               for r in L.dedup_levenshtein_snm2(spark, "unused").collect()}
+    finally:
+        L.load = orig
+    assert one <= two  # superset contract
+    assert (0, 13) not in one  # 13 forward ranks apart, W=10 -> missed
+    assert (0, 13) in two      # adjacent in reversed order -> found
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Leakage-safe split: every member of a near-dup cluster gets the
+    cluster's min doc_id as group_id and the SAME split side (the whole
+    point — no near-dup may straddle train/val); singletons group as
+    themselves; the split side matches the Knuth-hash rule exactly."""
+    import pubic_multi_platform_to_postgres_spark.queries.llmdata as L
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma delta"),
+            (2, "en", "alpha beta gamma delta"),   # near-dup of 1
+            (7, "en", "alpha beta gamma epsilon"), # near-dup of both
+            (9, "en", "completely different words here"),  # singleton
+        ],
+        "doc_id long, lang string, text string",
+    ).withColumn("n_chars", F.length("text"))
+    orig = L.load
+    L.load = lambda spark, sf, table: df
+    try:
+        out = {r["doc_id"]: (r["group_id"], r["split"])
+               for r in L.corpus_leakage_safe_split(spark, "unused").collect()}
+    finally:
+        L.load = orig
+    assert out[1][0] == out[2][0] == out[7][0] == 1  # min-id group label
+    assert out[9][0] == 9
+    assert out[1][1] == out[2][1] == out[7][1]  # cluster atomicity
+    for did, (gid, split) in out.items():
+        expect = "val" if (gid % 100000007) * 2654435761 % 4294967296 < 429496729 \
+            else "train"
+        assert split == expect, (did, gid, split)
+
+
 @st.composite
 def head_corpus(draw):
     """Docs sharing a handful of 8-char prefixes with small suffix edits
