@@ -2567,3 +2567,124 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id")
         .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.lit(10.0)).alias("recall_at_10"))
     )
+
+
+def _curation_funnel_oracle_sql() -> str:
+    """DuckDB replay of the curation funnel: per-doc stage-survival
+    flags (each stage = previous AND its own predicate) + first-wins
+    exact-dedup rank, aggregated to per-stage survivor counts — all
+    integers, so the gate is exact. The quality-score and langid
+    expressions are the SAME SQL the `text_quality_scores` /
+    `text_langid` oracles use (both independently gate-green), so the
+    double comparison at the quality threshold cannot drift."""
+    langs = list(LANG_STOPWORDS)
+    cnt = {
+        lg: f"CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL[lg]}')) AS BIGINT)"
+        for lg in langs
+    }
+    best = "greatest(" + ", ".join(cnt[lg] for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {best} > 0 AND {cnt[lg]} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH f AS (
+        SELECT doc_id, n_chars, md5(text) AS fp,
+               CAST(length(text) AS DOUBLE) AS nc,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nt,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+               CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}')) AS DOUBLE)
+                   AS stop,
+               {case} AS detected
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, fp,
+               (n_chars >= 150) AS s1,
+               least(nt / 64.0, 1.0) * 0.4
+                 + least((stop / nt) * 4.0, 1.0) * 0.4
+                 + (1.0 - least((punct / nc) * 10.0, 1.0)) * 0.2 AS qs,
+               detected
+        FROM f
+    ),
+    g AS (
+        SELECT doc_id, fp, s1,
+               (s1 AND qs >= 0.5) AS s2,
+               (s1 AND qs >= 0.5 AND detected <> 'und') AS s3
+        FROM s
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY s3 DESC, doc_id)
+                      AS rn
+        FROM g
+    )
+    SELECT 0 AS stage_idx, 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM r
+    UNION ALL
+    SELECT 1, 'min_length', CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+    UNION ALL
+    SELECT 2, 'quality', CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+    UNION ALL
+    SELECT 3, 'langid', CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+    UNION ALL
+    SELECT 4, 'exact_dedup',
+           CAST(SUM(CASE WHEN s3 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM r
+    """
+
+
+@query("corpus_curation_funnel", oracle=_curation_funnel_oracle_sql())
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-pipeline ATTRITION funnel: how many documents survive
+    each stage of the standard filter chain — raw → min-length →
+    composite quality ≥ 0.5 → confident language ID → exact dedup
+    (first-wins by content hash). The per-stage counts are the number
+    every corpus-curation run reports (and the number that catches a
+    mis-tuned filter silently dropping 90% of a language). One pass:
+    all stage flags are map-side column expressions over one doc_id
+    join of the quality-feature projection (each stage ANDs the
+    previous — monotone by construction), the dedup stage is one
+    row_number window on the content hash (survivors ranked first), and
+    the funnel is a single aggregate exploded to (stage_idx, stage,
+    n_docs) rows. At 100 TB: one |docs|-row equi-join, one bounded
+    window shuffle on fp, one aggregate — no per-stage repeat scans of
+    the corpus."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        quality_features,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    qf = quality_features(docs, "text", "doc_id").select("doc_id", "quality_score")
+    base = docs.select(
+        "doc_id", "n_chars",
+        F.md5("text").alias("fp"),
+        lang_id(F.col("text")).alias("detected"),
+    ).join(qf, "doc_id")
+    s1 = F.col("n_chars") >= 150
+    s2 = s1 & (F.col("quality_score") >= 0.5)
+    s3 = s2 & (F.col("detected") != "und")
+    w = Window.partitionBy("fp").orderBy(F.col("s3").desc(), F.col("doc_id"))
+    flags = (
+        base.select("doc_id", "fp", s1.alias("s1"), s2.alias("s2"), s3.alias("s3"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("s1").cast("long")).alias("n1"),
+        F.sum(F.col("s2").cast("long")).alias("n2"),
+        F.sum(F.col("s3").cast("long")).alias("n3"),
+        F.sum((F.col("s3") & (F.col("rn") == 1)).cast("long")).alias("n4"),
+    )
+    def stage(i, name, col):
+        return F.struct(
+            F.lit(i).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col(col).alias("n_docs"),
+        )
+
+    stages = F.array(
+        stage(0, "raw", "n0"),
+        stage(1, "min_length", "n1"),
+        stage(2, "quality", "n2"),
+        stage(3, "langid", "n3"),
+        stage(4, "exact_dedup", "n4"),
+    )
+    return agg.select(F.explode(stages).alias("s")).select("s.*")

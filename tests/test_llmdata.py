@@ -453,6 +453,26 @@ def test_ann_recall_at_k_bounds(spark):
         assert 0.1 <= v <= 1.0 and round(v * 10) == v * 10, r
 
 
+def test_curation_funnel_monotone(spark):
+    """Curation funnel: 5 ordered stages; counts never increase down
+    the funnel (each stage ANDs the previous); 'raw' equals the corpus
+    size."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        REGISTRY["corpus_curation_funnel"].fn(spark, sf).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "min_length", "quality", "langid", "exact_dedup"
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert counts[0] == n_docs
+
+
 def test_boilerplate_scrub_cross_doc_by_hand(spark):
     """Cross-doc boilerplate scrub: a 3-word window shared by >= the doc
     threshold is stripped from every document (position order preserved

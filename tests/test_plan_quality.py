@@ -211,6 +211,37 @@ def test_lm_self_perplexity_broadcasts_model_table(spark):
     # the 1-row total rides in as a broadcast nested loop (1xN), allowed
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["corpus_leakage_safe_split", "corpus_boilerplate_scrub",
+     "corpus_curation_funnel"],
+)
+def test_r7_ops_no_forced_broadcast_no_product(spark, name):
+    """The round-7 composed operators must carry NO explicit broadcast
+    hint (their big sides — cluster labels, flagged-window set, quality
+    projection — are unbounded or |docs|-sized; AQE decides from
+    measured size) and must never plan a cartesian product."""
+    df = REGISTRY[name].fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_snm2_both_passes_bounded_equi_join(spark):
+    """dedup_levenshtein_snm2 must run BOTH sorted-neighborhood passes
+    as the 3-key bounded equi-join (rank keys in the join keys, never an
+    rn-range post-filter) — two join operators, each carrying the
+    neighbor-rank key."""
+    plan = plan_of(spark, "dedup_levenshtein_snm2")
+    join_lines = [l for l in plan.splitlines()
+                  if "Join" in l and "blk" in l and "rn_peer" in l]
+    assert len(join_lines) >= 2, plan
+    for line in join_lines:
+        assert "rn_b" in line, line
+    assert "CartesianProduct" not in plan
+
+
 def test_tfidf_no_forced_vocab_broadcast(spark):
     """corpus_tfidf_top_terms must NOT carry an explicit broadcast hint
     on the document-frequency table: df is |vocab|-cardinality and at

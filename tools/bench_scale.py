@@ -69,6 +69,9 @@ SF1_QUERIES = [
     "text_pii_scrub", "text_fingerprint", "embedding_quantize_int8",
     # heaviest multimodal (real codecs)
     "multimodal_gif_frames", "multimodal_resize", "multimodal_frame_sample",
+    # r7 additions
+    "corpus_leakage_safe_split", "corpus_boilerplate_scrub",
+    "dedup_levenshtein_snm2", "corpus_curation_funnel", "ann_recall_at_k",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -90,6 +93,9 @@ SF10_QUERIES = [
     # jaccard verify join's output-sized shuffle is not; its 100x point
     # is candidate-count-only (see sf10_candidate_counts below).
     "dedup_levenshtein_prefix",
+    # r7 additions whose ledger rows claim bounded-shuffle behavior
+    "dedup_levenshtein_snm2", "corpus_boilerplate_scrub",
+    "corpus_curation_funnel", "ann_recall_at_k",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
@@ -100,6 +106,8 @@ SF3_QUERIES = [
     # r7 (VERDICT r6 #5): end-to-end curve for the re-planned candidate
     # generator feeding connected components.
     "dedup_clusters",
+    # r7: the multi-pass SNM variant (2x the one-pass candidate budget)
+    "dedup_levenshtein_snm2",
 ]
 
 
@@ -274,11 +282,10 @@ def main() -> int:
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1), ("sf3", SF3)):
             counts[name][label] = fn(spark, sf_dir).count()
         print(f"  rows   {name}: {counts[name]}", file=sys.stderr)
-    # the sorted-neighborhood query also ran (and is output-counted) at
-    # 100x — its output is W-bounded, so the count is affordable there
-    counts["dedup_levenshtein_prefix"]["sf10"] = (
-        entry.queries()["dedup_levenshtein_prefix"](spark, SF10).count()
-    )
+    # the sorted-neighborhood queries also ran (and are output-counted)
+    # at 100x — their output is W-bounded, so the count is affordable
+    for name in ("dedup_levenshtein_prefix", "dedup_levenshtein_snm2"):
+        counts[name]["sf10"] = entry.queries()[name](spark, SF10).count()
     report["pair_output_rows"] = counts
 
     # r7 (VERDICT r6 #5): end-to-end curve for the cluster-collapse
