@@ -91,3 +91,56 @@ def compile_schema(schema: dict[str, Any]) -> T.StructType:
     return T.StructType(
         [T.StructField(f.name, f.dataType, True) for f in spark_type.fields]
     )
+
+
+def type_to_json_schema(dt: T.DataType, nullable: bool) -> dict[str, Any] | Any:
+    """Reverse of :func:`compile_type`: Spark type → the reference's
+    JSON-Schema dialect (nullable unions ``["null", T]``; timestamps as
+    ``string`` + ``format: date-time``). Round-trip invariant:
+    ``compile_schema(to_json_schema(st)) == st`` for any schema built
+    from the dialect — pinned by ``test_json_schema_roundtrip``."""
+    if isinstance(dt, T.StructType):
+        node: dict[str, Any] = {
+            "type": "object",
+            "properties": {
+                f.name: type_to_json_schema(f.dataType, f.nullable)
+                for f in dt.fields
+            },
+            "additionalProperties": False,
+        }
+        return node
+    if isinstance(dt, T.ArrayType):
+        base: dict[str, Any] = {
+            "type": "array",
+            "items": type_to_json_schema(dt.elementType, dt.containsNull),
+        }
+    elif isinstance(dt, T.TimestampType):
+        base = {"type": "string", "format": "date-time"}
+    elif isinstance(dt, T.DateType):
+        base = {"type": "string", "format": "date"}
+    elif isinstance(dt, T.StringType):
+        base = {"type": "string"}
+    elif isinstance(dt, T.DoubleType):
+        base = {"type": "number"}
+    elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        base = {"type": "integer"}
+    elif isinstance(dt, T.BooleanType):
+        base = {"type": "boolean"}
+    else:
+        raise ValueError(f"no JSON-Schema mapping for Spark type {dt}")
+    if nullable:
+        base = {**base, "type": ["null", base["type"]]}
+    return base
+
+
+def to_json_schema(schema: T.StructType) -> dict[str, Any]:
+    """Top-level stream schema: StructType → the reference's JSON-Schema
+    shape (``additionalProperties: false``, every field a nullable
+    union — reference semantics, matching :func:`compile_schema`)."""
+    return {
+        "type": "object",
+        "properties": {
+            f.name: type_to_json_schema(f.dataType, True) for f in schema.fields
+        },
+        "additionalProperties": False,
+    }

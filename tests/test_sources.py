@@ -102,6 +102,58 @@ def test_elt_end_to_end_land_golden(spark):
     }
 
 
+def test_singer_emit_stream_spec_shapes(spark):
+    """K1 interop egress: SCHEMA first (reference JSON-Schema dialect +
+    key_properties), one RECORD per row with schema projection (extra
+    keys dropped) and reference wire formats (ms-ISO 'Z' instants,
+    ISO dates), STATE last; every line is valid JSON."""
+    from datetime import date, datetime
+
+    from pubic_multi_platform_to_postgres_spark.plans.jsonschema import (
+        compile_schema,
+        to_json_schema,
+    )
+    from pubic_multi_platform_to_postgres_spark.sources.singer import emit_stream
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "updatedDate": {"type": ["null", "string"], "format": "date-time"},
+            "day": {"type": ["null", "string"], "format": "date"},
+            "n": {"type": ["null", "integer"]},
+        },
+        "additionalProperties": False,
+    }
+    cat = Catalog()
+    stream = cat.register_json_schema(
+        "tasks", schema, key_properties=["id"], replication_key="updatedDate"
+    )
+    # round-trip: StructType -> dialect -> StructType is lossless
+    assert compile_schema(to_json_schema(stream.schema)) == stream.schema
+
+    df = spark.createDataFrame(
+        [("t1", datetime(2024, 1, 2, 3, 4, 5, 123000), date(2024, 1, 2), 7)],
+        stream.schema,
+    ).withColumn("dropped", F.lit("x"))
+    lines = list(emit_stream(df, stream, bookmarks={"tasks": "2024-01-02"}))
+    msgs = [json.loads(ln) for ln in lines]
+    assert [m["type"] for m in msgs] == ["SCHEMA", "RECORD", "STATE"]
+    assert msgs[0]["stream"] == "tasks"
+    assert msgs[0]["key_properties"] == ["id"]
+    assert msgs[0]["schema"]["properties"]["updatedDate"] == {
+        "type": ["null", "string"], "format": "date-time"
+    }
+    rec = msgs[1]["record"]
+    assert rec == {
+        "id": "t1",
+        "updatedDate": "2024-01-02T03:04:05.123Z",
+        "day": "2024-01-02",
+        "n": 7,
+    }  # 'dropped' projected away (write_record parity)
+    assert msgs[2] == {"type": "STATE", "value": {"tasks": "2024-01-02"}}
+
+
 def test_scan_cursor_follows_after_until_absent():
     pages = {
         None: {"results": [{"id": 1}, {"id": 2}], "paging": {"next": {"after": "A"}}},
