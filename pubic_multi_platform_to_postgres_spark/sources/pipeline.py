@@ -136,6 +136,11 @@ class Pipeline:
             stream = self.catalog.get(table) if table in self.catalog else spec.stream
             if spec.client_filter and stream.replication_key in df.columns:
                 df = filter_newer(df, stream.replication_key, bookmark)
+            # The batch lineage (JSON parse → flatten/unnest → filter) is
+            # consumed up to three times below (quarantine probe, sink
+            # merge, row-count report); cache it once — a sync batch is
+            # bounded by the extraction page budget, never corpus-sized.
+            df = cached = df.persist()
             # Typed schema projection (P4): land EXACTLY the declared catalog
             # schema — every declared column, cast to its declared type,
             # missing ones as typed NULLs. The raw parse is inference-based
@@ -185,8 +190,11 @@ class Pipeline:
                 spark, self.sink_root / table, keys, order_col=stream.replication_key
                 if stream.replication_key in df.columns else None,
             )
-            sink.write(df)
-            report.tables[table] = df.count()
+            try:
+                sink.write(df)
+                report.tables[table] = df.count()
+            finally:
+                cached.unpersist()
 
         if spec.bookmark_mode == "run_start":
             report.bookmark = format_date(run_start)
