@@ -2536,32 +2536,63 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     one tiny join; the 8-row probe fetch is the same benign collect
     class as the IVF centroids. Recall is one IEEE division of two
     small exact integers. The oracle replays quantization, probing,
-    both rankings, and the overlap independently."""
-    from functools import reduce
+    both rankings, and the overlap independently.
+
+    Plan (re-planned after the first pin measured 8× scan
+    amplification from a per-probe loop): the cell ASSIGNMENT is
+    probe-independent and computed ONCE (checkpointed); both rankings
+    then come from single-scan batched scoring
+    (``multiprobe_partition_topk``) — every partition scores all 8
+    probes in one pass over the embedding column and emits only its
+    per-partition top-k heads, so the only shuffles are
+    ≤ probes·k·partitions head rows into two tiny rank windows."""
+    import numpy as np
 
     from pubic_multi_platform_to_postgres_spark.operators.similarity import (
-        topk_cosine_ivf_seeded,
+        fold_dots,
+        multiprobe_partition_topk,
+        seeded_centroids,
+        with_ivf_cell_cosine,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     probes = (
         emb.orderBy("vec_id").select("vec_id", "embedding").limit(8).collect()
     )
-    brutes, ivfs = [], []
-    for p in probes:
-        qv = [float(x) for x in p["embedding"]]
-        pid = F.lit(p["vec_id"]).alias("probe_id")
-        brutes.append(
-            topk_cosine_bruteforce(emb, "embedding", "vec_id", qv, k=10)
-            .select(pid, "vec_id")
-        )
-        ivfs.append(
-            topk_cosine_ivf_seeded(
-                emb, "embedding", "vec_id", qv, k=10, n_cells=16, nprobe=4
-            ).select(pid, "vec_id")
-        )
-    brute = reduce(lambda a, b: a.unionAll(b), brutes)
-    ivf = reduce(lambda a, b: a.unionAll(b), ivfs).withColumn("hit", F.lit(1))
+    centroids = seeded_centroids(emb, "embedding", "vec_id", n_cells=16)
+    cnorm = np.sqrt(np.cumsum(centroids * centroids, axis=1)[:, -1])
+
+    def probe_cells(qv: list[float]) -> list[int]:
+        # same nearest-cell rule as topk_cosine_ivf_seeded (ties → lowest)
+        q = np.asarray(qv, dtype=np.float64)
+        qn = np.sqrt(np.cumsum(q * q)[-1])
+        qcos = fold_dots(centroids, q) / (cnorm * qn)
+        return [int(i) for i in
+                sorted(range(len(qcos)), key=lambda i: (-qcos[i], i))[:4]]
+
+    plist = [(p["vec_id"], [float(x) for x in p["embedding"]]) for p in probes]
+    celled = with_ivf_cell_cosine(emb, "embedding", centroids).localCheckpoint(
+        eager=False
+    )
+    heads_b = multiprobe_partition_topk(
+        celled, "embedding", "vec_id",
+        [(pid, qv, None) for pid, qv in plist], k=10, cell_col="cell",
+    )
+    heads_i = multiprobe_partition_topk(
+        celled, "embedding", "vec_id",
+        [(pid, qv, probe_cells(qv)) for pid, qv in plist], k=10,
+        cell_col="cell",
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), "vec_id")
+    brute = (
+        heads_b.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10).select("probe_id", "vec_id")
+    )
+    ivf = (
+        heads_i.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10).select("probe_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
     return (
         brute.join(ivf, ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")
