@@ -441,3 +441,53 @@ def test_sorted_neighborhood_recall_vs_full_block_quantified(spark):
     recall = len(got) / len(full_block)
     expect = sum(n - d for d in range(1, W + 1)) / (n * (n - 1) / 2)
     assert recall == expect  # 95/105 for n=15, W=10
+
+
+@st.composite
+def window_corpus(draw):
+    """Small docs over a 4-word vocabulary — forces shared 3-word
+    windows across documents at every threshold."""
+    vocab = ["aa", "bb", "cc", "dd"]
+    n = draw(st.integers(2, 8))
+    return [
+        (i, " ".join(draw(st.lists(st.sampled_from(vocab), min_size=1,
+                                   max_size=9))))
+        for i in range(n)
+    ]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(window_corpus(), st.integers(1, 4))
+def test_boilerplate_scrub_matches_python_model(spark, docs, min_docs):
+    """Cross-doc boilerplate scrub vs a direct python model: aligned
+    3-word windows, cross-document distinct-doc frequency, >= min_docs
+    flags, order-preserving reassembly of survivors."""
+    import hashlib
+
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        scrub_boilerplate_windows,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: r for r in
+           scrub_boilerplate_windows(df, "text", "doc_id",
+                                     min_docs=min_docs).collect()}
+
+    def windows(text):
+        w = text.split(" ")
+        return [" ".join(w[i * 3:i * 3 + 3])
+                for i in range(math.ceil(len(w) / 3))]
+
+    dfreq: dict[str, set] = {}
+    for i, t in docs:
+        for win in set(windows(t)):
+            dfreq.setdefault(win, set()).add(i)
+    flagged = {w for w, ids in dfreq.items() if len(ids) >= min_docs}
+    for i, t in docs:
+        wins = windows(t)
+        kept = [w for w in wins if w not in flagged]
+        assert got[i]["n_windows"] == len(wins)
+        assert got[i]["n_boiler_windows"] == sum(w in flagged for w in wins)
+        expect = (hashlib.md5(" ".join(kept).encode()).hexdigest()
+                  if kept else None)
+        assert got[i]["cleaned_md5"] == expect, (i, t, kept)
