@@ -311,15 +311,26 @@ def test_leakage_safe_split_cluster_atomic(spark):
     """Leakage-safe split: every member of a near-dup cluster gets the
     cluster's min doc_id as group_id and the SAME split side (the whole
     point — no near-dup may straddle train/val); singletons group as
-    themselves; the split side matches the Knuth-hash rule exactly."""
+    themselves; the split side matches the Knuth-hash rule exactly.
+
+    Docs 20/21 pin the VERDICT-r7 recall hole: a near-dup pair whose
+    lengths straddle a 50-char bucket boundary (39 vs 50 chars →
+    buckets 0 vs 1) is invisible to single-grid blocking; the
+    offset-25 second grid (buckets 1 vs 1) must land them in ONE group
+    on one split side."""
     import pubic_multi_platform_to_postgres_spark.queries.llmdata as L
 
+    straddle_a = "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8"   # 39 chars
+    straddle_b = straddle_a + " extratoken"                  # 50 chars
+    assert len(straddle_a) // 50 != len(straddle_b) // 50    # straddles grid 1
     df = spark.createDataFrame(
         [
             (1, "en", "alpha beta gamma delta"),
             (2, "en", "alpha beta gamma delta"),   # near-dup of 1
             (7, "en", "alpha beta gamma epsilon"), # near-dup of both
             (9, "en", "completely different words here"),  # singleton
+            (20, "en", straddle_a),  # Jaccard 8/9 with 21, bucket 0
+            (21, "en", straddle_b),  # bucket 1 — caught by offset grid only
         ],
         "doc_id long, lang string, text string",
     ).withColumn("n_chars", F.length("text"))
@@ -333,6 +344,8 @@ def test_leakage_safe_split_cluster_atomic(spark):
     assert out[1][0] == out[2][0] == out[7][0] == 1  # min-id group label
     assert out[9][0] == 9
     assert out[1][1] == out[2][1] == out[7][1]  # cluster atomicity
+    assert out[20][0] == out[21][0] == 20  # straddle pair: one group
+    assert out[20][1] == out[21][1]        # ... and one split side
     for did, (gid, split) in out.items():
         expect = "val" if (gid % 100000007) * 2654435761 % 4294967296 < 429496729 \
             else "train"

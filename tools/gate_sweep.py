@@ -84,11 +84,23 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=str(REPO / "GATE_SWEEP.json"))
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names (exact) to gate; "
+                         "skips writing --out unless given explicitly")
     args = ap.parse_args()
 
     spark = get_session(app_name="spark_graft_gate_sweep")
     t_start = time.perf_counter()
-    results, failures = sweep(spark, entry.queries(), entry.oracle_sql(), args.sf_dir)
+    queries = entry.queries()
+    if args.only:
+        keep = set(args.only.split(","))
+        unknown = keep - set(queries)
+        if unknown:
+            ap.error(f"unknown query names: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in keep}
+        if args.out == str(REPO / "GATE_SWEEP.json"):
+            args.out = "/tmp/GATE_SWEEP_partial.json"
+    results, failures = sweep(spark, queries, entry.oracle_sql(), args.sf_dir)
     elapsed = round(time.perf_counter() - t_start, 1)
     Path(args.out).write_text(json.dumps(results, indent=2) + "\n")
     green = sum(1 for r in results.values() if r["hash_match"] is True)
