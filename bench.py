@@ -61,10 +61,13 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(payload)
-    # The driver captures only the stdout TAIL, which truncates the
-    # per-query map (BENCH_r05/r06 landed "parsed: null" — VERDICT r6 #3).
-    # Always ALSO write the full JSON to a file next to this script so a
-    # complete copy is committable every round.
+    # The driver captures only the stdout TAIL, which truncated the
+    # ~4 KB per-query map every round (BENCH_r05–r07 all landed
+    # "parsed: null" — VERDICT r7 Next #8). The FULL table goes to a
+    # file; stdout's FINAL line is a compact summary with the same
+    # metric/value/unit/sf schema (plus the five slowest queries and a
+    # pointer to the full table) so any tail window ending at EOF
+    # contains one complete, valid JSON line.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -75,7 +78,19 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError as exc:
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
-    print(line)
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "queries": top5,
+        "queries_truncated_to_top5_slowest": True,
+        "full_table": out_path,
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -51,48 +51,31 @@ def epoch_ms_to_ts(c: Column | str) -> Column:
     return F.timestamp_millis(_col(c).cast("long"))
 
 
-# Session-timezone spellings Java resolves to a fixed zero offset: under
-# any of these, date_format renders UTC wall-clock, so the single-call
-# formatter below is exact.
-_UTC_ZONE_IDS = frozenset(
-    {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Z", "+00:00", "Universal", "Zulu"}
-)
-
-
 def epoch_ms_to_iso(c: Column | str) -> Column:
     """Epoch milliseconds → ISO-8601 UTC ms string ('Z' suffix).
 
-    Two plans, chosen at EXECUTION time by the session timezone (the
-    branch condition is ``current_timezone() IN <utc spellings>`` — a
-    runtime-replaceable expression Catalyst folds to a literal per
-    execution, so the CASE collapses to the chosen branch and a Column
-    built under one zone but executed after a session-zone change still
-    renders correctly; r6 resolved the branch at Column-BUILD time,
-    which silently labeled local wall-clock with 'Z' in that scenario —
-    ADVICE r6):
+    ONE plan: pure epoch arithmetic. Day/time fields derive from
+    integer division; only a DATE (timezone-less by type) is ever
+    formatted, so the rendering is session-timezone-proof at EVERY
+    build/execute zone combination — no branch, no ``date_format`` over
+    a timestamp, nothing whose zone binds at analysis time.
 
-    - **UTC session (the engine's own sessions — ``session.py`` pins
-      ``spark.sql.session.timeZone=UTC``)**: one
-      ``date_format(timestamp_millis(ms), ISO_MS_FMT)`` call. date_format
-      renders in the session zone, which here IS UTC, so the 'Z' label is
-      truthful — and the single formatter call runs at the scan floor
-      (~2.3× faster than the arithmetic plan on 100k rows: the packed-int
-      substring/concat chain was the cost, not the Java formatter).
-    - **Any other session zone**: epoch ARITHMETIC, because
-      ``date_format`` would label local wall-clock with a literal 'Z'
-      (caught by running the oracle gate under TZ=America/New_York).
-      Day/time fields derive from integer division; only a DATE
-      (timezone-less by type) is ever formatted.
+    History (why not a ``date_format`` fast path): ``date_format``
+    renders a timestamp in the SESSION zone, which under a non-UTC
+    session labels local wall-clock with a literal 'Z'. r6 gated it on
+    the zone at Column-build time (stale after a zone change — ADVICE
+    r6); r7 gated it at execution time via a ``current_timezone()``
+    CASE, which fixed that direction but left the inverse hole: the
+    formatter's ``timeZoneId`` binds at ANALYSIS while the CASE folds
+    at OPTIMIZATION, so build-non-UTC → switch-to-UTC → execute took
+    the fast branch with the stale non-UTC formatter zone (ADVICE r7).
+    Measured at 2M rows × local[32], the CASE plan was no faster than
+    the plain arithmetic plan anyway (184 vs 177 ms — the branch
+    overhead ate the formatter's gain; raw ``date_format`` alone is
+    135 ms, i.e. zone-change safety costs ~1.3×, and a
+    ``convert_timezone``→NTZ rendering costs 234 ms), so the branch is
+    gone: correctness by construction at the same speed.
     """
-    fast = F.date_format(F.timestamp_millis(_col(c).cast("long")), ISO_MS_FMT)
-    return F.when(
-        F.expr("current_timezone()").isin(list(_UTC_ZONE_IDS)), fast
-    ).otherwise(_epoch_ms_to_iso_arith(c))
-
-
-def _epoch_ms_to_iso_arith(c: Column | str) -> Column:
-    """The session-timezone-proof arithmetic rendering (see
-    ``epoch_ms_to_iso``; split out so tests can pin branch agreement)."""
     ms_total = _col(c).cast("long")
     days = F.floor(ms_total / 86400000)
     d = F.date_add(F.lit(datetime.date(1970, 1, 1)), days.cast("int"))

@@ -270,7 +270,11 @@ class DbApiUpsertSink:
     UPDATE`` → drop staging, all inside ONE transaction (a crash mid-load
     rolls back; re-running the batch is idempotent by PK). Works against
     anything speaking DB-API with ``ON CONFLICT`` semantics — stdlib
-    ``sqlite3`` in tests, ``psycopg2`` against a real Postgres.
+    ``sqlite3`` and DuckDB in tests (DuckDB implements the PostgreSQL
+    ``ON CONFLICT``/``EXCLUDED`` grammar, so the generated dialect is
+    execution-verified on a second engine; the exact statements are also
+    golden-pinned in ``test_jdbc_upsert_sql_golden_postgres_dialect``),
+    ``psycopg2`` against a real Postgres.
 
     Scale: rows stream to the driver via ``toLocalIterator`` in
     ``executemany`` chunks — right for dimension-sized sinks and for

@@ -100,7 +100,11 @@ def type_to_json_schema(dt: T.DataType, nullable: bool) -> dict[str, Any] | Any:
     ``compile_schema(to_json_schema(st)) == st`` for any schema built
     from the dialect — pinned by ``test_json_schema_roundtrip``."""
     if isinstance(dt, T.StructType):
-        node: dict[str, Any] = {
+        # falls through to the shared nullable wrap below — a nullable
+        # object node must union to ["null", "object"] like every other
+        # type, or nested nullability is lost and the round-trip
+        # invariant breaks for depth >= 2 (ADVICE r7)
+        base: dict[str, Any] = {
             "type": "object",
             "properties": {
                 f.name: type_to_json_schema(f.dataType, f.nullable)
@@ -108,9 +112,8 @@ def type_to_json_schema(dt: T.DataType, nullable: bool) -> dict[str, Any] | Any:
             },
             "additionalProperties": False,
         }
-        return node
-    if isinstance(dt, T.ArrayType):
-        base: dict[str, Any] = {
+    elif isinstance(dt, T.ArrayType):
+        base = {
             "type": "array",
             "items": type_to_json_schema(dt.elementType, dt.containsNull),
         }

@@ -141,56 +141,65 @@ class Pipeline:
             # merge, row-count report); cache it once — a sync batch is
             # bounded by the extraction page budget, never corpus-sized.
             df = cached = df.persist()
-            # Typed schema projection (P4): land EXACTLY the declared catalog
-            # schema — every declared column, cast to its declared type,
-            # missing ones as typed NULLs. The raw parse is inference-based
-            # (transforms consume undeclared nested fields, so the declared
-            # post-flatten schema can't be applied at read.json time), and
-            # inferred types drift run-to-run (all-null field, numeric-looking
-            # strings); casting here pins the landed types so the upsert
-            # sink's unionByName never sees two cycles disagree.
-            #
-            # Dead-letter contract: a row whose non-null value fails its
-            # declared cast (try_cast → NULL) goes to _quarantine/<table>
-            # as raw JSON instead of crashing the sync (ANSI cast throws)
-            # or silently nulling the value — the loader's skip-and-log
-            # behavior, but with the rejects queryable.
-            present = [c for c in stream.columns() if c in df.columns]
-            if present:
-                bad = F.lit(False)
-                for f in stream.schema.fields:
-                    # full dataType equality, not class identity: a same-class
-                    # mismatch (decimal precision drift, struct/array element
-                    # types) must also route through the quarantine check or
-                    # the try_cast projection below silently nulls it
-                    if f.name in df.columns and df.schema[f.name].dataType != f.dataType:
-                        src = F.col(f.name)
-                        bad = bad | (src.isNotNull() & src.try_cast(f.dataType).isNull())
-                rejects = df.filter(bad)
-                n_bad = rejects.count()
-                if n_bad:
-                    (
-                        rejects.select(
-                            F.to_json(F.struct(*df.columns)).alias("raw"),
-                            F.lit(table).alias("_table"),
-                            F.lit(format_date(run_start)).alias("_run_start"),
-                        )
-                        .write.mode("append")
-                        .parquet(str(self.sink_root / "_quarantine" / table))
-                    )
-                    report.quarantined[table] = n_bad
-                    df = df.filter(~bad)
-                df = df.select(*[
-                    (F.col(f.name).try_cast(f.dataType) if f.name in df.columns
-                     else F.lit(None).cast(f.dataType)).alias(f.name)
-                    for f in stream.schema.fields
-                ])
-            keys = stream.key_properties or stream.columns()[:1]
-            sink = ParquetUpsertSink(
-                spark, self.sink_root / table, keys, order_col=stream.replication_key
-                if stream.replication_key in df.columns else None,
-            )
+            # try/finally opens IMMEDIATELY after persist(): the
+            # quarantine probe and typed projection below can throw
+            # (caught per-stream by the runner, which keeps going), and
+            # an unpersist scoped only around the sink write would leak
+            # the cached batch for the rest of the application
+            # (ADVICE r7).
             try:
+                # Typed schema projection (P4): land EXACTLY the declared
+                # catalog schema — every declared column, cast to its declared
+                # type, missing ones as typed NULLs. The raw parse is
+                # inference-based (transforms consume undeclared nested
+                # fields, so the declared post-flatten schema can't be applied
+                # at read.json time), and inferred types drift run-to-run
+                # (all-null field, numeric-looking strings); casting here pins
+                # the landed types so the upsert sink's unionByName never sees
+                # two cycles disagree.
+                #
+                # Dead-letter contract: a row whose non-null value fails its
+                # declared cast (try_cast → NULL) goes to _quarantine/<table>
+                # as raw JSON instead of crashing the sync (ANSI cast throws)
+                # or silently nulling the value — the loader's skip-and-log
+                # behavior, but with the rejects queryable.
+                present = [c for c in stream.columns() if c in df.columns]
+                if present:
+                    bad = F.lit(False)
+                    for f in stream.schema.fields:
+                        # full dataType equality, not class identity: a
+                        # same-class mismatch (decimal precision drift,
+                        # struct/array element types) must also route through
+                        # the quarantine check or the try_cast projection
+                        # below silently nulls it
+                        if f.name in df.columns and df.schema[f.name].dataType != f.dataType:
+                            src = F.col(f.name)
+                            bad = bad | (src.isNotNull() & src.try_cast(f.dataType).isNull())
+                    rejects = df.filter(bad)
+                    n_bad = rejects.count()
+                    if n_bad:
+                        (
+                            rejects.select(
+                                F.to_json(F.struct(*df.columns)).alias("raw"),
+                                F.lit(table).alias("_table"),
+                                F.lit(format_date(run_start)).alias("_run_start"),
+                            )
+                            .write.mode("append")
+                            .parquet(str(self.sink_root / "_quarantine" / table))
+                        )
+                        report.quarantined[table] = n_bad
+                        df = df.filter(~bad)
+                    df = df.select(*[
+                        (F.col(f.name).try_cast(f.dataType) if f.name in df.columns
+                         else F.lit(None).cast(f.dataType)).alias(f.name)
+                        for f in stream.schema.fields
+                    ])
+                keys = stream.key_properties or stream.columns()[:1]
+                sink = ParquetUpsertSink(
+                    spark, self.sink_root / table, keys,
+                    order_col=stream.replication_key
+                    if stream.replication_key in df.columns else None,
+                )
                 sink.write(df)
                 report.tables[table] = df.count()
             finally:

@@ -44,7 +44,17 @@ from pubic_multi_platform_to_postgres_spark.plans.jsonschema import to_json_sche
 
 
 def _json_value(v: Any) -> Any:
-    """One cell → its Singer wire value (reference date formats)."""
+    """One cell → its Singer wire value (reference date formats).
+
+    RECURSIVE: the JSON-Schema dialect supports nested objects/arrays,
+    and ``row.asDict(recursive=True)`` surfaces them as dicts/lists
+    whose leaf datetimes/dates/NaN would otherwise reach ``json.dumps``
+    unconverted — a ``TypeError`` for datetimes, invalid JSON for
+    NaN/Inf (ADVICE r7)."""
+    if isinstance(v, dict):
+        return {k: _json_value(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_value(x) for x in v]
     if isinstance(v, datetime.datetime):
         # format_date parity: ms precision + 'Z' (naive values are UTC
         # instants by the engine's session contract)
@@ -79,6 +89,133 @@ def record_message(stream_name: str, row: dict[str, Any], keep: set[str]) -> dic
 def state_message(bookmarks: dict[str, Any]) -> dict[str, Any]:
     """``STATE`` envelope (``singer.write_state`` shape)."""
     return {"type": "STATE", "value": dict(bookmarks)}
+
+
+class SingerProtocolError(ValueError):
+    """A message stream violated the Singer specification."""
+
+
+class SingerTarget:
+    """Minimal spec-validating Singer TARGET — the consumer half of the
+    interop claim (the reference pipes tap stdout → target stdin,
+    ``runner/__init__.py:152-155``; this is the smallest conforming
+    stand-in for ``pipelinewise-target-postgres``). Feed it JSONL lines
+    (e.g. straight from :func:`emit_stream`); it enforces, per the spec
+    and the reference's conventions:
+
+    - every line is a JSON object with a known ``type``
+      (SCHEMA/RECORD/STATE);
+    - SCHEMA arrives BEFORE any RECORD of its stream, carries an
+      object-typed ``schema`` and a ``key_properties`` list naming only
+      declared properties;
+    - RECORD carries only declared properties
+      (``additionalProperties: false``) with every key property present
+      and non-null;
+    - STATE replaces the current bookmark value (last one wins — the
+      reference emits state last).
+
+    Landed rows accumulate per stream in :attr:`records` (wire-format
+    values); :meth:`typed_records` converts them back to Python values
+    through the SAME JSON-Schema the message declared (date-time →
+    datetime, date → date), so tests can round-trip emitter output
+    against the original DataFrame value-for-value.
+    """
+
+    def __init__(self) -> None:
+        self.schemas: dict[str, dict[str, Any]] = {}
+        self.key_properties: dict[str, list[str]] = {}
+        self.records: dict[str, list[dict[str, Any]]] = {}
+        self.state: dict[str, Any] | None = None
+        self.counts = {"SCHEMA": 0, "RECORD": 0, "STATE": 0}
+
+    def consume(self, lines) -> "SingerTarget":
+        for n, line in enumerate(lines, start=1):
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError as exc:
+                raise SingerProtocolError(f"line {n}: invalid JSON: {exc}") from exc
+            if not isinstance(msg, dict) or "type" not in msg:
+                raise SingerProtocolError(f"line {n}: not a Singer envelope")
+            mtype = msg["type"]
+            if mtype == "SCHEMA":
+                self._on_schema(n, msg)
+            elif mtype == "RECORD":
+                self._on_record(n, msg)
+            elif mtype == "STATE":
+                if "value" not in msg:
+                    raise SingerProtocolError(f"line {n}: STATE without value")
+                self.state = msg["value"]
+            else:
+                raise SingerProtocolError(f"line {n}: unknown type {mtype!r}")
+            self.counts[mtype] += 1
+        return self
+
+    def _on_schema(self, n: int, msg: dict[str, Any]) -> None:
+        stream = msg.get("stream")
+        schema = msg.get("schema")
+        keys = msg.get("key_properties")
+        if not stream or not isinstance(schema, dict):
+            raise SingerProtocolError(f"line {n}: malformed SCHEMA")
+        if schema.get("type") not in ("object", ["null", "object"]):
+            raise SingerProtocolError(f"line {n}: SCHEMA not an object schema")
+        props = schema.get("properties", {})
+        if not isinstance(keys, list) or any(k not in props for k in keys):
+            raise SingerProtocolError(
+                f"line {n}: key_properties {keys!r} not all declared in schema"
+            )
+        self.schemas[stream] = schema
+        self.key_properties[stream] = list(keys)
+        self.records.setdefault(stream, [])
+
+    def _on_record(self, n: int, msg: dict[str, Any]) -> None:
+        stream = msg.get("stream")
+        if stream not in self.schemas:
+            raise SingerProtocolError(
+                f"line {n}: RECORD for {stream!r} before its SCHEMA"
+            )
+        rec = msg.get("record")
+        if not isinstance(rec, dict):
+            raise SingerProtocolError(f"line {n}: RECORD without record object")
+        props = self.schemas[stream].get("properties", {})
+        extra = set(rec) - set(props)
+        if extra:
+            raise SingerProtocolError(
+                f"line {n}: undeclared properties {sorted(extra)} "
+                f"(additionalProperties is false)"
+            )
+        for k in self.key_properties[stream]:
+            if rec.get(k) is None:
+                raise SingerProtocolError(f"line {n}: null/missing key property {k!r}")
+        self.records[stream].append(rec)
+
+    def typed_records(self, stream: str) -> list[dict[str, Any]]:
+        """Landed rows with wire strings parsed back through the
+        declared JSON-Schema (the inverse of :func:`_json_value`)."""
+        props = self.schemas[stream].get("properties", {})
+        return [
+            {k: _from_wire(v, props.get(k, {})) for k, v in rec.items()}
+            for rec in self.records[stream]
+        ]
+
+
+def _from_wire(v: Any, prop: dict[str, Any]) -> Any:
+    """One wire value → Python, guided by its JSON-Schema node."""
+    if v is None:
+        return None
+    decl = prop.get("type", "string")
+    if isinstance(decl, list):
+        decl = next((t for t in decl if t != "null"), "string")
+    if decl == "object":
+        sub = prop.get("properties", {})
+        return {k: _from_wire(x, sub.get(k, {})) for k, x in v.items()}
+    if decl == "array":
+        return [_from_wire(x, prop.get("items", {})) for x in v]
+    fmt = prop.get("format")
+    if fmt == "date-time":
+        return datetime.datetime.strptime(v, "%Y-%m-%dT%H:%M:%S.%fZ")
+    if fmt == "date":
+        return datetime.date.fromisoformat(v)
+    return v
 
 
 def emit_stream(

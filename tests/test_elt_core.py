@@ -289,13 +289,14 @@ def test_format_roundtrip(spark):
     assert row["wrike"] == "2023-01-01T00:00:00Z"
 
 
-def test_epoch_ms_to_iso_branches_agree(spark):
-    """The UTC-session fast path (single date_format) and the non-UTC
-    arithmetic fallback must render identical strings for the same epoch
-    values — including negative epochs, day boundaries, and ms edges.
-    The branch now resolves at EXECUTION time (ADVICE r6): the SAME
-    Column object must render identically under UTC and after a
-    session-zone change, and the arithmetic path must agree with both."""
+def test_epoch_ms_to_iso_zone_proof_all_combos(spark):
+    """The arithmetic ISO renderer must produce identical, truthful UTC
+    strings at EVERY build/execute session-zone combination — including
+    both stale-Column directions the r6 and r7 advisories flagged
+    (build-UTC/exec-NY and build-NY/exec-UTC) — for negative epochs,
+    day boundaries, and ms edges. The plan must contain no CASE and no
+    zone-sensitive expression (``date_format`` over a timestamp,
+    ``current_timezone``)."""
     from pubic_multi_platform_to_postgres_spark.functions import dates as D
 
     ms_values = [
@@ -312,29 +313,30 @@ def test_epoch_ms_to_iso_branches_agree(spark):
         253402300799999,     # 9999-12-31T23:59:59.999Z
     ]
     df = spark.createDataFrame([Row(ms=v) for v in ms_values])
-    sel = df.select(D.epoch_ms_to_iso("ms").alias("iso"))  # built ONCE
 
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        fast = [r.iso for r in sel.collect()]
-        # under UTC the CASE must constant-fold to the single formatter
-        opt = sel._jdf.queryExecution().optimizedPlan().toString()
+        built_utc = df.select(D.epoch_ms_to_iso("ms").alias("iso"))
+        utc_utc = [r.iso for r in built_utc.collect()]
+        opt = built_utc._jdf.queryExecution().optimizedPlan().toString()
         assert "CASE WHEN" not in opt, opt
-        # zone change AFTER build: the stale-Column scenario from the r6
-        # advisory — execution-time resolution must pick the arithmetic
-        # branch and still render true UTC
+        assert "current_timezone" not in opt, opt
+        # r6 advisory direction: build UTC, execute after zone change
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        stale = [r.iso for r in sel.collect()]
-        arith = [
-            r.iso
-            for r in df.select(D._epoch_ms_to_iso_arith("ms").alias("iso")).collect()
-        ]
+        utc_ny = [r.iso for r in built_utc.collect()]
+        # build AND execute under NY
+        built_ny = df.select(D.epoch_ms_to_iso("ms").alias("iso"))
+        ny_ny = [r.iso for r in built_ny.collect()]
+        # r7 advisory direction: build NY, execute after switch to UTC
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ny_utc = [r.iso for r in built_ny.collect()]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
-    assert fast == stale == arith
-    assert fast[0] == "1970-01-01T00:00:00.000Z"
-    assert fast[6] == "1969-12-31T23:59:59.999Z"
+    assert utc_utc == utc_ny == ny_ny == ny_utc
+    assert utc_utc[0] == "1970-01-01T00:00:00.000Z"
+    assert utc_utc[6] == "1969-12-31T23:59:59.999Z"
+    assert utc_utc[10] == "9999-12-31T23:59:59.999Z"
 
 
 def test_parse_date_fallback(spark):

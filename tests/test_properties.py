@@ -472,9 +472,10 @@ def window_corpus(draw):
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(window_corpus(), st.integers(1, 4))
 def test_boilerplate_scrub_matches_python_model(spark, docs, min_docs):
-    """Cross-doc boilerplate scrub vs a direct python model: aligned
-    3-word windows, cross-document distinct-doc frequency, >= min_docs
-    flags, order-preserving reassembly of survivors."""
+    """Cross-doc boilerplate scrub vs a direct python model: stride-1
+    shingle document frequency, >= min_docs flags, aligned-3-word-window
+    removal, order-preserving reassembly of survivors. Also pins the
+    superset contract: shingled flags ⊇ aligned-df flags."""
     import hashlib
 
     from pubic_multi_platform_to_postgres_spark.operators.textstats import (
@@ -491,11 +492,21 @@ def test_boilerplate_scrub_matches_python_model(spark, docs, min_docs):
         return [" ".join(w[i * 3:i * 3 + 3])
                 for i in range(math.ceil(len(w) / 3))]
 
+    def shingles(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w))}
+
     dfreq: dict[str, set] = {}
+    aligned_dfreq: dict[str, set] = {}
     for i, t in docs:
+        for sh in shingles(t):
+            dfreq.setdefault(sh, set()).add(i)
         for win in set(windows(t)):
-            dfreq.setdefault(win, set()).add(i)
+            aligned_dfreq.setdefault(win, set()).add(i)
     flagged = {w for w, ids in dfreq.items() if len(ids) >= min_docs}
+    aligned_flagged = {w for w, ids in aligned_dfreq.items()
+                       if len(ids) >= min_docs}
+    assert aligned_flagged <= flagged  # superset: never less recall
     for i, t in docs:
         wins = windows(t)
         kept = [w for w in wins if w not in flagged]

@@ -154,6 +154,120 @@ def test_singer_emit_stream_spec_shapes(spark):
     assert msgs[2] == {"type": "STATE", "value": {"tasks": "2024-01-02"}}
 
 
+def test_singer_target_roundtrip_nested(spark):
+    """K1 consumer-side proof (VERDICT r7 Next #5): emitter output piped
+    through the in-repo spec-validating Singer target lands row-for-row
+    — including NESTED objects/arrays whose leaf datetimes/dates/NaN
+    must be wire-converted recursively (ADVICE r7: top-level-only
+    conversion raised TypeError on nested date-times). typed_records
+    parses the wire strings back through the declared schema, so the
+    comparison is value-level, not string-level; the final STATE carries
+    the bookmarks; nested nullable objects survive the JSON-Schema
+    round-trip as ["null","object"] unions."""
+    from datetime import date, datetime
+
+    from pubic_multi_platform_to_postgres_spark.plans.jsonschema import (
+        compile_schema,
+        to_json_schema,
+    )
+    from pubic_multi_platform_to_postgres_spark.sources.singer import (
+        SingerTarget,
+        emit_stream,
+    )
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "id": {"type": "string"},
+            "meta": {
+                "type": ["null", "object"],
+                "properties": {
+                    "updated": {"type": ["null", "string"], "format": "date-time"},
+                    "score": {"type": ["null", "number"]},
+                },
+                "additionalProperties": False,
+            },
+            "days": {
+                "type": ["null", "array"],
+                "items": {"type": ["null", "string"], "format": "date"},
+            },
+        },
+        "additionalProperties": False,
+    }
+    cat = Catalog()
+    stream = cat.register_json_schema("things", schema, key_properties=["id"])
+    # nullable OBJECT at depth >= 2 survives the dialect round-trip
+    assert compile_schema(to_json_schema(stream.schema)) == stream.schema
+    assert to_json_schema(stream.schema)["properties"]["meta"]["type"] == [
+        "null", "object",
+    ]
+
+    rows = [
+        ("a", (datetime(2024, 1, 2, 3, 4, 5, 123000), 1.5),
+         [date(2024, 1, 2), None]),
+        ("b", (None, float("nan")), None),   # NaN must land as null
+        ("c", None, []),
+    ]
+    df = spark.createDataFrame(rows, stream.schema)
+    tgt = SingerTarget().consume(
+        emit_stream(df, stream, bookmarks={"things": "2024-01-02"})
+    )
+    assert tgt.counts == {"SCHEMA": 1, "RECORD": 3, "STATE": 1}
+    assert tgt.state == {"things": "2024-01-02"}
+    got = {r["id"]: r for r in tgt.typed_records("things")}
+    assert got["a"]["meta"] == {
+        "updated": datetime(2024, 1, 2, 3, 4, 5, 123000), "score": 1.5,
+    }
+    assert got["a"]["days"] == [date(2024, 1, 2), None]
+    assert got["b"]["meta"] == {"updated": None, "score": None}  # NaN -> null
+    assert got["c"]["meta"] is None and got["c"]["days"] == []
+
+
+def test_singer_target_rejects_protocol_violations():
+    """The target enforces the spec: RECORD before SCHEMA, undeclared
+    properties (additionalProperties: false), null key properties,
+    key_properties outside the schema, and unknown message types all
+    raise; a valid sequence with STATE anywhere passes."""
+    import pytest
+
+    from pubic_multi_platform_to_postgres_spark.sources.singer import (
+        SingerProtocolError,
+        SingerTarget,
+    )
+
+    sch = json.dumps({
+        "type": "SCHEMA", "stream": "s",
+        "schema": {"type": "object",
+                   "properties": {"id": {"type": "string"},
+                                  "v": {"type": ["null", "integer"]}},
+                   "additionalProperties": False},
+        "key_properties": ["id"],
+    })
+    rec = json.dumps({"type": "RECORD", "stream": "s",
+                      "record": {"id": "x", "v": 1}})
+
+    with pytest.raises(SingerProtocolError, match="before its SCHEMA"):
+        SingerTarget().consume([rec])
+    with pytest.raises(SingerProtocolError, match="undeclared"):
+        SingerTarget().consume([sch, json.dumps(
+            {"type": "RECORD", "stream": "s", "record": {"id": "x", "zz": 1}})])
+    with pytest.raises(SingerProtocolError, match="key property"):
+        SingerTarget().consume([sch, json.dumps(
+            {"type": "RECORD", "stream": "s", "record": {"id": None}})])
+    with pytest.raises(SingerProtocolError, match="not all declared"):
+        SingerTarget().consume([json.dumps(
+            {"type": "SCHEMA", "stream": "s",
+             "schema": {"type": "object", "properties": {}},
+             "key_properties": ["missing"]})])
+    with pytest.raises(SingerProtocolError, match="unknown type"):
+        SingerTarget().consume(['{"type": "ACTIVATE_VERSION"}'])
+    with pytest.raises(SingerProtocolError, match="invalid JSON"):
+        SingerTarget().consume(["{not json"])
+    ok = SingerTarget().consume(
+        [sch, json.dumps({"type": "STATE", "value": {}}), rec])
+    assert ok.counts["RECORD"] == 1
+
+
 def test_scan_cursor_follows_after_until_absent():
     pages = {
         None: {"results": [{"id": 1}, {"id": 2}], "paging": {"next": {"after": "A"}}},
@@ -475,6 +589,48 @@ def test_pipeline_failure_isolation(spark, tmp_path):
     # failed stream gets no bookmark; successful one does
     state = json.loads((tmp_path / "lake/state_wrike.json").read_text())
     assert "tasks" not in state["value"] and "contacts" in state["value"]
+
+
+def test_pipeline_no_cache_leak_when_probe_fails(spark, tmp_path):
+    """ADVICE r7: an exception in the quarantine probe / typed
+    projection (between persist() and the sink write) is caught
+    per-stream by the runner, which keeps going — the cached batch must
+    still be unpersisted or it leaks for the rest of the application.
+    A transform whose execution raises during the probe (type mismatch
+    forces the probe to run the plan) must leave ZERO persistent RDDs
+    behind."""
+    import dataclasses
+
+    extracted = {"tasks": _raw_tasks(1), "contacts": _raw_contacts()}
+    pipe = _make_pipeline(spark, tmp_path, extracted)
+
+    @F.udf("int")
+    def boom(s):
+        raise RuntimeError("probe boom")
+
+    orig = pipe.specs[0]
+
+    def bad_transform(raw):
+        out = dict(orig.transform(raw))
+        # int column vs declared string type -> the quarantine probe
+        # must execute the plan -> the UDF raises mid-probe
+        out["tasks"] = out["tasks"].withColumn("title", boom(F.col("title")))
+        return out
+
+    def persistent_ids():
+        # DELTA check, not absolute: the shared test session carries
+        # cached RDDs from other tests (localCheckpoints linger until
+        # the ContextCleaner GCs them) — only NEW survivors count
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(m.keySet().toArray())
+
+    before = persistent_ids()
+    pipe.specs[0] = dataclasses.replace(orig, transform=bad_transform)
+    reports = {r.stream: r for r in pipe.run(spark)}
+    assert not reports["tasks"].ok
+    assert reports["contacts"].ok          # O6 isolation still holds
+    leaked = persistent_ids() - before
+    assert not leaked, f"cached RDD(s) {leaked} leaked past the finally"
 
 
 def test_run_sequence_cycles_and_after_cycle(spark, tmp_path):
