@@ -296,6 +296,7 @@ def _jaccard_prefix_candidates(
     block_cols: list[str],
     threshold: float,
     ngram: int,
+    block_grids: list[list[Column]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared candidate generator for the SSJoin/AllPairs prefix filter:
     returns ``(hashed, cand)`` — the checkpointed per-doc distinct-gram
@@ -303,7 +304,21 @@ def _jaccard_prefix_candidates(
     prefix-token equi-join (see ``ngram_jaccard_pairs`` for the theorem
     and the scale argument). ``ngram_jaccard_candidates`` exposes the
     candidate face alone so scale evidence can measure candidate growth
-    without paying the verify join."""
+    without paying the verify join.
+
+    ``block_grids`` (mutually exclusive with ``block_cols``) runs
+    MULTI-GRID blocking in one pass: each inner list of Column
+    expressions is one blocking key per document, and a pair is a
+    candidate when it shares a prefix token AND agrees on at least one
+    grid's key (offset length-bucket grids — the leakage-split recall
+    contract). The gram arrays, global token order, and prefix sets are
+    block-independent, so they are computed ONCE; only the candidate
+    join fans out ×len(block_grids) via an exploded (grid, key) struct —
+    strictly cheaper than running the whole pipeline per grid (which
+    re-tokenizes and re-shuffles the corpus per grid) or than exploding
+    the input rows (which doubles the gram arrays through every stage
+    and multiplies the verify join). Requires one row per ``id_col``.
+    """
     tokens = tokenize(F.col(text_col))
     grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
     hashed = df.select(
@@ -338,6 +353,23 @@ def _jaccard_prefix_candidates(
             )
         ).alias("__njp_g_tok"),
     )
+    if block_grids is not None:
+        # one (grid, key) struct per grid per doc, attached to the
+        # prefix stream by an id equi-join — the only ×n_grids fan-out
+        blocks = df.select(
+            F.col(id_col).alias("__njp_id"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("__njp_grid"),
+                        *[e.alias(f"__njp_k{j}") for j, e in enumerate(grid)],
+                    )
+                    for i, grid in enumerate(block_grids)
+                ])
+            ).alias("__njp_blk"),
+        )
+        pref = pref.join(blocks, "__njp_id")
+        block_cols = ["__njp_blk"]
     a = pref.select(
         F.col("__njp_id").alias("id_a"), *[F.col(c).alias(f"__njp_ba_{c}") for c in block_cols],
         "__njp_g_tok",
@@ -360,6 +392,7 @@ def ngram_jaccard_candidates(
     block_cols: list[str],
     threshold: float = 0.5,
     ngram: int = 1,
+    block_grids: list[list[Column]] | None = None,
 ) -> DataFrame:
     """Candidate ``(id_a, id_b)`` pairs from the prefix filter ONLY —
     no verification join. Every qualifying pair is a candidate
@@ -369,7 +402,7 @@ def ngram_jaccard_candidates(
     output-sized shuffle (VERDICT r6 next-round #6)."""
     _validate_njp_names(id_col, block_cols)
     return _jaccard_prefix_candidates(
-        df, text_col, id_col, block_cols, threshold, ngram
+        df, text_col, id_col, block_cols, threshold, ngram, block_grids
     )[1]
 
 
@@ -380,6 +413,7 @@ def ngram_jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     ngram: int = 1,
+    block_grids: list[list[Column]] | None = None,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs within a blocking key, by PREFIX
     FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs —
@@ -413,10 +447,15 @@ def ngram_jaccard_pairs(
     the prefix itself plus the output names are reserved and rejected.
     The lazily-checkpointed shared subtree is unpersisted by Spark's
     ContextCleaner once the returned frame is no longer referenced.
+
+    ``block_grids`` (instead of ``block_cols``) blocks each document
+    under SEVERAL keys at once — offset length-bucket grids — in one
+    pass; a pair qualifies when it meets the threshold and shares at
+    least one grid key (see ``_jaccard_prefix_candidates``).
     """
     _validate_njp_names(id_col, block_cols)
     hashed, cand = _jaccard_prefix_candidates(
-        df, text_col, id_col, block_cols, threshold, ngram
+        df, text_col, id_col, block_cols, threshold, ngram, block_grids
     )
     ga = hashed.select(F.col("__njp_id").alias("id_a"), F.col("__njp_g").alias("__njp_ga"))
     gb = hashed.select(F.col("__njp_id").alias("id_b"), F.col("__njp_g").alias("__njp_gb"))

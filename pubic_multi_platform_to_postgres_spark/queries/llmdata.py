@@ -11,7 +11,7 @@ the driver's hash gate checks the whole pipeline, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubic_multi_platform_to_postgres_spark.operators.dedup import (
@@ -2390,21 +2390,25 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     same two-grid pair union with a recursive transitive-closure CTE —
     an independent algorithm, so cluster-atomicity itself is
     verified. Straddle-pair recall is pinned by
-    ``test_leakage_safe_split_cluster_atomic``."""
+    ``test_leakage_safe_split_cluster_atomic``.
+
+    Plan note: the two grids run as ONE prefix-filter pass, not two —
+    the gram arrays, global rarest-first token order, and prefix sets
+    are blocking-independent, so they are computed once; only the
+    candidate join fans out ×2 over an exploded (grid, lang, bucket)
+    key (``ngram_jaccard_pairs(block_grids=...)``), and the verify join
+    runs once per distinct pair. Measured at sf0.1 this multi-grid plan
+    beats both running the whole pipeline per grid and exploding the
+    input rows."""
     docs = load(spark, sf_dir, "documents")
-
-    def grid_pairs(bucket: Column) -> DataFrame:
-        blocked = docs.withColumn("len_bucket", bucket)
-        return ngram_jaccard_pairs(
-            blocked, "text", "doc_id", block_cols=["lang", "len_bucket"],
-            threshold=0.5, ngram=1,
-        ).select("id_a", "id_b")
-
-    pairs = (
-        grid_pairs(F.floor(F.col("n_chars") / 50))
-        .unionAll(grid_pairs(F.floor((F.col("n_chars") + 25) / 50)))
-        .distinct()
-    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=[],
+        threshold=0.5, ngram=1,
+        block_grids=[
+            [F.col("lang"), F.floor(F.col("n_chars") / 50)],
+            [F.col("lang"), F.floor((F.col("n_chars") + 25) / 50)],
+        ],
+    ).select("id_a", "id_b")
     labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
     grouped = (
         docs.select("doc_id")

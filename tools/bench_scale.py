@@ -232,7 +232,7 @@ def summarize(report: dict) -> None:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=str(REPO / "BENCH_SF1_r07.json"))
+    ap.add_argument("--out", default=str(REPO / "BENCH_SF1_r08.json"))
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--timeout", type=float, default=300.0)
     args = ap.parse_args()
@@ -307,8 +307,14 @@ def main() -> int:
             "len_bucket", F.floor(F.col("n_chars") / 50)
         )
 
+    # r8 (VERDICT r7 #7): the curve now runs THROUGH sf10/100× — one
+    # run, curve check not pin — closing the last family-level
+    # extrapolation gap (candidate volume at 100× was already measured
+    # at 59×; this adds the verify join + union-find on top).
     cstats: dict = {}
-    for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1), ("sf3", SF3)):
+    for label, sf_dir in (
+        ("sf0.1", SF01), ("sf1", SF1), ("sf3", SF3), ("sf10", SF10),
+    ):
         pairs = ngram_jaccard_pairs(
             _blocked_docs(sf_dir), "text", "doc_id",
             block_cols=["lang", "len_bucket"], threshold=0.5, ngram=1,
