@@ -263,6 +263,78 @@ def scrub_boilerplate_windows(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing local document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): per document, the DISTINCT
+    set of selected k-gram hashes, where a k-gram hash is selected iff it
+    is the minimum over some window of ``w`` consecutive k-gram hashes.
+
+    GUARANTEE (the paper's, adapted to value-set matching): any
+    substring of length >= ``w + k - 1`` shared by two documents
+    contains a full window of ``w`` k-grams in both, with identical
+    hash content, so both documents select its minimum — the shared
+    region contributes at least one COMMON fingerprint value. Expected
+    density is ~2/(w+1) selections per character, so the fingerprint
+    set is a ~25× compression of stride-1 shingling with a real
+    detection guarantee — this is the span-level (substring) dedup
+    signal that document-level MinHash/SimHash cannot give (Lee et al.
+    2022 show substring-level dedup materially improves LM training
+    corpora; their suffix-array machinery is replaced here by the
+    winnowing bound).
+
+    Contract details, mirrored exactly by the DuckDB oracles:
+
+    - hash = first 15 hex digits of md5(k-gram) as a 60-bit integer —
+      the catalog's portable cross-engine hash;
+    - a document with fewer than ``w`` k-grams (but at least one)
+      selects the minimum of all its k-gram hashes (one clamped
+      window); a document shorter than ``k`` chars selects nothing;
+    - selection is by VALUE (the per-window minimum), so equal-hash
+      ties need no position tie-break and the set is well-defined.
+
+    Plan: everything up to the output is MAP-SIDE — k-gram hashing and
+    window minima run as JVM higher-order functions over a per-doc
+    array (no per-position row explosion, no shuffle); the only data
+    ever shuffled downstream is the selected set at winnow density
+    (~2/(w+1) × corpus chars × 8 bytes). The O(n·w) slice/min HOF is
+    dominated by the n md5 calls, which any substring-level method
+    pays. Output: ``(id, fps array<long>)``.
+    """
+    # the short-doc guard lives on hs (not only fps): sequence(1, n<=0)
+    # would generate a DESCENDING range, not an empty one.
+    hs = (
+        f"CASE WHEN length({text_col}) >= {k} THEN "
+        f"transform(sequence(1, length({text_col}) - {k} + 1),"
+        f" i -> cast(conv(substr(md5(substr({text_col}, i, {k})), 1, 15),"
+        f" 16, 10) as bigint)) "
+        f"ELSE cast(array() as array<bigint>) END"
+    )
+    # LET-BINDING via a one-element transform: the window-min pass
+    # references the hash array three times (size, slice, guard), and
+    # Catalyst's CollapseProject inlines a projected alias into every
+    # reference — including INSIDE the per-window lambda, which would
+    # recompute all n md5 calls per window: O(n²·k) hashing (measured:
+    # pathological even at sf0.01). Binding hs as the lambda argument
+    # of an outer single-element transform forces one evaluation per
+    # row, immune to projection collapse.
+    fps = (
+        f"transform(array({hs}), __wf_hs -> "
+        f"CASE WHEN size(__wf_hs) > 0 THEN "
+        f"array_distinct(transform(sequence(1, greatest(size(__wf_hs) - {w} + 1, 1)),"
+        f" j -> array_min(slice(__wf_hs, j, {w})))) "
+        f"ELSE cast(array() as array<bigint>) END)[0]"
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.expr(fps).alias("fps")
+    )
+
+
 # --- char-bigram LM scoring (CCNet/KenLM-style perplexity filter) ----------
 
 LM_ALPHABET = 27   # a-z + everything-else-as-space

@@ -697,6 +697,162 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- winnowing fingerprints (Schleimer et al. 2003): span-level dedup -------
+
+_WN_K, _WN_W = 16, 8          # guarantee: shared substrings >= 23 chars
+_WN_MAX_DF = 50               # MOSS boilerplate cap for the pair join
+_WN_MIN_SHARED = 5            # pair-listing selectivity
+
+
+def _winnow_fp_cte(k: int = _WN_K, w: int = _WN_W) -> str:
+    """DuckDB CTEs computing the winnowing fingerprint set ``fp(doc_id,
+    sel)`` via an INDEPENDENT formulation: per-position k-gram rows +
+    a ``ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING`` window minimum
+    (the engine uses per-doc higher-order-function arrays — no common
+    code, so the gate checks the algorithm, not the implementation).
+    ``generate_series(1, 2000)`` caps at 2000 k-grams per doc —
+    TESTDATA.md docs are <= ~560 chars; widen if a future fixture
+    grows."""
+    return f"""
+    g AS (
+        SELECT doc_id, i AS pos,
+               ('0x' || substr(md5(substr(text, i, {k})), 1, 15))::BIGINT AS h,
+               len(text) - {k} + 1 AS n_h
+        FROM documents, generate_series(1, 2000) t(i)
+        WHERE i <= len(text) - {k} + 1
+    ),
+    wmin AS (
+        SELECT doc_id, pos, n_h,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                   AS sel
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, sel FROM wmin
+        WHERE pos <= n_h - {w} + 1 OR pos = 1
+    )"""
+
+
+@query(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH {_winnow_fp_cte()},
+    shared AS (
+        SELECT sel FROM fp GROUP BY sel HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT f.doc_id,
+               COUNT(*) AS n_fp,
+               SUM(CASE WHEN s.sel IS NOT NULL THEN 1 ELSE 0 END) AS n_shared_fp
+        FROM fp f LEFT JOIN shared s USING (sel)
+        GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST(COALESCE(p.n_shared_fp, 0) AS BIGINT) AS n_shared_fp
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint profile per document: how many local
+    fingerprints the doc selects (``winnow_fingerprints`` — the MOSS
+    algorithm; any >= w+k-1 = 23-char substring shared with another doc
+    is GUARANTEED to contribute a common fingerprint) and how many of
+    them also occur in at least one other document — the per-doc
+    span-duplication signal used to rank documents for substring-level
+    scrubbing. Scale: fingerprinting is map-side per doc (JVM HOFs, no
+    per-position explosion); the only shuffles carry the selected set
+    at ~2/(w+1) density and the doc-id aggregate. The oracle recomputes
+    selection with a window-function formulation over per-position
+    rows — an independent algorithm for the same contract."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=_WN_K, w=_WN_W).select(
+        F.col("id").alias("doc_id"), F.explode_outer("fps").alias("sel")
+    )
+    shared = (
+        fp.filter(F.col("sel").isNotNull())
+        .groupBy("sel")
+        .agg(F.count_distinct("doc_id").alias("wdf"))
+        .filter(F.col("wdf") >= 2)
+        .select("sel", F.lit(True).alias("is_shared"))
+    )
+    return (
+        fp.join(shared, "sel", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("sel").isNotNull().cast("long")).alias("n_fp"),
+            F.sum(F.coalesce("is_shared", F.lit(False)).cast("long")).alias(
+                "n_shared_fp"
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_shared_substrings",
+    oracle=f"""
+    WITH {_winnow_fp_cte()},
+    dfreq AS (SELECT sel, COUNT(DISTINCT doc_id) AS d FROM fp GROUP BY sel),
+    ok AS (SELECT sel FROM dfreq WHERE d BETWEEN 2 AND {_WN_MAX_DF})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fp a JOIN fp b USING (sel) JOIN ok USING (sel)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WN_MIN_SHARED}
+    """,
+)
+def dedup_shared_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level dedup pairs: documents sharing >= 5 winnowing
+    fingerprints — i.e. multiple distinct >= 23-char verbatim passages
+    — ranked by shared-fingerprint count. This catches partial-overlap
+    duplication (quoted passages, syndicated paragraphs, licence
+    blocks) that document-level Jaccard/MinHash dilutes away when the
+    rest of the documents differ (Lee et al. 2022's motivation for
+    substring-level dedup). Fingerprints occurring in more than 50
+    documents are dropped before the pair join — the MOSS boilerplate
+    cap, which also BOUNDS the join fan-out per fingerprint value (no
+    hot-value quadratic blow-up); corpus-wide template text is the
+    cross-doc scrub ``corpus_boilerplate_scrub``'s job, not a dedup
+    pair signal. Scale: map-side fingerprinting, one shuffle to count
+    per-value document frequency, one bounded equi-join on fingerprint
+    value, one pair aggregate — all linear in selected fingerprints
+    (~2/(w+1) x corpus chars)."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # the exploded fingerprint stream feeds THREE consumers (df count +
+    # both join sides); checkpoint so the md5 fingerprinting runs once
+    # (the _jaccard_prefix_candidates pattern)
+    fp = (
+        winnow_fingerprints(docs, "text", "doc_id", k=_WN_K, w=_WN_W)
+        .select(F.col("id").alias("doc_id"), F.explode("fps").alias("sel"))
+        .localCheckpoint(eager=False)
+    )
+    ok = (
+        fp.groupBy("sel")
+        .agg(F.count_distinct("doc_id").alias("wdf"))
+        .filter((F.col("wdf") >= 2) & (F.col("wdf") <= _WN_MAX_DF))
+        .select("sel")
+    )
+    a = fp.join(ok, "sel").select("sel", F.col("doc_id").alias("id_a"))
+    b = fp.join(ok, "sel").select(
+        F.col("sel").alias("sel_b"), F.col("doc_id").alias("id_b")
+    )
+    return (
+        a.join(b, (F.col("sel") == F.col("sel_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WN_MIN_SHARED)
+    )
+
+
 @query(
     "text_fingerprint",
     oracle="""

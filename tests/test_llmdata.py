@@ -541,6 +541,68 @@ def test_boilerplate_scrub_detects_prefix_shifted_boilerplate(spark):
     assert out[3]["n_boiler_windows"] == 0
 
 
+def _winnow_model(text, k, w):
+    """Direct python model of the winnowing contract (value-set
+    selection, md5-60bit k-gram hashes, clamped single window for short
+    docs)."""
+    import hashlib
+
+    if len(text) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(text) - k + 1)
+    ]
+    n_w = max(len(hs) - w + 1, 1)
+    return {min(hs[j:j + w]) for j in range(n_w)}
+
+
+def test_winnow_fingerprints_matches_python_model(spark):
+    """Engine winnowing (JVM HOF arrays) vs the direct python model on
+    edge shapes: shorter than k (no fingerprints), exactly k (one gram),
+    fewer grams than w (one clamped window = global min), repeated text
+    (value dedup), and a normal doc."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 3
+    docs = [
+        (1, "ab"),                     # < k -> empty
+        (2, "abcd"),                   # exactly one k-gram
+        (3, "abcde"),                  # 2 grams < w -> min of all
+        (4, "aaaaaaaaaa"),             # all grams identical -> 1 value
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, ""),                       # empty text
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: set(r["fps"])
+           for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()}
+    for i, t in docs:
+        assert got[i] == _winnow_model(t, k, w), (i, t)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a substring of
+    length >= w + k - 1 MUST share at least one fingerprint value, at
+    ANY alignment (different prefixes) — the property that makes this a
+    span-level dedup signal. Checked across prefix offsets 0..6."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    k, w = 4, 3
+    shared = "XYZQWERTYUIOPAB"            # len 15 >= w + k - 1 = 6
+    docs = [(0, shared + " tail content here")]
+    docs += [(i, ("p" * i) + "filler words " + shared + " more stuff")
+             for i in range(1, 7)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: set(r["fps"])
+           for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()}
+    for i in range(1, 7):
+        assert got[0] & got[i], f"offset {i}: no common fingerprint"
+
+
 def test_lm_score_trained_table_edges_and_join_equivalence(spark):
     """Frozen-table map-side scorer (``lm_score``): NULL/empty/1-char
     docs score NULL with 0 bigrams, and scoring a corpus against ITS OWN
