@@ -20,6 +20,7 @@ from pubic_multi_platform_to_postgres_spark.operators.dedup import (
     exact_dedup,
     minhash_constants,
     minhash_dedup_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
     simhash_neardup_pairs,
@@ -154,13 +155,13 @@ _TOKS_CTE = (
 _M64 = "18446744073709551616::HUGEINT"
 
 
-def _minhash_oracle_sql(
+def _minhash_sig_fragments(
     num_hashes: int = 64, shingle_size: int = 3, bands: int = 16,
-    threshold: float = 0.4,
-) -> str:
-    """DuckDB replay of the full MinHash+LSH pipeline: md5 token hashes →
-    affine shingle hashes → per-seed signature minima → banded candidate
-    join on exact band tuples → signature-estimated Jaccard threshold."""
+) -> tuple[str, str, str]:
+    """Shared DuckDB fragments of the MinHash+LSH replay: the
+    ``toks→sh→mins→sigs`` CTE prefix, the OR-of-exact-band-tuples join
+    condition over aliases ``a``/``b``, and the matching-position count
+    expression (``est_jaccard`` numerator)."""
     A, B, C = minhash_constants(num_hashes, shingle_size)
     rpb = num_hashes // bands
     full = " + ".join(
@@ -189,7 +190,7 @@ def _minhash_oracle_sql(
         for b in range(bands)
     )
     est = " + ".join(f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
-    return f"""
+    cte = f"""
     WITH toks AS ({_TOKS_CTE}),
     sh AS (
         SELECT doc_id,
@@ -201,12 +202,46 @@ def _minhash_oracle_sql(
         FROM (SELECT doc_id, list_transform(th, h -> h::HUGEINT) AS th FROM toks)
     ),
     mins AS (SELECT doc_id, {mins} FROM sh),
-    sigs AS (SELECT doc_id, {signed} FROM mins)
+    sigs AS (SELECT doc_id, {signed} FROM mins)"""
+    return cte, band_conds, est
+
+
+def _minhash_oracle_sql(
+    num_hashes: int = 64, shingle_size: int = 3, bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB replay of the full MinHash+LSH pipeline: md5 token hashes →
+    affine shingle hashes → per-seed signature minima → banded candidate
+    join on exact band tuples → signature-estimated Jaccard threshold."""
+    cte, band_conds, est = _minhash_sig_fragments(num_hashes, shingle_size, bands)
+    return f"""{cte}
     SELECT id_a, id_b, est_jaccard FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                ({est}) / {num_hashes}.0 AS est_jaccard
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_conds})
     ) WHERE est_jaccard >= {threshold}
+    """
+
+
+def _minhash_incremental_oracle_sql(
+    num_hashes: int = 64, shingle_size: int = 3, bands: int = 16,
+    threshold: float = 0.4, batch_mod: int = 5,
+) -> str:
+    """Incremental variant: new-batch signatures (``doc_id % batch_mod
+    = 0``) probe the landed corpus's band tuples; per batch doc keep the
+    best corpus match (max estimated Jaccard, tie-broken by corpus id)
+    at or above the threshold."""
+    cte, band_conds, est = _minhash_sig_fragments(num_hashes, shingle_size, bands)
+    return f"""{cte},
+    batch AS (SELECT * FROM sigs WHERE doc_id % {batch_mod} = 0),
+    corp AS (SELECT * FROM sigs WHERE doc_id % {batch_mod} <> 0)
+    SELECT doc_id, matched_doc_id, est_jaccard FROM (
+        SELECT a.doc_id, b.doc_id AS matched_doc_id,
+               ({est}) / {num_hashes}.0 AS est_jaccard,
+               ROW_NUMBER() OVER (PARTITION BY a.doc_id
+                                  ORDER BY ({est}) DESC, b.doc_id) AS rn
+        FROM batch a JOIN corp b ON ({band_conds})
+    ) WHERE rn = 1 AND est_jaccard >= {threshold}
     """
 
 
@@ -235,6 +270,69 @@ def dedup_minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(
         docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.4,
         token_hash="md5",
+    )
+
+
+@query("dedup_incremental_neardup", oracle=_minhash_incremental_oracle_sql())
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screening of a new ingest batch against the
+    landed corpus — the production companion of
+    ``dedup_incremental_new_batch`` (which only catches EXACT content
+    matches): a new document is flagged when it shares an LSH band
+    tuple with any corpus document and the signature-estimated Jaccard
+    meets the threshold; output is the drop-list ``(doc_id,
+    matched_doc_id, est_jaccard)`` with each new doc's best corpus
+    match (max estimate, tie-broken by corpus id). Same deterministic
+    split convention as the exact variant (every 5th doc_id is the
+    incoming batch).
+
+    Plan: signatures compute map-side once per side; the batch's band
+    tuples equi-join the corpus's band tuples on the exact
+    ``(band, values)`` struct — at 100 TB the corpus band table is the
+    big side (store it bucketed by band tuple so the daily probe
+    co-locates without reshuffling the corpus; the batch side stays a
+    day-sized shuffle), and per-band fan-out is bounded exactly like
+    ``dedup_minhash_pairs``. The oracle replays the whole pipeline —
+    signatures, banding, best-match ranking — in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", num_hashes=64, shingle_size=3, token_hash="md5"
+    )
+    bands_expr = F.expr(
+        "transform(sequence(0, 15), b ->"
+        " struct(b AS band, slice(signature, b * 4 + 1, 4) AS key))"
+    )
+    batch = sigs.filter(F.col("doc_id") % 5 == 0)
+    corp = sigs.filter(F.col("doc_id") % 5 != 0)
+    bb = batch.select(
+        "doc_id", "signature", F.explode(bands_expr).alias("bk")
+    )
+    cb = corp.select(
+        F.col("doc_id").alias("matched_doc_id"),
+        F.col("signature").alias("sig_b"),
+        F.explode(bands_expr).alias("bk_b"),
+    )
+    cand = (
+        bb.join(cb, F.col("bk") == F.col("bk_b"))
+        .select("doc_id", "signature", "matched_doc_id", "sig_b")
+        .dropDuplicates(["doc_id", "matched_doc_id"])
+    )
+    n_match = F.expr(
+        "aggregate(zip_with(signature, sig_b, (x, y) -> IF(x = y, 1, 0)),"
+        " 0, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_match"), "matched_doc_id"
+    )
+    return (
+        cand.withColumn("n_match", n_match)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_match") >= F.lit(0.4 * 64)))
+        .select(
+            "doc_id",
+            "matched_doc_id",
+            (F.col("n_match") / F.lit(64.0)).alias("est_jaccard"),
+        )
     )
 
 
@@ -296,6 +394,152 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(
         emb, "embedding", "vec_id", block_cols=["label"], threshold=0.4
+    )
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    lbl AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    assigned AS (
+        SELECT e.vec_id, COALESCE(l.cluster_id, e.vec_id) AS cluster_id
+        FROM e LEFT JOIN lbl l ON l.node = e.vec_id
+    )
+    SELECT vec_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM assigned
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup cluster collapse: embedding-cosine pairs
+    (GEMM-pruned inside LSH/IVF-style blocks — the measured
+    ``dedup_embedding_neardup`` path) fed into the same
+    local-contraction connected components as the token-level
+    ``dedup_clusters``, labeling every vector with its cluster's min
+    vec_id plus the cluster size. This is the embedding-space
+    equivalent of token near-dup collapse — it merges paraphrases and
+    re-encodings that share no tokens — and composes two already
+    scale-measured operators without any new shuffle pattern (pairs
+    are block-local; the CC label join is a plain id equi-join). The
+    oracle recomputes components with a recursive transitive-closure
+    CTE over independently computed cosines."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, "embedding", "vec_id", block_cols=["label"], threshold=0.4
+    )
+    labels = connected_components(pairs).withColumnRenamed("node", "vec_id")
+    assigned = (
+        emb.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id", F.coalesce("label", "vec_id").alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "vec_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
+@query(
+    "corpus_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, n_chars, n_chars // 50 AS len_bucket,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS grams
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / CAST(len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    lbl AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS group_id
+        FROM reach GROUP BY src
+    ),
+    assigned AS (
+        SELECT d.doc_id, d.n_chars, COALESCE(l.group_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, group_id,
+               ROW_NUMBER() OVER (PARTITION BY group_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM assigned
+    )
+    SELECT doc_id, group_id, rn = 1 AS keep
+    FROM ranked
+    """,
+)
+def corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup decision a training pipeline actually executes: collapse
+    near-dup clusters (exact-Jaccard pairs → connected components, the
+    measured ``dedup_clusters`` path) and KEEP one canonical document
+    per cluster — the longest member (most informative copy; truncated
+    and boilerplate-stripped variants lose), tie-broken by doc_id for
+    determinism. Output is per-doc ``(doc_id, group_id, keep)`` so the
+    corpus filter is a single semi-join against ``keep = true``. Scale:
+    one window rank per group over the doc-id-partitioned assignment —
+    no new shuffle pattern beyond the measured cluster machinery. The
+    oracle recomputes clusters via a recursive transitive-closure CTE
+    and re-ranks independently."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50)
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang", "len_bucket"],
+        threshold=0.5, ngram=1,
+    )
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    assigned = (
+        docs.select("doc_id", "n_chars")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", "n_chars", F.coalesce("label", "doc_id").alias("group_id")
+        )
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("n_chars"), "doc_id")
+    return assigned.select(
+        "doc_id", "group_id",
+        (F.row_number().over(w) == 1).alias("keep"),
     )
 
 
