@@ -1014,7 +1014,13 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # spread the md5-bound fingerprint stage to full width: the input is
+    # one parquet file at bench scale (1 task), and the text shuffle is
+    # tiny next to the per-position hashing it parallelizes (the snm
+    # probe-side lesson)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fp = winnow_fingerprints(docs, "text", "doc_id", k=_WN_K, w=_WN_W).select(
         F.col("id").alias("doc_id"), F.explode_outer("fps").alias("sel")
     )
@@ -1070,7 +1076,10 @@ def dedup_shared_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    # full-width fingerprinting (see text_winnow_fingerprints)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # the exploded fingerprint stream feeds THREE consumers (df count +
     # both join sides); checkpoint so the md5 fingerprinting runs once
     # (the _jaccard_prefix_candidates pattern)

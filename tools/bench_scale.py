@@ -72,6 +72,10 @@ SF1_QUERIES = [
     # r7 additions
     "corpus_leakage_safe_split", "corpus_boilerplate_scrub",
     "dedup_levenshtein_snm2", "corpus_curation_funnel", "ann_recall_at_k",
+    # r8 additions
+    "text_winnow_fingerprints", "dedup_shared_substrings",
+    "dedup_semantic_clusters", "corpus_dedup_keep_best",
+    "dedup_incremental_neardup",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -96,6 +100,9 @@ SF10_QUERIES = [
     # r7 additions whose ledger rows claim bounded-shuffle behavior
     "dedup_levenshtein_snm2", "corpus_boilerplate_scrub",
     "corpus_curation_funnel", "ann_recall_at_k",
+    # r8: map-side fingerprinting + bounded joins
+    "text_winnow_fingerprints", "dedup_shared_substrings",
+    "dedup_incremental_neardup",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
