@@ -214,18 +214,42 @@ def test_lm_self_perplexity_broadcasts_model_table(spark):
 @pytest.mark.parametrize(
     "name",
     ["corpus_leakage_safe_split", "corpus_boilerplate_scrub",
-     "corpus_curation_funnel"],
+     "corpus_curation_funnel",
+     # r8: winnow fp set, band tables, cluster labels — all unbounded
+     # or |docs|-sized big sides; AQE decides
+     "text_winnow_fingerprints", "dedup_shared_substrings",
+     "dedup_semantic_clusters", "corpus_dedup_keep_best",
+     "dedup_incremental_neardup"],
 )
-def test_r7_ops_no_forced_broadcast_no_product(spark, name):
-    """The round-7 composed operators must carry NO explicit broadcast
-    hint (their big sides — cluster labels, flagged-window set, quality
-    projection — are unbounded or |docs|-sized; AQE decides from
-    measured size) and must never plan a cartesian product."""
+def test_composed_ops_no_forced_broadcast_no_product(spark, name):
+    """The round-7/8 composed operators must carry NO explicit broadcast
+    hint (their big sides — cluster labels, flagged-window set, winnow
+    fingerprint set, LSH band tables — are unbounded or |docs|-sized;
+    AQE decides from measured size) and must never plan a cartesian
+    product."""
     df = REGISTRY[name].fn(spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, analyzed
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_fingerprint_stage_no_per_position_explosion(spark):
+    """The winnowing fingerprint pass must build per-doc hash arrays
+    with JVM higher-order functions — the plan may contain NO Generate
+    (explode) node upstream of the fps projection other than the final
+    explode of the selected set, and no Python/Arrow eval node at all
+    (md5 hashing stays JVM-side)."""
+    df = REGISTRY["text_winnow_fingerprints"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # every Generate is the explode of the per-doc selected set (the fp
+    # subtree appears once per consumer branch) — never a per-position
+    # row expansion of the k-gram stream
+    gen_lines = [l for l in plan.splitlines() if "Generate " in l]
+    assert gen_lines, plan
+    for line in gen_lines:
+        assert "explode(fps" in line, line
 
 
 def test_snm2_both_passes_bounded_equi_join(spark):
