@@ -1021,7 +1021,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    fp = winnow_fingerprints(docs, "text", "doc_id", k=_WN_K, w=_WN_W).select(
+    fp = winnow_fingerprints(docs, "text", "doc_id", k=_WN_K, w=_WN_W, token_hash="md5").select(
         F.col("id").alias("doc_id"), F.explode_outer("fps").alias("sel")
     )
     shared = (
@@ -1084,7 +1084,7 @@ def dedup_shared_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join sides); checkpoint so the md5 fingerprinting runs once
     # (the _jaccard_prefix_candidates pattern)
     fp = (
-        winnow_fingerprints(docs, "text", "doc_id", k=_WN_K, w=_WN_W)
+        winnow_fingerprints(docs, "text", "doc_id", k=_WN_K, w=_WN_W, token_hash="md5")
         .select(F.col("id").alias("doc_id"), F.explode("fps").alias("sel"))
         .localCheckpoint(eager=False)
     )

@@ -577,7 +577,8 @@ def test_winnow_fingerprints_matches_python_model(spark):
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["id"]: set(r["fps"])
-           for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w).collect()}
+           for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w,
+                                        token_hash="md5").collect()}
     for i, t in docs:
         assert got[i] == _winnow_model(t, k, w), (i, t)
 
