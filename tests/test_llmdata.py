@@ -557,20 +557,23 @@ def _winnow_model(text, k, w):
     return {min(hs[j:j + w]) for j in range(n_w)}
 
 
-def test_winnow_fingerprints_matches_python_model(spark):
-    """Engine winnowing (JVM HOF arrays) vs the direct python model on
-    edge shapes: shorter than k (no fingerprints), exactly k (one gram),
-    fewer grams than w (one clamped window = global min), repeated text
-    (value dedup), and a normal doc."""
+@pytest.mark.parametrize("w", [2, 3, 4, 5, 6, 7, 8, 9])
+def test_winnow_fingerprints_matches_python_model(spark, w):
+    """Engine winnowing (JVM HOF arrays; sparse-table window minima
+    whose doubling/final-combine decomposition differs per w — hence
+    the w sweep over power-of-two and odd shapes) vs the direct python
+    model on edge shapes: shorter than k (no fingerprints), exactly k
+    (one gram), fewer grams than w (one clamped window = global min),
+    repeated text (value dedup), and a normal doc."""
     from pubic_multi_platform_to_postgres_spark.operators.textstats import (
         winnow_fingerprints,
     )
 
-    k, w = 4, 3
+    k = 4
     docs = [
         (1, "ab"),                     # < k -> empty
         (2, "abcd"),                   # exactly one k-gram
-        (3, "abcde"),                  # 2 grams < w -> min of all
+        (3, "abcde"),                  # 2 grams, < w for most w
         (4, "aaaaaaaaaa"),             # all grams identical -> 1 value
         (5, "the quick brown fox jumps over the lazy dog"),
         (6, ""),                       # empty text
@@ -580,7 +583,7 @@ def test_winnow_fingerprints_matches_python_model(spark):
            for r in winnow_fingerprints(df, "text", "doc_id", k=k, w=w,
                                         token_hash="md5").collect()}
     for i, t in docs:
-        assert got[i] == _winnow_model(t, k, w), (i, t)
+        assert got[i] == _winnow_model(t, k, w), (i, t, w)
 
 
 def test_winnow_shared_substring_guarantee(spark):
