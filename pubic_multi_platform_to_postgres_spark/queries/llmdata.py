@@ -3176,3 +3176,256 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage(4, "exact_dedup", "n4"),
     )
     return agg.select(F.explode(stages).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained data selection / classification
+
+_DSIR_B = 1024  # hashed-unigram feature width (DSIR's fixed bucket count)
+
+
+def _hashed_bucket_cte(where: str = "") -> str:
+    """DuckDB replay of :func:`hashed_token_counts` over ``documents``
+    (md5 60-bit token hash → mod-B bucket)."""
+    return f"""
+    toks AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents {where}
+    ),
+    bkts AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_DSIR_B} AS bkt
+        FROM toks
+    )"""
+
+
+def _dsir_oracle_sql() -> str:
+    """DuckDB replay of the DSIR selection: hashed-unigram bucket counts
+    → integer-quantized smoothed probabilities per side (target =
+    ``src0``, raw = everything else) → micro-nat LLR weights → exact
+    integer per-doc scores → nearest-rank top-decile keep BY VALUE.
+    DuckDB ranks with one full-sort window; the Spark plan reaches the
+    same threshold scalar via the boundary-bucket histogram."""
+    return f"""
+    WITH {_hashed_bucket_cte()},
+    cnt AS (
+        SELECT bkt,
+               COUNT(*) FILTER (source = 'src0') AS ct,
+               COUNT(*) FILTER (source <> 'src0') AS cr
+        FROM bkts GROUP BY bkt
+    ),
+    tot AS (
+        SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt
+    ),
+    w AS (
+        SELECT g.x AS bkt,
+               CAST(round((ln((COALESCE(c.ct, 0) + 1) * 1000000000
+                              // ((SELECT nt FROM tot) + {_DSIR_B}))
+                         - ln((COALESCE(c.cr, 0) + 1) * 1000000000
+                              // ((SELECT nr FROM tot) + {_DSIR_B})))
+                          * 1000000, 0) AS BIGINT) AS llr_q
+        FROM generate_series(0, {_DSIR_B - 1}) g(x)
+        LEFT JOIN cnt c ON c.bkt = g.x
+    ),
+    dc AS (
+        SELECT doc_id, source, bkt, COUNT(*) AS c
+        FROM bkts WHERE source <> 'src0'
+        GROUP BY doc_id, source, bkt
+    ),
+    scores AS (
+        SELECT d.doc_id, d.source,
+               CAST(SUM(d.c * w.llr_q) AS BIGINT) AS sq,
+               CAST(SUM(d.c) AS BIGINT) AS n_tokens
+        FROM dc d JOIN w USING (bkt)
+        GROUP BY d.doc_id, d.source
+    ),
+    ranked AS (
+        SELECT sq, ROW_NUMBER() OVER (ORDER BY sq DESC, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM scores
+    ),
+    thr AS (SELECT MIN(sq) AS t FROM ranked WHERE rn <= (n + 9) // 10)
+    SELECT doc_id, source, n_tokens,
+           CAST(sq AS DOUBLE) / 1000000.0 AS dsir_logratio
+    FROM scores, thr WHERE sq >= thr.t
+    """
+
+
+@query("corpus_dsir_select", oracle=_dsir_oracle_sql())
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): pick the raw-pool
+    documents whose hashed-unigram statistics look most like a target
+    domain. Target = ``source = 'src0'`` (the quality anchor — DSIR's
+    Wikipedia role); every other document is the raw pool. Per-bucket
+    importance weight = micro-nat-quantized log-likelihood ratio of the
+    two add-one-smoothed bucket distributions; a document's score is
+    the EXACT INTEGER sum ``Σ c_b·llr_q[b]`` (order-independent — the
+    LM family's quantization discipline), and the top decile by score
+    is kept BY VALUE via the boundary-bucket nearest-rank threshold
+    (ties at the boundary all survive).
+
+    Plan: token hashing is map-side; both model tables are B=1024 rows
+    REGARDLESS of corpus size (the point of hashed features); scoring
+    is one plain equi-join on the bucket (AQE broadcasts the 1024-row
+    weight table at runtime — no forced hint) + one shuffle on doc id;
+    the threshold comes from a ≤~4k-row histogram + one boundary
+    bucket, never a global sort. One benign 1-row driver fetch (the
+    threshold scalar — same class as the perplexity filter's). The
+    md5 bucket hash makes the oracle replay exact; xxhash64 is the
+    production hash (same dataflow)."""
+    from pubic_multi_platform_to_postgres_spark.operators.classify import (
+        LLR_SCALE,
+        dsir_weights,
+        hashed_token_counts,
+        smoothed_bucket_profile,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = hashed_token_counts(
+        docs, "text", "doc_id", "source", n_buckets=_DSIR_B, token_hash="md5"
+    ).localCheckpoint(eager=False)
+    side = F.when(F.col("source") == "src0", "target").otherwise("raw")
+    prof = smoothed_bucket_profile(
+        counts.select(side.alias("side"), "bkt", "c"), "side", n_buckets=_DSIR_B
+    ).localCheckpoint(eager=False)
+    w = dsir_weights(
+        prof.filter(F.col("side") == "target"), prof.filter(F.col("side") == "raw")
+    )
+    scores = (
+        counts.filter(F.col("source") != "src0")
+        .join(w, "bkt")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("c") * F.col("llr_q")).alias("sq"),
+            F.sum("c").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # top-decile nearest-rank threshold via the boundary-bucket histogram
+    # (same idiom as text_lm_perplexity_filter, descending): integer
+    # scores bucket by floor(sq/2^20) — monotone, equal scores share a
+    # bucket — so only ~one 2^20-wide slice is ever exactly ranked.
+    bkt = F.floor(F.col("sq") / F.lit(float(1 << 20))).cast("long")
+    hist = scores.groupBy(bkt.alias("hb")).agg(F.count(F.lit(1)).alias("c"))
+    bounds = (
+        hist.select(
+            "hb",
+            "c",
+            F.expr("sum(c) over (order by hb desc) - c").alias("cum_before"),
+            F.expr("(sum(c) over () + 9) div 10").alias("k"),
+        )
+        .filter(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("cum_before") + F.col("c") >= F.col("k"))
+        )
+        .select(F.col("hb").alias("b_hb"), (F.col("k") - F.col("cum_before")).alias("j"))
+    )
+    boundary = scores.join(F.broadcast(bounds), bkt == F.col("b_hb"))
+    wb = Window.orderBy(F.desc("sq"), "doc_id")
+    thr_row = (
+        boundary.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= F.col("j"))
+        .agg(F.min("sq").alias("t"))
+        .first()
+    )
+    out = scores.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("sq").cast("double") / F.lit(float(LLR_SCALE))).alias("dsir_logratio"),
+        "sq",
+    )
+    if thr_row["t"] is not None:  # empty raw pool: nothing to threshold
+        out = out.filter(F.col("sq") >= F.lit(int(thr_row["t"])))
+    return out.drop("sq")
+
+
+def _centroid_classifier_oracle_sql() -> str:
+    """DuckDB replay of the nearest-centroid classifier: dense smoothed
+    per-source profiles over hashed buckets (train split doc_id%10<8),
+    exact-integer dot-product scores for the held-out docs, argmax with
+    (score DESC, source) tie-break, aggregated to a confusion matrix."""
+    return f"""
+    WITH {_hashed_bucket_cte()},
+    train AS (SELECT * FROM bkts WHERE doc_id % 10 < 8),
+    cnt AS (SELECT source, bkt, COUNT(*) AS c FROM train GROUP BY source, bkt),
+    tot AS (SELECT source, COUNT(*) AS n FROM train GROUP BY source),
+    prof AS (
+        SELECT t.source, g.x AS bkt,
+               (COALESCE(c.c, 0) + 1) * 1000000000 // (t.n + {_DSIR_B}) AS pm
+        FROM tot t CROSS JOIN generate_series(0, {_DSIR_B - 1}) g(x)
+        LEFT JOIN cnt c ON c.source = t.source AND c.bkt = g.x
+    ),
+    test AS (
+        SELECT doc_id, source AS true_source, bkt, COUNT(*) AS c
+        FROM bkts WHERE doc_id % 10 >= 8
+        GROUP BY doc_id, source, bkt
+    ),
+    sc AS (
+        SELECT t.doc_id, t.true_source, p.source AS cand,
+               SUM(t.c * p.pm) AS s
+        FROM test t JOIN prof p USING (bkt)
+        GROUP BY t.doc_id, t.true_source, p.source
+    ),
+    pred AS (
+        SELECT true_source, cand AS pred_source,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, cand) AS rn
+        FROM sc
+    )
+    SELECT true_source, pred_source, COUNT(*) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY true_source, pred_source
+    """
+
+
+@query("corpus_centroid_classifier", oracle=_centroid_classifier_oracle_sql())
+def corpus_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-TRAINED source classifier — the fastText-style curation
+    classifier role (GPT-3/CCNet quality filtering trains exactly this
+    shape of linear model over hashed n-gram features): train Rocchio
+    nearest-centroid profiles per ``source`` on the 80% split
+    (``doc_id % 10 < 8``), classify the held-out 20%, and report the
+    confusion matrix ``(true_source, pred_source, n_docs)`` — the
+    curation metric that catches a collapsed or leaking domain label.
+
+    Every score is an EXACT INTEGER (smoothed profiles use the LM
+    family's ``(c+1)·10⁹ // (N+B)`` quantization; a doc×class score is
+    ``Σ c_b·pm``), so the argmax is deterministic cross-engine with a
+    (score DESC, source) tie-break — no floating-point anywhere.
+
+    Plan: profiles are |sources|×1024 rows whatever the corpus size;
+    scoring is one equi-join on the bucket with fan-out bounded by
+    |sources| (partial aggregation runs map-side), one shuffle on
+    (doc, class), one tiny window per doc for the argmax, and a
+    |sources|²-row final aggregate. No driver fetch, no global sort,
+    no forced broadcast."""
+    from pubic_multi_platform_to_postgres_spark.operators.classify import (
+        centroid_scores,
+        hashed_token_counts,
+        smoothed_bucket_profile,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = hashed_token_counts(
+        docs, "text", "doc_id", "source", n_buckets=_DSIR_B, token_hash="md5"
+    ).localCheckpoint(eager=False)
+    prof = smoothed_bucket_profile(
+        counts.filter(F.col("doc_id") % 10 < 8).select(
+            F.col("source").alias("cand"), "bkt", "c"
+        ),
+        "cand",
+        n_buckets=_DSIR_B,
+    )
+    test = counts.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", F.col("source").alias("true_source"), "bkt", "c"
+    )
+    sc = centroid_scores(test, prof, "cand")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), "cand")
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_source", F.col("cand").alias("pred_source"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

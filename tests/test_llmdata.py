@@ -764,3 +764,120 @@ def test_lm_self_perplexity_tiny_corpus_by_hand(spark):
     idx_ab = 0 * LM_ALPHABET + 1
     idx_ba = 1 * LM_ALPHABET + 0
     assert rows == {(1, idx_ab): 2, (1, idx_ba): 1, (2, idx_ba): 1}
+
+
+def test_dsir_ranks_target_like_docs_highest(spark):
+    """DSIR property: a raw-pool doc sharing the target's vocabulary
+    must out-score raw docs that don't, and weights must be symmetric
+    evidence (target-only buckets positive, raw-only negative)."""
+    from pubic_multi_platform_to_postgres_spark.operators.classify import (
+        dsir_weights,
+        hashed_token_counts,
+        smoothed_bucket_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, source="tgt", text="apple banana cherry apple"),
+            Row(doc_id=1, source="tgt", text="banana cherry apple fig"),
+            Row(doc_id=2, source="raw", text="apple banana cherry fig"),
+            Row(doc_id=3, source="raw", text="dog cat mouse horse"),
+            Row(doc_id=4, source="raw", text="dog cat mouse cow"),
+        ]
+    )
+    counts = hashed_token_counts(docs, "text", "doc_id", "source", n_buckets=64)
+    side = F.when(F.col("source") == "tgt", "target").otherwise("raw")
+    prof = smoothed_bucket_profile(
+        counts.select(side.alias("side"), "bkt", "c"), "side", n_buckets=64
+    )
+    w = dsir_weights(
+        prof.filter(F.col("side") == "target"),
+        prof.filter(F.col("side") == "raw"),
+    )
+    scores = {
+        r["doc_id"]: r["sq"]
+        for r in counts.filter(F.col("source") == "raw")
+        .join(w, "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("llr_q")).alias("sq"))
+        .collect()
+    }
+    assert scores[2] > scores[3] and scores[2] > scores[4]
+    # dense weight table: every bucket has a weight, unseen-everywhere
+    # buckets get the smoothing-only ratio ln((1/Nt+B)/(1/Nr+B))
+    assert w.count() == 64
+
+
+def test_centroid_classifier_separable_and_tiebreak(spark):
+    """Separable classes classify perfectly; an exact score tie (two
+    identical class profiles) breaks to the lexicographically smaller
+    class — deterministic because scores are exact integers."""
+    from pubic_multi_platform_to_postgres_spark.operators.classify import (
+        centroid_scores,
+        hashed_token_counts,
+        smoothed_bucket_profile,
+    )
+
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=10, source="fruit", text="apple banana cherry apple banana"),
+            Row(doc_id=11, source="fruit", text="banana cherry apple apple"),
+            Row(doc_id=20, source="animal", text="dog cat mouse horse dog"),
+            Row(doc_id=21, source="animal", text="cat mouse dog cow"),
+        ]
+    )
+    test = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="fruit", text="apple banana banana"),
+            Row(doc_id=2, source="animal", text="dog cat cat"),
+        ]
+    )
+    prof = smoothed_bucket_profile(
+        hashed_token_counts(train, "text", "doc_id", "source", n_buckets=64)
+        .select(F.col("source").alias("cand"), "bkt", "c"),
+        "cand",
+        n_buckets=64,
+    )
+    tc = hashed_token_counts(test, "text", "doc_id", "source", n_buckets=64).select(
+        "doc_id", F.col("source").alias("true_source"), "bkt", "c"
+    )
+    sc = centroid_scores(tc, prof, "cand")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), "cand")
+    pred = {
+        r["doc_id"]: r["cand"]
+        for r in sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert pred == {1: "fruit", 2: "animal"}
+
+    # exact-tie determinism: two classes with IDENTICAL training text
+    # produce identical integer profiles; argmax must pick "a" < "b"
+    tied = spark.createDataFrame(
+        [
+            Row(doc_id=30, source="b", text="same words here"),
+            Row(doc_id=31, source="a", text="same words here"),
+        ]
+    )
+    tprof = smoothed_bucket_profile(
+        hashed_token_counts(tied, "text", "doc_id", "source", n_buckets=64)
+        .select(F.col("source").alias("cand"), "bkt", "c"),
+        "cand",
+        n_buckets=64,
+    )
+    probe = hashed_token_counts(
+        spark.createDataFrame([Row(doc_id=1, text="same words")]),
+        "text",
+        "doc_id",
+        n_buckets=64,
+    )
+    tsc = centroid_scores(probe, tprof, "cand")
+    top = (
+        tsc.withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("score_q"), "cand")))
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    assert top[0]["cand"] == "a"

@@ -219,7 +219,10 @@ def test_lm_self_perplexity_broadcasts_model_table(spark):
      # or |docs|-sized big sides; AQE decides
      "text_winnow_fingerprints", "dedup_shared_substrings",
      "dedup_semantic_clusters", "corpus_dedup_keep_best",
-     "dedup_incremental_neardup"],
+     "dedup_incremental_neardup",
+     # r8: the |sources|x1024 profile and the scoring join are model
+     # tables vs corpus data; AQE decides
+     "corpus_centroid_classifier"],
 )
 def test_composed_ops_no_forced_broadcast_no_product(spark, name):
     """The round-7/8 composed operators must carry NO explicit broadcast
@@ -279,5 +282,19 @@ def test_tfidf_no_forced_vocab_broadcast(spark):
     assert "ResolvedHint" not in analyzed, analyzed
     assert "UnresolvedHint" not in analyzed, analyzed
     # still a keyed join, never a product
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_weight_join_unhinted_boundary_hint_only(spark):
+    """corpus_dsir_select: the only broadcast HINT in the tree is the
+    ≤1-row boundary-bucket frame (the perplexity-filter idiom). The
+    B=1024 weight-table join must stay hint-free — the width is fixed
+    here, but the operator family's model tables must never assert
+    executor-memory fit by hint; AQE decides from measured size. Never
+    a cartesian product."""
+    df = REGISTRY["corpus_dsir_select"].fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1, analyzed
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan

@@ -76,6 +76,9 @@ SF1_QUERIES = [
     "text_winnow_fingerprints", "dedup_shared_substrings",
     "dedup_semantic_clusters", "corpus_dedup_keep_best",
     "dedup_incremental_neardup",
+    # r8: corpus-trained selection/classification (fixed-width hashed
+    # feature space: model tables are O(B) / O(classes x B) at any scale)
+    "corpus_dsir_select", "corpus_centroid_classifier",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -103,6 +106,9 @@ SF10_QUERIES = [
     # r8: map-side fingerprinting + bounded joins
     "text_winnow_fingerprints", "dedup_shared_substrings",
     "dedup_incremental_neardup",
+    # r8: hashed-feature model ops — the profile/weight tables stay
+    # 1024-row at every scale; scoring is one bounded-fan-out equi-join
+    "corpus_dsir_select", "corpus_centroid_classifier",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
