@@ -1,0 +1,82 @@
+"""Boundary-bucket nearest-rank selection — the catalog's global-quantile
+device (VERDICT r4 #1: at 100 TB a full-sort rank over the corpus is a
+multi-TB single-reducer sort; this never sorts more than ~one bucket).
+
+The k-th smallest (or largest) value of a column is found in three tiny
+steps:
+
+1. bucket every row by a MONOTONE integer function of the value (equal
+   values share a bucket, bucket order is value order);
+2. one histogram aggregate (|buckets| rows) + an unpartitioned window
+   over the histogram finds the single bucket where the cumulative count
+   crosses k — and how far into that bucket (j) the rank sits;
+3. only that bucket's rows (~1/|buckets| of the data) are exactly ranked
+   by (value, tie) to extract the j-th value.
+
+Selection downstream is BY VALUE (``>= / <= threshold``), so ties at the
+boundary all land on the same side and the result is independent of tie
+order — the property the cross-engine hash gate needs.
+
+Used by ``text_lm_perplexity_filter`` (P10 keep), ``text_lm_ccnet_buckets``
+(tercile labels), ``corpus_dsir_select`` (top-decile keep);
+``corpus_temperature_mix`` carries its own per-language variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nearest_rank_scalar(
+    df: DataFrame,
+    value_col: str,
+    bucket: Column,
+    k_sql: str,
+    *,
+    descending: bool = False,
+    tie_col: str = "doc_id",
+):
+    """The k-th smallest (``descending=False``) or largest value of
+    ``value_col``, where ``k_sql`` is a SQL expression over the
+    histogram's ``c`` column (e.g. ``"(sum(c) over () + 9) div 10"`` for
+    ⌈n/10⌉). Returns ``None`` on an empty frame.
+
+    One benign 1-row driver fetch (the scalar itself — same class as the
+    ANN probe vector). ``bucket`` must be monotone NON-decreasing in the
+    value on either direction setting; the histogram is re-aggregated per
+    call, so callers wanting several quantiles of an expensive input
+    should localCheckpoint it first.
+    """
+    hist = df.groupBy(bucket.alias("nr_bkt")).agg(F.count(F.lit(1)).alias("c"))
+    order = "nr_bkt desc" if descending else "nr_bkt"
+    bounds = (
+        hist.select(
+            "nr_bkt",
+            "c",
+            F.expr(f"sum(c) over (order by {order}) - c").alias("cum_before"),
+            F.expr(k_sql).alias("k"),
+        )
+        .filter(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("cum_before") + F.col("c") >= F.col("k"))
+        )
+        .select(
+            F.col("nr_bkt").alias("b_bkt"),
+            (F.col("k") - F.col("cum_before")).alias("j"),
+        )
+    )
+    boundary = df.join(F.broadcast(bounds), bucket == F.col("b_bkt"))
+    wb = (
+        Window.orderBy(F.desc(value_col), tie_col)
+        if descending
+        else Window.orderBy(value_col, tie_col)
+    )
+    agg = F.min(value_col) if descending else F.max(value_col)
+    row = (
+        boundary.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= F.col("j"))
+        .agg(agg.alias("t"))
+        .first()
+    )
+    return row["t"]

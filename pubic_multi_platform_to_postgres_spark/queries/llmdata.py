@@ -2010,6 +2010,10 @@ def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     same class as the ANN query vector; everything else is the trained
     scorer's shuffle profile (one shuffle on doc id) plus one tiny
     histogram aggregate."""
+    from pubic_multi_platform_to_postgres_spark.operators.selection import (
+        nearest_rank_scalar,
+    )
+
     scored = _lm_trained_scores(spark, sf_dir).localCheckpoint(eager=False)
     sc_f = scored.select(
         F.col("id").alias("doc_id"),
@@ -2018,36 +2022,12 @@ def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_prob"
         ),
     )
-    bkt = F.floor(F.col("mean_prob") * 65536).cast("long")
-    hist = sc_f.groupBy(bkt.alias("bkt")).agg(F.count(F.lit(1)).alias("c"))
-    # unpartitioned windows over the ≤65537-row histogram (same idiom as
-    # corpus_temperature_mix's budget table — a tiny aggregate, not the
-    # corpus)
-    bounds = (
-        hist.select(
-            "bkt",
-            "c",
-            F.expr("sum(c) over (order by bkt) - c").alias("cum_before"),
-            F.expr("(sum(c) over () + 9) div 10").alias("k"),
-        )
-        .filter(
-            (F.col("cum_before") < F.col("k"))
-            & (F.col("cum_before") + F.col("c") >= F.col("k"))
-        )
-        .select(
-            F.col("bkt").alias("b_bkt"),
-            (F.col("k") - F.col("cum_before")).alias("j"),
-        )
+    thr = nearest_rank_scalar(
+        sc_f,
+        "mean_prob",
+        F.floor(F.col("mean_prob") * 65536).cast("long"),
+        "(sum(c) over () + 9) div 10",
     )
-    boundary = sc_f.join(F.broadcast(bounds), bkt == F.col("b_bkt"))
-    wb = Window.orderBy("mean_prob", "doc_id")
-    thr_row = (
-        boundary.withColumn("rk", F.row_number().over(wb))
-        .filter(F.col("rk") <= F.col("j"))
-        .agg(F.max("mean_prob").alias("t"))
-        .first()
-    )
-    thr = thr_row["t"]
     if thr is None:  # empty corpus: no threshold, nothing to keep/drop
         return sc_f
     return sc_f.filter(F.col("mean_prob") >= F.lit(float(thr)))
@@ -3303,31 +3283,19 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # top-decile nearest-rank threshold via the boundary-bucket histogram
-    # (same idiom as text_lm_perplexity_filter, descending): integer
-    # scores bucket by floor(sq/2^20) — monotone, equal scores share a
-    # bucket — so only ~one 2^20-wide slice is ever exactly ranked.
-    bkt = F.floor(F.col("sq") / F.lit(float(1 << 20))).cast("long")
-    hist = scores.groupBy(bkt.alias("hb")).agg(F.count(F.lit(1)).alias("c"))
-    bounds = (
-        hist.select(
-            "hb",
-            "c",
-            F.expr("sum(c) over (order by hb desc) - c").alias("cum_before"),
-            F.expr("(sum(c) over () + 9) div 10").alias("k"),
-        )
-        .filter(
-            (F.col("cum_before") < F.col("k"))
-            & (F.col("cum_before") + F.col("c") >= F.col("k"))
-        )
-        .select(F.col("hb").alias("b_hb"), (F.col("k") - F.col("cum_before")).alias("j"))
+    # (text_lm_perplexity_filter's device, descending): integer scores
+    # bucket by floor(sq/2^20) — monotone, equal scores share a bucket —
+    # so only ~one 2^20-wide slice is ever exactly ranked.
+    from pubic_multi_platform_to_postgres_spark.operators.selection import (
+        nearest_rank_scalar,
     )
-    boundary = scores.join(F.broadcast(bounds), bkt == F.col("b_hb"))
-    wb = Window.orderBy(F.desc("sq"), "doc_id")
-    thr_row = (
-        boundary.withColumn("rk", F.row_number().over(wb))
-        .filter(F.col("rk") <= F.col("j"))
-        .agg(F.min("sq").alias("t"))
-        .first()
+
+    thr = nearest_rank_scalar(
+        scores,
+        "sq",
+        F.floor(F.col("sq") / F.lit(float(1 << 20))).cast("long"),
+        "(sum(c) over () + 9) div 10",
+        descending=True,
     )
     out = scores.select(
         "doc_id",
@@ -3336,8 +3304,8 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sq").cast("double") / F.lit(float(LLR_SCALE))).alias("dsir_logratio"),
         "sq",
     )
-    if thr_row["t"] is not None:  # empty raw pool: nothing to threshold
-        out = out.filter(F.col("sq") >= F.lit(int(thr_row["t"])))
+    if thr is not None:  # empty raw pool: nothing to threshold
+        out = out.filter(F.col("sq") >= F.lit(int(thr)))
     return out.drop("sq")
 
 
@@ -3428,4 +3396,191 @@ def corpus_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .groupBy("true_source", F.col("cand").alias("pred_source"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lm_ccnet_buckets_oracle_sql() -> str:
+    """DuckDB replay of the CCNet head/middle/tail assignment: the exact
+    integer train→score pipeline of ``text_lm_self_perplexity``, then
+    BOTH tercile thresholds by nearest rank (k₁=⌈n/3⌉, k₂=⌈2n/3⌉ over
+    (mean_prob, doc_id)) and a BY-VALUE label: ``tail`` ≤ t₁ < ``middle``
+    ≤ t₂ < ``head`` (high mean probability = low perplexity = head).
+
+    ORACLE FIXTURE CAP: generate_series(1,1023) bounds bigram positions
+    (TESTDATA.md max doc is 577 chars, pure ASCII)."""
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        LM_ALPHABET,
+        LM_DIM,
+    )
+
+    sym = (
+        "CASE WHEN ascii(substr(norm, {i}, 1)) BETWEEN 97 AND 122 "
+        "THEN ascii(substr(norm, {i}, 1)) - 97 ELSE {sp} END"
+    )
+    s1 = sym.format(i="g.i", sp=LM_ALPHABET - 1)
+    s2 = sym.format(i="g.i + 1", sp=LM_ALPHABET - 1)
+    return f"""
+    WITH norm AS (
+        SELECT doc_id, lower(text) AS norm FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, ({s1}) * {LM_ALPHABET} + ({s2}) AS idx
+        FROM norm, generate_series(1, 1023) g(i)
+        WHERE g.i + 1 <= length(norm)
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM bg),
+    tab AS (
+        SELECT idx,
+               (COUNT(*) + 1) * 1000000000 // ((SELECT n FROM tot) + {LM_DIM})
+                   AS pm
+        FROM bg GROUP BY idx
+    ),
+    s AS (
+        SELECT b.doc_id, SUM(t.pm) AS sc, COUNT(*) AS nb
+        FROM bg b JOIN tab t USING (idx)
+        GROUP BY b.doc_id
+    ),
+    scores AS (
+        SELECT doc_id, nb,
+               (CAST(sc AS DOUBLE) / 1000000000.0) / nb AS mean_prob
+        FROM s
+    ),
+    ranked AS (
+        SELECT mean_prob,
+               ROW_NUMBER() OVER (ORDER BY mean_prob, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM scores
+    ),
+    t1 AS (SELECT MAX(mean_prob) AS v FROM ranked WHERE rn <= (n + 2) // 3),
+    t2 AS (SELECT MAX(mean_prob) AS v FROM ranked WHERE rn <= (2 * n + 2) // 3)
+    SELECT doc_id, nb AS n_bigrams, mean_prob,
+           CASE WHEN mean_prob <= (SELECT v FROM t1) THEN 'tail'
+                WHEN mean_prob <= (SELECT v FROM t2) THEN 'middle'
+                ELSE 'head' END AS ccnet_bucket
+    FROM scores
+    """
+
+
+@query("text_lm_ccnet_buckets", oracle=_lm_ccnet_buckets_oracle_sql())
+def text_lm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual CCNet OUTPUT: every document labeled head / middle /
+    tail by tercile of its corpus-trained LM score (high mean bigram
+    probability = low perplexity = head). ``text_lm_perplexity_filter``
+    drops the bottom decile; this keeps everything and attaches the
+    quality stratum — the label downstream mixture/temperature sampling
+    consumes (CCNet trains on head+middle, weights by stratum).
+
+    Both tercile thresholds come from the boundary-bucket nearest-rank
+    device over the SAME localCheckpointed score frame (two tiny
+    histogram jobs + two 1-row fetches — never a global sort); labels
+    are assigned BY VALUE, so boundary ties land in one stratum
+    deterministically on every engine."""
+    from pubic_multi_platform_to_postgres_spark.operators.selection import (
+        nearest_rank_scalar,
+    )
+
+    scored = _lm_trained_scores(spark, sf_dir).localCheckpoint(eager=False)
+    sc_f = scored.select(
+        F.col("id").alias("doc_id"),
+        F.col("nb").alias("n_bigrams"),
+        ((F.col("sc").cast("double") / F.lit(1000000000.0)) / F.col("nb")).alias(
+            "mean_prob"
+        ),
+    ).localCheckpoint(eager=False)
+    bkt = F.floor(F.col("mean_prob") * 65536).cast("long")
+    t1 = nearest_rank_scalar(
+        sc_f, "mean_prob", bkt, "(sum(c) over () + 2) div 3"
+    )
+    t2 = nearest_rank_scalar(
+        sc_f, "mean_prob", bkt, "(2 * sum(c) over () + 2) div 3"
+    )
+    if t1 is None:  # empty corpus
+        return sc_f.withColumn("ccnet_bucket", F.lit("head"))
+    return sc_f.withColumn(
+        "ccnet_bucket",
+        F.when(F.col("mean_prob") <= F.lit(float(t1)), "tail")
+        .when(F.col("mean_prob") <= F.lit(float(t2)), "middle")
+        .otherwise("head"),
+    )
+
+
+def _source_divergence_oracle_sql() -> str:
+    """DuckDB replay of the pairwise Jensen-Shannon divergence: dense
+    smoothed per-source bucket profiles (integer pm), per-bucket JS
+    terms with the single-division-then-ln form quantized to micro-nats
+    (the ``corpus_tfidf_top_terms`` ulp-tolerance class), exact integer
+    sums, one fixed-order final division."""
+    return f"""
+    WITH {_hashed_bucket_cte()},
+    cnt AS (SELECT source, bkt, COUNT(*) AS c FROM bkts GROUP BY source, bkt),
+    tot AS (SELECT source, COUNT(*) AS n FROM bkts GROUP BY source),
+    prof AS (
+        SELECT t.source, g.x AS bkt,
+               (COALESCE(c.c, 0) + 1) * 1000000000 // (t.n + {_DSIR_B}) AS pm
+        FROM tot t CROSS JOIN generate_series(0, {_DSIR_B - 1}) g(x)
+        LEFT JOIN cnt c ON c.source = t.source AND c.bkt = g.x
+    ),
+    pairterms AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.pm * CAST(round(ln(2.0 * a.pm / (a.pm + b.pm)) * 1000000, 0)
+                           AS BIGINT)
+               + b.pm * CAST(round(ln(2.0 * b.pm / (a.pm + b.pm)) * 1000000, 0)
+                             AS BIGINT) AS term
+        FROM prof a JOIN prof b
+          ON a.bkt = b.bkt AND a.source < b.source
+    )
+    SELECT source_a, source_b,
+           CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+               / 2000000000000000.0 AS js_divergence
+    FROM pairterms
+    GROUP BY source_a, source_b
+    """
+
+
+@query("corpus_source_divergence", oracle=_source_divergence_oracle_sql())
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    hashed-unigram distributions — the domain-shift map that drives
+    mixture design (which sources are near-duplicates of each other,
+    which add diversity) and catches a mislabeled or collapsed feed.
+    JSD = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2, symmetric and bounded by
+    ln 2.
+
+    Exactness: profiles are the integer-quantized LM smoothing; each
+    bucket's JS term computes ONE IEEE division (exact, both engines)
+    then ``ln`` quantized to micro-nats (the tfidf ulp-tolerance
+    class); per-pair sums are exact integers (|term| ≤ pm·ln2·10⁶ ≈
+    7·10¹⁴ × 1024 buckets < 2⁶³), and the final division is one fixed
+    double op.
+
+    Plan: profiles are |sources|×1024 rows whatever the corpus size;
+    the pair join is profile×profile on the bucket — |sources|²/2 ×
+    1024 rows of MODEL-TABLE work, independent of corpus bytes; one
+    aggregate on (source_a, source_b). The corpus itself is touched
+    exactly once (the bucket-count aggregate)."""
+    from pubic_multi_platform_to_postgres_spark.operators.classify import (
+        hashed_token_counts,
+        smoothed_bucket_profile,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = hashed_token_counts(
+        docs, "text", "doc_id", "source", n_buckets=_DSIR_B, token_hash="md5"
+    )
+    prof = smoothed_bucket_profile(
+        counts.select("source", "bkt", "c"), "source", n_buckets=_DSIR_B
+    ).localCheckpoint(eager=False)
+    a = prof.select(F.col("source").alias("source_a"), "bkt", F.col("pm").alias("pm_a"))
+    b = prof.select(F.col("source").alias("source_b"), "bkt", F.col("pm").alias("pm_b"))
+    term = F.expr(
+        "pm_a * CAST(round(ln(2.0 * pm_a / (pm_a + pm_b)) * 1000000, 0) AS BIGINT)"
+        " + pm_b * CAST(round(ln(2.0 * pm_b / (pm_a + pm_b)) * 1000000, 0) AS BIGINT)"
+    )
+    return (
+        a.join(b, (a.bkt == b.bkt) & (F.col("source_a") < F.col("source_b")))
+        .select("source_a", "source_b", term.alias("term"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            (F.sum("term").cast("double") / F.lit(2.0e15)).alias("js_divergence")
+        )
     )

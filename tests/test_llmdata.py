@@ -881,3 +881,101 @@ def test_centroid_classifier_separable_and_tiebreak(spark):
         .collect()
     )
     assert top[0]["cand"] == "a"
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_nearest_rank_scalar_matches_sorted_rank(spark, descending):
+    """The boundary-bucket device must return exactly the k-th
+    smallest/largest value — including duplicate values straddling the
+    boundary bucket."""
+    from pubic_multi_platform_to_postgres_spark.operators.selection import (
+        nearest_rank_scalar,
+    )
+
+    vals = [0.1, 0.2, 0.2, 0.2, 0.5, 0.9, 0.9, 1.3, 2.0, 2.0]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, v=v) for i, v in enumerate(vals)]
+    )
+    ordered = sorted(vals, reverse=descending)
+    for k in (1, 3, 4, 7, 10):
+        got = nearest_rank_scalar(
+            df,
+            "v",
+            F.floor(F.col("v") * 4).cast("long"),
+            f"{k}",
+            descending=descending,
+        )
+        assert got == pytest.approx(ordered[k - 1]), (k, descending)
+    assert (
+        nearest_rank_scalar(
+            df.filter("v > 99"), "v", F.floor("v").cast("long"), "1"
+        )
+        is None
+    )
+
+
+def test_ccnet_buckets_partition_by_value(spark):
+    """Labels must partition the corpus BY VALUE: every tail score ≤
+    every middle score ≤ every head score, all docs labeled, and the
+    tail holds at least ⌈n/3⌉ docs (nearest-rank + ties semantics)."""
+    from pubic_multi_platform_to_postgres_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["text_lm_ccnet_buckets"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by = {"tail": [], "middle": [], "head": []}
+    for r in rows:
+        by[r["ccnet_bucket"]].append(r["mean_prob"])
+    n = len(rows)
+    assert n > 0 and sum(len(v) for v in by.values()) == n
+    assert len(by["tail"]) >= (n + 2) // 3
+    assert max(by["tail"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["head"])
+
+
+def test_source_divergence_symmetric_bounded_identical_zeroish(spark):
+    """JSD properties on a hand corpus: identical sources diverge ~0,
+    disjoint-vocab sources approach ln 2, all values in [0, ln 2]."""
+    import math
+
+    from pubic_multi_platform_to_postgres_spark.operators.classify import (
+        hashed_token_counts,
+        smoothed_bucket_profile,
+    )
+
+    # enough token mass to beat the add-one smoothing floor (with B
+    # buckets and n tokens, smoothing holds ~B/(n+B) of each profile —
+    # tiny corpora would compress every divergence toward 0)
+    fruit = "apple banana cherry fig " * 20
+    beast = "dog cat mouse horse " * 20
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, source="a", text=fruit),
+            Row(doc_id=1, source="b", text=fruit),
+            Row(doc_id=2, source="c", text=beast),
+        ]
+    )
+    prof = smoothed_bucket_profile(
+        hashed_token_counts(docs, "text", "doc_id", "source", n_buckets=16)
+        .select("source", "bkt", "c"),
+        "source",
+        n_buckets=16,
+    )
+    a = prof.select(F.col("source").alias("sa"), "bkt", F.col("pm").alias("pm_a"))
+    b = prof.select(F.col("source").alias("sb"), "bkt", F.col("pm").alias("pm_b"))
+    term = F.expr(
+        "pm_a * CAST(round(ln(2.0 * pm_a / (pm_a + pm_b)) * 1000000, 0) AS BIGINT)"
+        " + pm_b * CAST(round(ln(2.0 * pm_b / (pm_a + pm_b)) * 1000000, 0) AS BIGINT)"
+    )
+    jsd = {
+        (r["sa"], r["sb"]): r["js"]
+        for r in a.join(b, (a.bkt == b.bkt) & (F.col("sa") < F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg((F.sum(term).cast("double") / F.lit(2.0e15)).alias("js"))
+        .collect()
+    }
+    ln2 = math.log(2.0)
+    assert all(-1e-9 <= v <= ln2 + 1e-9 for v in jsd.values())
+    assert jsd[("a", "b")] < 0.01  # identical text → near-zero divergence
+    assert jsd[("a", "c")] > 0.2  # disjoint vocab → large (smoothing-bounded)
+    assert jsd[("a", "c")] == pytest.approx(jsd[("b", "c")], abs=1e-9)

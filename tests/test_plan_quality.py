@@ -222,7 +222,7 @@ def test_lm_self_perplexity_broadcasts_model_table(spark):
      "dedup_incremental_neardup",
      # r8: the |sources|x1024 profile and the scoring join are model
      # tables vs corpus data; AQE decides
-     "corpus_centroid_classifier"],
+     "corpus_centroid_classifier", "corpus_source_divergence"],
 )
 def test_composed_ops_no_forced_broadcast_no_product(spark, name):
     """The round-7/8 composed operators must carry NO explicit broadcast
@@ -294,6 +294,18 @@ def test_dsir_weight_join_unhinted_boundary_hint_only(spark):
     executor-memory fit by hint; AQE decides from measured size. Never
     a cartesian product."""
     df = REGISTRY["corpus_dsir_select"].fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1, analyzed
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_ccnet_buckets_hints_bounded_to_boundary_frames(spark):
+    """text_lm_ccnet_buckets: the returned labeling plan reads the
+    checkpointed score frame with the two thresholds folded in as
+    LITERALS — the ≤1-row boundary-bucket hints live only in the
+    threshold jobs, never in the output plan. Never a product."""
+    df = REGISTRY["text_lm_ccnet_buckets"].fn(spark, SF)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") <= 1, analyzed
     plan = df._jdf.queryExecution().executedPlan().toString()

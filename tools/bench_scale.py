@@ -76,9 +76,11 @@ SF1_QUERIES = [
     "text_winnow_fingerprints", "dedup_shared_substrings",
     "dedup_semantic_clusters", "corpus_dedup_keep_best",
     "dedup_incremental_neardup",
-    # r8: corpus-trained selection/classification (fixed-width hashed
-    # feature space: model tables are O(B) / O(classes x B) at any scale)
+    # r8: corpus-trained selection/classification/stratification (fixed-
+    # width hashed feature space: model tables are O(B) / O(classes x B)
+    # at any scale; ccnet buckets = the measured LM scorer + thresholds)
     "corpus_dsir_select", "corpus_centroid_classifier",
+    "text_lm_ccnet_buckets", "corpus_source_divergence",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -109,6 +111,7 @@ SF10_QUERIES = [
     # r8: hashed-feature model ops — the profile/weight tables stay
     # 1024-row at every scale; scoring is one bounded-fan-out equi-join
     "corpus_dsir_select", "corpus_centroid_classifier",
+    "text_lm_ccnet_buckets", "corpus_source_divergence",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
