@@ -251,7 +251,16 @@ def main() -> int:
     ap.add_argument("--out", default=str(REPO / "BENCH_SF1_r08.json"))
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--timeout", type=float, default=300.0)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: measure just these, merge their "
+        "rows into an existing --out report (other sections untouched) — "
+        "for adding newly-registered operators without re-running the "
+        "full multi-SF sweep",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     for out, factor in ((SF1, 10), (SF3, 30), (SF10, 100)):
         if not Path(out, "documents.parquet").exists():
@@ -270,6 +279,8 @@ def main() -> int:
                     "sf10": 1},
         "queries": {},
     }
+    if only and Path(args.out).exists():
+        report = json.loads(Path(args.out).read_text())
     plan = [
         ("sf0.1", SF01, SF1_QUERIES, args.repeats),
         ("sf1", SF1, SF1_QUERIES, args.repeats),
@@ -278,6 +289,8 @@ def main() -> int:
     ]
     for label, sf_dir, names, repeats in plan:
         for name in names:
+            if only and name not in only:
+                continue
             r = measure(spark, app_id, name, sf_dir, repeats, args.timeout)
             report["queries"].setdefault(name, {})[label] = r
             msg = (
@@ -285,6 +298,14 @@ def main() -> int:
                 else f"{r['median_s']}s"
             )
             print(f"  {label:6s} {name}: {msg}", file=sys.stderr)
+
+    if only:
+        # merge mode: the pair/cluster/candidate evidence sections cover
+        # fixed query families measured in the full sweep — leave them.
+        summarize(report)
+        Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+        print(f"-> {args.out} (merged {sorted(only)})", file=sys.stderr)
+        return 0
 
     # Pair-LISTING queries have output that grows superlinearly in the
     # replica factor by CONSTRUCTION (a doc's replicas are near-dups of
