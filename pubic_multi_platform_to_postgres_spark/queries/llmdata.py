@@ -3584,3 +3584,128 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("term").cast("double") / F.lit(2.0e15)).alias("js_divergence")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-run data logistics
+
+_SHUFFLE_EPOCHS = 3
+_SHUFFLE_SHARDS = 1024
+
+
+@query(
+    "corpus_epoch_shuffle",
+    oracle=f"""
+    SELECT g.e AS epoch, d.doc_id,
+           ('0x' || substr(md5(d.doc_id || ':' || g.e), 1, 15))::BIGINT AS pos,
+           ('0x' || substr(md5(d.doc_id || ':' || g.e), 1, 15))::BIGINT
+               % {_SHUFFLE_SHARDS} AS shard
+    FROM documents d, generate_series(0, {_SHUFFLE_EPOCHS - 1}) g(e)
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle — the data-order
+    reproducibility primitive every training run needs: each (doc,
+    epoch) gets a seeded 60-bit position (md5 of ``doc_id:epoch``, so
+    every epoch is an independent permutation, reproducible bit-for-bit
+    across reruns and engines) plus a writer shard ``pos % 1024``.
+
+    Pure map-side ×epochs — no shuffle, no state, no RNG object. The
+    global training order within an epoch is ORDER BY pos; at 100 TB
+    the writer range-partitions on pos (sortWithinPartitions after a
+    range exchange — Spark's distributed total order), so no global
+    single-reducer sort ever materializes and sharded output files are
+    themselves in-order slices."""
+    docs = load(spark, sf_dir, "documents")
+    pos = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("epoch"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_SHUFFLE_EPOCHS - 1))).alias(
+                "epoch"
+            ),
+        )
+        .select("epoch", "doc_id", pos.alias("pos"))
+        .withColumn("shard", F.col("pos") % _SHUFFLE_SHARDS)
+    )
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle="""
+    WITH n AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    q AS (
+        SELECT source, n_tokens,
+               CAST(round(sqrt(n_tokens) * 1000000, 0) AS BIGINT) AS sq_q
+        FROM n
+    ),
+    t AS (
+        SELECT SUM(sq_q) AS sq_tot, SUM(n_tokens) AS n_tot FROM q
+    )
+    SELECT q.source, q.n_tokens,
+           CAST(q.sq_q AS DOUBLE) / (SELECT sq_tot FROM t) AS weight,
+           CAST(q.sq_q * ((SELECT n_tot FROM t) // 2)
+                // (SELECT sq_tot FROM t) AS BIGINT) AS target_tokens,
+           CAST(q.sq_q * ((SELECT n_tot FROM t) // 2)
+                // (SELECT sq_tot FROM t) AS DOUBLE) / q.n_tokens
+               AS repeat_factor
+    FROM q
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data RECIPE table (the LLaMA/Pile mixture computation):
+    per-source token counts → temperature-flattened sampling weights
+    ``w_s ∝ n_s^α`` with α=1/2 (sqrt damping: big sources are
+    down-weighted, small ones up-weighted — the standard multilingual /
+    multi-source rebalance), a target token budget of half the corpus,
+    and each source's target tokens + repeat factor (>1 = that source
+    will be epoch-repeated — the data-constrained scaling regime).
+
+    Exactness: ``sqrt`` of an integer is a correctly-rounded IEEE op on
+    every engine; it is quantized to micro-units and every downstream
+    sum/allocation is exact integer arithmetic (``sq_q·B // Σsq_q``) —
+    the only doubles in the output are single fixed-order divisions.
+    ``sq_q·budget`` stays inside int64 up to ~10¹¹ tokens per source
+    at this budget; for a larger corpus drop the sqrt quantization a
+    decade (the LM-family convention).
+    Plan: one map-side token-count aggregate (the ONLY corpus-sized
+    work), then |sources|-row arithmetic with an unpartitioned window
+    over the tiny aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+"))).alias("n_tokens")
+    )
+    q = n.select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(round(sqrt(n_tokens) * 1000000, 0) AS BIGINT)").alias("sq_q"),
+    )
+    # unpartitioned windows over the |sources|-row aggregate (the tiny-
+    # table idiom, not a corpus sort)
+    q = q.select(
+        "source",
+        "n_tokens",
+        "sq_q",
+        F.expr("sum(sq_q) over ()").alias("sq_tot"),
+        F.expr("sum(n_tokens) over () div 2").alias("budget"),
+    )
+    return q.select(
+        "source",
+        "n_tokens",
+        (F.col("sq_q").cast("double") / F.col("sq_tot")).alias("weight"),
+        F.expr("sq_q * budget div sq_tot").alias("target_tokens"),
+        (
+            F.expr("sq_q * budget div sq_tot").cast("double") / F.col("n_tokens")
+        ).alias("repeat_factor"),
+    )

@@ -979,3 +979,49 @@ def test_source_divergence_symmetric_bounded_identical_zeroish(spark):
     assert jsd[("a", "b")] < 0.01  # identical text → near-zero divergence
     assert jsd[("a", "c")] > 0.2  # disjoint vocab → large (smoothing-bounded)
     assert jsd[("a", "c")] == pytest.approx(jsd[("b", "c")], abs=1e-9)
+
+
+def test_epoch_shuffle_permutations_independent_and_reproducible(spark):
+    """Each epoch's position assignment must be (a) reproducible across
+    invocations, (b) a different order per epoch, (c) collision-free at
+    fixture scale (60-bit positions)."""
+    from pubic_multi_platform_to_postgres_spark.queries.registry import REGISTRY
+
+    fn = REGISTRY["corpus_epoch_shuffle"].fn
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    again = fn(spark, "/root/testdata/sf0.001").collect()
+    key = lambda r: (r["epoch"], r["doc_id"])  # noqa: E731
+    assert {key(r): r["pos"] for r in rows} == {key(r): r["pos"] for r in again}
+    by_epoch: dict = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["pos"]
+    assert set(by_epoch) == {0, 1, 2}
+    order0 = sorted(by_epoch[0], key=by_epoch[0].get)
+    order1 = sorted(by_epoch[1], key=by_epoch[1].get)
+    assert order0 != order1  # epochs are independent permutations
+    for e, m in by_epoch.items():
+        assert len(set(m.values())) == len(m), f"epoch {e} collision"
+        assert all(r["shard"] == r["pos"] % 1024 for r in rows)
+
+
+def test_mixture_plan_temperature_rebalances(spark):
+    """α=1/2 damping: weights sum to ~1; any source smaller than
+    another must get a LARGER weight relative to its share (flattening),
+    and integer allocations never exceed the budget."""
+    from pubic_multi_platform_to_postgres_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["corpus_mixture_plan"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    n_tot = sum(r["n_tokens"] for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    assert sum(r["target_tokens"] for r in rows) <= n_tot // 2
+    for r in rows:
+        share = r["n_tokens"] / n_tot
+        # sqrt damping: weight/share grows as share shrinks
+        assert (r["weight"] >= share) == (share <= 1 / len(rows) + 1e-12) or (
+            abs(r["weight"] - share) < 1e-6
+        )
+        assert r["repeat_factor"] == pytest.approx(
+            r["target_tokens"] / r["n_tokens"]
+        )

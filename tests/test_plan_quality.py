@@ -97,11 +97,13 @@ def test_lifecycle_windows_single_shuffle(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["text_pii_scrub", "corpus_stratified_sample", "embedding_quantize_int8"],
+    ["text_pii_scrub", "corpus_stratified_sample", "embedding_quantize_int8",
+     "corpus_epoch_shuffle"],
 )
 def test_mapside_ops_no_shuffle(spark, name):
-    """PII scrub, hash-based stratified sampling, and int8 quantization
-    are pure map-side work — any Exchange in their plan is a regression."""
+    """PII scrub, hash-based stratified sampling, int8 quantization, and
+    the epoch shuffle-order assignment are pure map-side work — any
+    Exchange in their plan is a regression."""
     assert "Exchange hashpartitioning" not in plan_of(spark, name)
 
 

@@ -81,6 +81,7 @@ SF1_QUERIES = [
     # at any scale; ccnet buckets = the measured LM scorer + thresholds)
     "corpus_dsir_select", "corpus_centroid_classifier",
     "text_lm_ccnet_buckets", "corpus_source_divergence",
+    "corpus_epoch_shuffle", "corpus_mixture_plan",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -112,6 +113,7 @@ SF10_QUERIES = [
     # 1024-row at every scale; scoring is one bounded-fan-out equi-join
     "corpus_dsir_select", "corpus_centroid_classifier",
     "text_lm_ccnet_buckets", "corpus_source_divergence",
+    "corpus_epoch_shuffle", "corpus_mixture_plan",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
