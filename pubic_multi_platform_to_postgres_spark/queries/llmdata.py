@@ -3709,3 +3709,87 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sq_q * budget div sq_tot").cast("double") / F.col("n_tokens")
         ).alias("repeat_factor"),
     )
+
+
+def _ivf_incremental_oracle_sql(n_cells: int = 16, batch_mod: int = 5) -> str:
+    """DuckDB replay of the incremental-IVF maintenance report: frozen
+    centroids from the CORPUS's lowest vec_ids, cosine argmax assignment
+    of every vector (ties → lowest cell), per-cell corpus/batch
+    occupancy over the dense cell grid."""
+    vc = _COS.format(a="e2.v", b="cv")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    corp AS (SELECT * FROM e WHERE vec_id % {batch_mod} <> 0),
+    cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        FROM corp ORDER BY vec_id LIMIT {n_cells}
+    ),
+    assign AS (
+        SELECT e2.vec_id, e2.vec_id % {batch_mod} = 0 AS is_batch, cidx,
+               ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+                                  ORDER BY {vc} DESC, cidx) AS rn
+        FROM e e2 CROSS JOIN cents
+    ),
+    cnt AS (
+        SELECT cidx,
+               COUNT(*) FILTER (NOT is_batch) AS n_corpus,
+               COUNT(*) FILTER (is_batch) AS n_batch
+        FROM assign WHERE rn = 1 GROUP BY cidx
+    )
+    SELECT g.x AS cidx,
+           CAST(COALESCE(c.n_corpus, 0) AS BIGINT) AS n_corpus,
+           CAST(COALESCE(c.n_batch, 0) AS BIGINT) AS n_batch,
+           CASE WHEN COALESCE(c.n_corpus, 0) > 0
+                THEN CAST(c.n_batch AS DOUBLE) / c.n_corpus
+           END AS batch_growth
+    FROM generate_series(0, {n_cells - 1}) g(x)
+    LEFT JOIN cnt c ON c.cidx = g.x
+    """
+
+
+@query("sim_incremental_ivf_assign", oracle=_ivf_incremental_oracle_sql())
+def sim_incremental_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index MAINTENANCE — the incremental face of the IVF family
+    (the dedup catalog already has exact and near-dup incremental
+    screens; this is the vector-index analog): a new ingest batch
+    (``vec_id % 5 = 0``) is assigned to the FROZEN quantizer trained on
+    the landed corpus (the seeded centroids of ``sim_topk_ivf``), and
+    the report is per-cell occupancy — corpus count, batch count, and
+    batch growth ratio over the dense cell grid. A cell whose growth
+    ratio runs hot is the re-train / re-balance trigger every serving
+    IVF index monitors (unbalanced cells destroy probe recall).
+
+    Plan: the centroid table is a 16-row driver collect (the IVF
+    build-time cost, same as ``sim_topk_ivf``); assignment is one
+    Arrow-batched map-side pass (strict-fold cosines under the gate,
+    GEMM in bench mode); the occupancy aggregate carries (cell, flag)
+    only; the dense grid is a 16-row range joined to the aggregate.
+    At 100 TB only the assignment pass grows — embarrassingly
+    parallel, no shuffle beyond the 16-group aggregate."""
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        seeded_centroids,
+        with_ivf_cell_cosine,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corp = emb.filter(F.col("vec_id") % 5 != 0)
+    cents = seeded_centroids(corp, "embedding", "vec_id", n_cells=16)
+    assigned = with_ivf_cell_cosine(
+        emb.select("vec_id", "embedding"), "embedding", cents
+    ).select(
+        "cell", (F.col("vec_id") % 5 == 0).alias("is_batch")
+    )
+    cnt = assigned.groupBy("cell").agg(
+        F.sum((~F.col("is_batch")).cast("long")).alias("n_corpus"),
+        F.sum(F.col("is_batch").cast("long")).alias("n_batch"),
+    )
+    grid = spark.range(16).select(F.col("id").alias("cidx"))
+    return grid.join(cnt, grid.cidx == cnt.cell, "left").select(
+        "cidx",
+        F.coalesce("n_corpus", F.lit(0)).alias("n_corpus"),
+        F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+        F.when(
+            F.coalesce("n_corpus", F.lit(0)) > 0,
+            F.col("n_batch").cast("double") / F.col("n_corpus"),
+        ).alias("batch_growth"),
+    )

@@ -1025,3 +1025,24 @@ def test_mixture_plan_temperature_rebalances(spark):
         assert r["repeat_factor"] == pytest.approx(
             r["target_tokens"] / r["n_tokens"]
         )
+
+
+def test_incremental_ivf_assign_conserves_counts(spark):
+    """Occupancy must conserve: cell sums equal the corpus/batch sizes,
+    every vector lands in exactly one of the 16 cells, and growth is
+    null only where the corpus cell is empty."""
+    from pubic_multi_platform_to_postgres_spark.queries.registry import (
+        REGISTRY,
+        load,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["sim_incremental_ivf_assign"].fn(spark, sf).collect()
+    emb = load(spark, sf, "embeddings")
+    n_all = emb.count()
+    n_batch = emb.filter(F.col("vec_id") % 5 == 0).count()
+    assert len(rows) == 16
+    assert sum(r["n_corpus"] for r in rows) == n_all - n_batch
+    assert sum(r["n_batch"] for r in rows) == n_batch
+    for r in rows:
+        assert (r["batch_growth"] is None) == (r["n_corpus"] == 0)

@@ -82,6 +82,7 @@ SF1_QUERIES = [
     "corpus_dsir_select", "corpus_centroid_classifier",
     "text_lm_ccnet_buckets", "corpus_source_divergence",
     "corpus_epoch_shuffle", "corpus_mixture_plan",
+    "sim_incremental_ivf_assign",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -114,6 +115,7 @@ SF10_QUERIES = [
     "corpus_dsir_select", "corpus_centroid_classifier",
     "text_lm_ccnet_buckets", "corpus_source_divergence",
     "corpus_epoch_shuffle", "corpus_mixture_plan",
+    "sim_incremental_ivf_assign",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
