@@ -515,3 +515,91 @@ def test_boilerplate_scrub_matches_python_model(spark, docs, min_docs):
         expect = (hashlib.md5(" ".join(kept).encode()).hexdigest()
                   if kept else None)
         assert got[i]["cleaned_md5"] == expect, (i, t, kept)
+
+
+# -- boundary-bucket nearest-rank vs a sorted() python model ---------------
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 40),
+    st.booleans(),
+    st.sampled_from([0.25, 1.0, 16.0]),
+)
+def test_nearest_rank_scalar_property(spark, vals, k, descending, bscale):
+    """nearest_rank_scalar must equal the k-th element of the fully
+    sorted list for ANY value distribution (duplicates, negatives, all
+    values in one bucket), any direction, and any monotone bucket
+    granularity — including bucket widths that force everything into
+    the boundary bucket."""
+    from pubic_multi_platform_to_postgres_spark.operators.selection import (
+        nearest_rank_scalar,
+    )
+    from pyspark.sql import Row
+
+    k = min(k, len(vals))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, v=float(x)) for i, x in enumerate(vals)]
+    )
+    got = nearest_rank_scalar(
+        df,
+        "v",
+        F.floor(F.col("v") * bscale).cast("long"),
+        f"{k}",
+        descending=descending,
+    )
+    expect = sorted(vals, reverse=descending)[k - 1]
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 15),
+                  st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_smoothed_profile_dense_and_normalized(spark, obs):
+    """smoothed_bucket_profile invariants vs a python model: every
+    (group, bucket) cell exists (dense), pm matches the exact integer
+    formula, and per-group pm mass approaches the scale (within the
+    floor-division undershoot bound of B units)."""
+    from pubic_multi_platform_to_postgres_spark.operators.classify import (
+        PROB_SCALE,
+        smoothed_bucket_profile,
+    )
+    from pyspark.sql import Row
+
+    B = 16
+    df = spark.createDataFrame(
+        [Row(g=g, bkt=b, c=c) for g, b, c in obs]
+    )
+    out = smoothed_bucket_profile(df, "g", n_buckets=B).collect()
+    from collections import defaultdict
+
+    model_counts: dict = defaultdict(int)
+    totals: dict = defaultdict(int)
+    for g, b, c in obs:
+        model_counts[(g, b)] += c
+        totals[g] += c
+    groups = set(totals)
+    assert {(r["g"], r["bkt"]) for r in out} == {
+        (g, b) for g in groups for b in range(B)
+    }
+    for r in out:
+        expect = (model_counts[(r["g"], r["bkt"])] + 1) * PROB_SCALE // (
+            totals[r["g"]] + B
+        )
+        assert r["pm"] == expect
+    mass: dict = defaultdict(int)
+    for r in out:
+        mass[r["g"]] += r["pm"]
+    for g, m in mass.items():
+        assert PROB_SCALE - B <= m <= PROB_SCALE
