@@ -70,6 +70,26 @@ def check_sim(spark, sf_dir: str, name: str) -> dict:
             "max_cosine_delta": float(max_d)}
 
 
+def check_ivf_occupancy(spark, sf_dir: str) -> dict:
+    """sim_incremental_ivf_assign: the GEMM-scored cell argmax must
+    reproduce the strict-fold oracle's occupancy vector exactly (a
+    ulp-level cosine flip would move a count between cells)."""
+    spdf = (
+        entry.queries()["sim_incremental_ivf_assign"](spark, sf_dir)
+        .toPandas()
+        .sort_values("cidx")
+        .reset_index(drop=True)
+    )
+    opdf = (
+        run_oracle(entry.oracle_sql()["sim_incremental_ivf_assign"], sf_dir)
+        .sort_values("cidx")
+        .reset_index(drop=True)
+    )
+    cols = ["cidx", "n_corpus", "n_batch"]
+    same = bool((spdf[cols].values == opdf[cols].values).all())
+    return {"ok": same}
+
+
 def check_percentiles(spark, sf_dir: str) -> dict:
     """Sketch-only percentiles obey the GK rank bound vs exact ranks."""
     spdf = entry.queries()["percentiles_approx_order_value"](
@@ -130,6 +150,9 @@ def main() -> int:
         spark, args.sf_dir
     )
     results["agg_approx_distinct"] = check_distinct(spark, args.sf_dir)
+    results["sim_incremental_ivf_assign"] = check_ivf_occupancy(
+        spark, args.sf_dir
+    )
 
     n_ok = sum(1 for r in results.values() if r["ok"])
     print(json.dumps({"checks": results, "ok": n_ok == len(results)}, indent=2))
