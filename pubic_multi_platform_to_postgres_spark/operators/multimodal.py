@@ -936,3 +936,209 @@ def extract_features(
             yield pd.DataFrame({"id": pdf["id"], "embedding": list(out)})
 
     return cols.mapInPandas(run, schema="id long, embedding array<float>")
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV / RIFF PCM) — the third modality. Real bytes, real parser:
+# the encoder writes spec-conformant RIFF/WAVE (fmt + data chunks,
+# 16-bit mono PCM) and the decoder is an independent chunk-walker that
+# validates magics and sizes — not a byte-slice of known offsets, so a
+# malformed container dead-letters instead of yielding garbage.
+
+
+def make_wav(n_samples: int, sample_rate: int, seed: int = 0) -> bytes:
+    """Spec-conformant 16-bit mono PCM WAV with deterministic samples
+    ``s_i = ((seed·7919 + i·104729) mod 65536) − 32768`` — the audio
+    analog of the image makers' seeded pixels, so an external SQL
+    oracle can recompute every decoded feature from id arithmetic."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = ((seed * 7919 + i * 104729) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(blob: bytes):
+    """Parse a RIFF/WAVE container: returns ``(sample_rate, channels,
+    bits, samples int16 ndarray)``. Walks chunks (skipping unknown ones,
+    honoring word alignment) rather than assuming fixed offsets;
+    raises ``ValueError`` on any malformed magic, size, or format."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    if riff_size + 8 > len(blob):
+        raise ValueError("RIFF size exceeds payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8 : pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("fmt chunk too small")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported wav format {audio_format}/{bits}")
+    if len(data) % (2 * channels):
+        raise ValueError("data chunk not sample-aligned")
+    samples = np.frombuffer(data, dtype="<i2")
+    return sample_rate, channels, bits, samples
+
+
+def decode_audio_features(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+    """Decode WAV blobs and emit integer-exact PCM features per row:
+    sample count, rate, duration, peak |amplitude|, zero crossings
+    (sign changes between consecutive samples), and total energy
+    (Σ s²) — the triage features an audio curation pass filters on
+    (silence, clipping, wrong-rate detection). Corrupt containers
+    dead-letter as ``decode_ok = false`` with null features instead of
+    failing the batch. Arrow-batched ``mapInPandas``; blobs never leave
+    the executors; all sums are int64 (Σ s² ≤ n·2³⁰ — fine to ~8·10⁹
+    samples per clip)."""
+    from struct import error as struct_error
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "id": pdf[id_col],
+                "decode_ok": [],
+                "n_samples": [],
+                "sample_rate": [],
+                "duration_ms": [],
+                "peak": [],
+                "zero_crossings": [],
+                "energy": [],
+            }
+            for blob in pdf[blob_col]:
+                try:
+                    rate, _ch, _bits, s = decode_wav(bytes(blob))
+                    s64 = s.astype(np.int64)
+                    nz = (s64 >= 0).astype(np.int8)
+                    out["decode_ok"].append(True)
+                    out["n_samples"].append(len(s64))
+                    out["sample_rate"].append(rate)
+                    out["duration_ms"].append(len(s64) * 1000 // rate)
+                    out["peak"].append(int(np.abs(s64).max()) if len(s64) else 0)
+                    out["zero_crossings"].append(
+                        int((nz[1:] != nz[:-1]).sum()) if len(s64) > 1 else 0
+                    )
+                    out["energy"].append(int((s64 * s64).sum()))
+                except (ValueError, struct_error) as _:
+                    out["decode_ok"].append(False)
+                    for k in ("n_samples", "sample_rate", "duration_ms",
+                              "peak", "zero_crossings", "energy"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "id long, decode_ok boolean, n_samples long, sample_rate long,"
+            " duration_ms long, peak long, zero_crossings long, energy long"
+        ),
+    )
+
+
+def audio_window_stats(
+    df: DataFrame,
+    blob_col: str,
+    id_col: str,
+    window: int = 64,
+    silence_peak: int = 1000,
+) -> DataFrame:
+    """Fixed-window silence/trim analysis over WAV blobs — the decision
+    stage of an audio curation pass (drop all-silent clips, trim leading/
+    trailing silence before feature extraction). Per clip, over
+    non-overlapping windows of ``window`` samples (the sub-window tail
+    remainder is ignored, documented contract):
+
+    - ``n_windows`` / ``n_silent`` — window counts, silent ≡ window peak
+      |amplitude| < ``silence_peak``;
+    - ``lead_trim`` / ``trail_trim`` — length of the silent run at each
+      end (all-silent clips: ``lead_trim = n_windows``, ``trail_trim =
+      0`` so the trims never double-count);
+    - ``max_window_energy`` — max over windows of Σ s² (int64).
+
+    Corrupt containers dead-letter (``decode_ok = false``, null stats).
+    Arrow-batched ``mapInPandas``; the reshape/max/argmax math is numpy
+    C loops; blobs never shuffle. All comparisons and sums are integer —
+    a DuckDB oracle can replay every column exactly."""
+    from struct import error as struct_error
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "id": pdf[id_col],
+                "decode_ok": [],
+                "n_windows": [],
+                "n_silent": [],
+                "lead_trim": [],
+                "trail_trim": [],
+                "max_window_energy": [],
+            }
+            for blob in pdf[blob_col]:
+                try:
+                    _rate, _ch, _bits, s = decode_wav(bytes(blob))
+                    s64 = s.astype(np.int64)
+                    nw = len(s64) // window
+                    x = s64[: nw * window].reshape(nw, window)
+                    peaks = np.abs(x).max(axis=1) if nw else np.empty(0)
+                    active = peaks >= silence_peak
+                    out["decode_ok"].append(True)
+                    out["n_windows"].append(nw)
+                    out["n_silent"].append(int(nw - active.sum()))
+                    if active.any():
+                        first = int(np.argmax(active))
+                        last = int(nw - 1 - np.argmax(active[::-1]))
+                        out["lead_trim"].append(first)
+                        out["trail_trim"].append(nw - 1 - last)
+                    else:
+                        out["lead_trim"].append(nw)
+                        out["trail_trim"].append(0)
+                    out["max_window_energy"].append(
+                        int((x * x).sum(axis=1).max()) if nw else 0
+                    )
+                except (ValueError, struct_error):
+                    out["decode_ok"].append(False)
+                    for k in ("n_windows", "n_silent", "lead_trim",
+                              "trail_trim", "max_window_energy"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "id long, decode_ok boolean, n_windows long, n_silent long,"
+            " lead_trim long, trail_trim long, max_window_energy long"
+        ),
+    )

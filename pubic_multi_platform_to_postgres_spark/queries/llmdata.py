@@ -3793,3 +3793,195 @@ def sim_incremental_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_batch").cast("double") / F.col("n_corpus"),
         ).alias("batch_growth"),
     )
+
+
+@query(
+    "multimodal_audio_features",
+    # ORACLE FIXTURE CAP: generate_series(0,499) bounds sample positions
+    # (n = 200 + doc_id % 300 ≤ 499 by construction — an algorithmic
+    # constant of the synthesized clips, not a data-dependent guess).
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               200 + doc_id % 300 AS n,
+               CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+               doc_id % 97 = 0 AS corrupt
+        FROM documents
+    ),
+    s AS (
+        SELECT p.doc_id, g.i,
+               (p.doc_id * 7919 + g.i * 104729) % 65536 - 32768 AS v
+        FROM p, generate_series(0, 499) g(i)
+        WHERE NOT p.corrupt AND g.i < p.n
+    ),
+    lagged AS (
+        SELECT doc_id, i, v,
+               LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM s
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(MAX(abs(v)) AS BIGINT) AS peak,
+               CAST(SUM(CASE WHEN prev IS NOT NULL
+                             AND ((v >= 0) <> (prev >= 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+               CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+        FROM lagged GROUP BY doc_id
+    )
+    SELECT p.doc_id, NOT p.corrupt AS decode_ok,
+           CASE WHEN p.corrupt THEN NULL ELSE CAST(p.n AS BIGINT) END
+               AS n_samples,
+           CASE WHEN p.corrupt THEN NULL ELSE CAST(p.rate AS BIGINT) END
+               AS sample_rate,
+           CASE WHEN p.corrupt THEN NULL
+                ELSE CAST(p.n * 1000 // p.rate AS BIGINT) END AS duration_ms,
+           f.peak, f.zero_crossings, f.energy
+    FROM p LEFT JOIN f USING (doc_id)
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decoding, gate-checked — the third modality beside
+    images and GIF video: per document, synthesize a spec-conformant
+    16-bit mono PCM WAV (RIFF container, length/rate derived from
+    doc_id; every 97th container is TRUNCATED to exercise the
+    dead-letter path), parse it back with the independent chunk-walking
+    RIFF decoder, and emit the integer-exact triage features an audio
+    curation pass filters on: duration, peak |amplitude| (clipping),
+    zero-crossing count (silence/noise split), total energy. The oracle
+    recomputes every feature from doc_id arithmetic, so the gate proves
+    the encode→container-walk→decode→feature chain is bit-faithful —
+    and that corrupt containers land as ``decode_ok = false`` rows with
+    null features, never batch failures.
+
+    Scale: both stages are Arrow-batched ``mapInPandas`` chained
+    narrowly (blobs never shuffle, never reach the driver);
+    embarrassingly parallel like the image tier."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_audio_features,
+        make_wav,
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blob = make_wav(200 + d % 300, 8000 if d % 2 == 0 else 16000,
+                                seed=d)
+                blobs.append(blob[:11] if d % 97 == 0 else blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    feats = decode_audio_features(blobs, "blob", "doc_id")
+    return feats.select(
+        F.col("id").alias("doc_id"), "decode_ok", "n_samples",
+        "sample_rate", "duration_ms", "peak", "zero_crossings", "energy",
+    )
+
+
+@query(
+    "multimodal_audio_silence",
+    # ORACLE FIXTURE CAP: generate_series(0,698) bounds sample positions
+    # (n = 100 + doc_id % 600 <= 699 by construction of the synthesized
+    # clips — an algorithmic constant, not a data-dependent guess).
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               100 + doc_id % 600 AS n,
+               doc_id % 89 = 0 AS corrupt
+        FROM documents
+    ),
+    s AS (
+        SELECT p.doc_id, g.i,
+               CASE WHEN ((g.i // 64) + p.doc_id) % 4 = 0 THEN 0
+                    ELSE (p.doc_id * 7919 + g.i * 104729) % 65536 - 32768
+               END AS v
+        FROM p, generate_series(0, 698) g(i)
+        WHERE NOT p.corrupt AND g.i < (p.n // 64) * 64
+    ),
+    w AS (
+        SELECT doc_id, g_w, MAX(abs(v)) AS peak,
+               SUM(CAST(v AS BIGINT) * v) AS energy
+        FROM (SELECT doc_id, i // 64 AS g_w, v FROM s)
+        GROUP BY doc_id, g_w
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN peak < 1000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_silent,
+               MIN(CASE WHEN peak >= 1000 THEN g_w END) AS first_active,
+               MAX(CASE WHEN peak >= 1000 THEN g_w END) AS last_active,
+               CAST(MAX(energy) AS BIGINT) AS max_window_energy
+        FROM w GROUP BY doc_id
+    )
+    SELECT p.doc_id, NOT p.corrupt AS decode_ok,
+           CASE WHEN p.corrupt THEN NULL
+                ELSE CAST(p.n // 64 AS BIGINT) END AS n_windows,
+           CASE WHEN p.corrupt THEN NULL
+                ELSE COALESCE(f.n_silent, 0) END AS n_silent,
+           CASE WHEN p.corrupt THEN NULL
+                WHEN f.first_active IS NULL THEN CAST(p.n // 64 AS BIGINT)
+                ELSE CAST(f.first_active AS BIGINT) END AS lead_trim,
+           CASE WHEN p.corrupt THEN NULL
+                WHEN f.last_active IS NULL THEN 0
+                ELSE CAST(p.n // 64 - 1 - f.last_active AS BIGINT)
+           END AS trail_trim,
+           CASE WHEN p.corrupt THEN NULL
+                ELSE COALESCE(f.max_window_energy, 0)
+           END AS max_window_energy
+    FROM p LEFT JOIN f USING (doc_id)
+    """,
+)
+def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence detection + trim decision over real WAV containers — the
+    stage after decode in an audio curation pass: synthesize a PCM clip
+    per document (length from doc_id; every 4th 64-sample block ZEROED
+    at a doc-dependent phase to inject silence; every 89th container
+    truncated for the dead-letter path), then compute non-overlapping
+    64-sample window stats with :func:`audio_window_stats` — silent
+    window count, leading/trailing silent-run lengths (the trim
+    offsets), and the loudest window's energy. The oracle rebuilds every
+    window from doc_id arithmetic, so the gate proves the whole
+    encode→chunk-walk→reshape→classify chain integer-exact, including
+    the all-silent and sub-window-tail edge cases.
+
+    Scale: two chained Arrow-batched ``mapInPandas`` stages, narrow end
+    to end (plan-pinned shuffle-free); blobs never shuffle or reach the
+    driver."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        audio_window_stats,
+        make_wav,
+    )
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 100 + d % 600
+                blob = bytearray(make_wav(n, 8000, seed=d))
+                # zero every 4th 64-sample block (doc-dependent phase) by
+                # patching the data chunk in place: samples start at byte
+                # 44 in make_wav's fixed fmt+data layout, little-endian i2
+                i = np.arange(n)
+                mask = ((i // 64) + d) % 4 == 0
+                pcm = np.frombuffer(bytes(blob[44:44 + 2 * n]), dtype="<i2").copy()
+                pcm[mask] = 0
+                blob[44:44 + 2 * n] = pcm.tobytes()
+                blobs.append(bytes(blob[:11]) if d % 89 == 0 else bytes(blob))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    stats = audio_window_stats(blobs, "blob", "doc_id",
+                               window=64, silence_peak=1000)
+    return stats.select(
+        F.col("id").alias("doc_id"), "decode_ok", "n_windows", "n_silent",
+        "lead_trim", "trail_trim", "max_window_energy",
+    )

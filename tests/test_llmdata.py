@@ -1046,3 +1046,126 @@ def test_incremental_ivf_assign_conserves_counts(spark):
     assert sum(r["n_batch"] for r in rows) == n_batch
     for r in rows:
         assert (r["batch_growth"] is None) == (r["n_corpus"] == 0)
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    """The RIFF decoder must read true parameters back out of real
+    encoder bytes, honor unknown chunks and word alignment, and reject
+    malformed containers with ValueError (never garbage)."""
+    import struct
+
+    import numpy as np
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+
+    for n, rate, seed in [(1, 8000, 0), (200, 8000, 3), (499, 16000, 97)]:
+        blob = make_wav(n, rate, seed=seed)
+        got_rate, ch, bits, s = decode_wav(blob)
+        assert (got_rate, ch, bits, len(s)) == (rate, 1, 16, n)
+        i = np.arange(n, dtype=np.int64)
+        expect = (seed * 7919 + i * 104729) % 65536 - 32768
+        assert (s.astype(np.int64) == expect).all()
+
+    # an unknown odd-sized chunk BEFORE fmt/data must be skipped with
+    # word alignment intact
+    base = make_wav(10, 8000, seed=1)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    spliced = base[:12] + extra + base[12:]
+    spliced = spliced[:4] + struct.pack(
+        "<I", len(spliced) - 8
+    ) + spliced[8:]
+    rate, ch, bits, s = decode_wav(spliced)
+    assert (rate, len(s)) == (8000, 10)
+
+    for bad in (
+        b"",
+        b"RIFX" + base[4:],                      # wrong magic
+        base[:11],                               # truncated header
+        base[:40],                               # truncated data chunk
+        base[:20] + b"\xff" + base[21:],         # fmt: non-PCM format
+    ):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+
+
+def test_audio_features_dead_letter_and_values(spark):
+    """Feature math on a hand clip + the dead-letter contract."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_audio_features,
+        make_wav,
+    )
+
+    good = make_wav(50, 8000, seed=5)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, blob=bytearray(good)),
+         Row(doc_id=2, blob=bytearray(b"not audio"))]
+    )
+    out = {r["id"]: r for r in decode_audio_features(df, "blob", "doc_id").collect()}
+    assert out[2]["decode_ok"] is False and out[2]["energy"] is None
+    r = out[1]
+    i = np.arange(50, dtype=np.int64)
+    s = (5 * 7919 + i * 104729) % 65536 - 32768
+    assert r["decode_ok"] and r["n_samples"] == 50
+    assert r["peak"] == int(np.abs(s).max())
+    assert r["energy"] == int((s * s).sum())
+    nz = s >= 0
+    assert r["zero_crossings"] == int((nz[1:] != nz[:-1]).sum())
+    assert r["duration_ms"] == 50 * 1000 // 8000
+
+
+def test_audio_window_stats_trim_and_edge_cases(spark):
+    """Window classification against hand-built clips: mixed silent runs
+    at both ends, an all-silent clip, a sub-window tail that must be
+    ignored, and the dead-letter row."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        audio_window_stats,
+    )
+
+    def wav(samples):
+        s = np.asarray(samples, dtype="<i2")
+        data = s.tobytes()
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    W = 4
+    loud, quiet = [5000, -5000, 0, 0], [10, -10, 3, 0]
+    # silent, silent, LOUD, silent, LOUD, silent  + 3-sample tail (ignored)
+    clip = quiet + quiet + loud + quiet + loud + quiet + [9999, 9999, 9999]
+    rows = [
+        Row(doc_id=1, blob=bytearray(wav(clip))),
+        Row(doc_id=2, blob=bytearray(wav(quiet * 3))),      # all silent
+        Row(doc_id=3, blob=bytearray(wav([7] * 3))),        # 0 full windows
+        Row(doc_id=4, blob=bytearray(b"RIFF garbage")),     # dead letter
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["id"]: r for r in
+           audio_window_stats(df, "blob", "doc_id", window=W,
+                              silence_peak=1000).collect()}
+
+    r = out[1]
+    assert (r["n_windows"], r["n_silent"]) == (6, 4)
+    assert (r["lead_trim"], r["trail_trim"]) == (2, 1)
+    assert r["max_window_energy"] == 2 * 5000 * 5000
+
+    r = out[2]
+    assert (r["n_windows"], r["n_silent"]) == (3, 3)
+    assert (r["lead_trim"], r["trail_trim"]) == (3, 0)   # never double-count
+    assert r["max_window_energy"] == 10 * 10 + 10 * 10 + 3 * 3
+
+    r = out[3]
+    assert (r["n_windows"], r["n_silent"]) == (0, 0)
+    assert (r["lead_trim"], r["trail_trim"], r["max_window_energy"]) == (0, 0, 0)
+
+    assert out[4]["decode_ok"] is False and out[4]["n_windows"] is None

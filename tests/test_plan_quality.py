@@ -98,7 +98,8 @@ def test_lifecycle_windows_single_shuffle(spark, name):
 @pytest.mark.parametrize(
     "name",
     ["text_pii_scrub", "corpus_stratified_sample", "embedding_quantize_int8",
-     "corpus_epoch_shuffle"],
+     "corpus_epoch_shuffle", "multimodal_audio_features",
+     "multimodal_audio_silence"],
 )
 def test_mapside_ops_no_shuffle(spark, name):
     """PII scrub, hash-based stratified sampling, int8 quantization, and
