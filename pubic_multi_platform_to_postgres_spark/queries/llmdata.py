@@ -3985,3 +3985,60 @@ def multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id"), "decode_ok", "n_windows", "n_silent",
         "lead_trim", "trail_trim", "max_window_energy",
     )
+
+
+@query(
+    "text_cms_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    tc AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    probe AS (
+        SELECT token, n, g.r,
+               ('0x' || substr(md5(CAST(g.r AS VARCHAR) || '|' || token),
+                               1, 15))::BIGINT % 256 AS bucket
+        FROM tc, generate_series(0, 3) g(r)
+    ),
+    sketch AS (
+        SELECT r, bucket, SUM(n) AS cell FROM probe GROUP BY r, bucket
+    ),
+    est AS (
+        SELECT token, MIN(n) AS true_n, MIN(cell) AS cms_estimate
+        FROM probe JOIN sketch USING (r, bucket)
+        GROUP BY token
+    )
+    SELECT token, CAST(true_n AS BIGINT) AS true_n,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - true_n AS BIGINT) AS overestimate
+    FROM est
+    ORDER BY cms_estimate DESC, token
+    LIMIT 20
+    """,
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by Count-Min Sketch (Cormode & Muthukrishnan 2005),
+    the sublinear-memory answer to "top tokens" when the exact vocabulary
+    table no longer fits: build a 4x256 counter sketch over all token
+    occurrences, point-query every distinct token, and report the top-20
+    by ESTIMATED count alongside the true count and the collision
+    overestimate. The oracle replays the full sketch (same md5 row
+    hashes, same cells), so the gate checks the estimator itself, not
+    just the ranking; ``cms_estimate >= true_n`` by construction.
+
+    Scale: ONE corpus scan+shuffle to token counts; everything after is
+    vocab-sized — a window sum over (r, bucket) materializes the cells
+    in the probe rows (single lineage; the join-based draft scanned the
+    corpus twice) and a per-token min finishes. Plan-pinned to a single
+    FileScan. The cell aggregate (`cms_cells`) is incrementally
+    maintainable — the same sketch serves Structured Streaming."""
+    from pubic_multi_platform_to_postgres_spark.operators.sketches import (
+        cms_estimates,
+        cms_token_rows,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rows = cms_token_rows(docs, "text", depth=4, width=256)
+    est = cms_estimates(rows)
+    return est.orderBy(F.desc("cms_estimate"), "token").limit(20)

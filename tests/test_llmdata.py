@@ -1169,3 +1169,35 @@ def test_audio_window_stats_trim_and_edge_cases(spark):
     assert (r["lead_trim"], r["trail_trim"], r["max_window_energy"]) == (0, 0, 0)
 
     assert out[4]["decode_ok"] is False and out[4]["n_windows"] is None
+
+
+def test_cms_never_underestimates_and_conserves_mass(spark):
+    """The CMS contract over EVERY distinct token (the query reports
+    top-20 only): estimate >= true count always; each sketch row
+    conserves total token mass; the true heaviest token survives into
+    the heavy-hitter report."""
+    from pubic_multi_platform_to_postgres_spark.operators.sketches import (
+        cms_cells,
+        cms_estimates,
+        cms_token_rows,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    rows = cms_token_rows(docs, "text", depth=4, width=64)  # narrow: force collisions
+    est = cms_estimates(rows).collect()
+    assert est and all(r["overestimate"] >= 0 for r in est)
+    assert all(r["cms_estimate"] >= r["true_n"] for r in est)
+    assert any(r["overestimate"] > 0 for r in est), "width=64 must collide"
+
+    total = sum(r["true_n"] for r in est)
+    per_row = {r["r"]: 0 for r in cms_cells(rows).collect()}
+    for c in cms_cells(rows).collect():
+        per_row[c["r"]] += c["cell"]
+    assert set(per_row.values()) == {total}, per_row
+
+    top_true = max(est, key=lambda r: (r["true_n"], r["token"]))["token"]
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+    report = REGISTRY["text_cms_heavy_hitters"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert any(r["token"] == top_true for r in report)

@@ -313,3 +313,15 @@ def test_ccnet_buckets_hints_bounded_to_boundary_frames(spark):
     assert analyzed.count("ResolvedHint") <= 1, analyzed
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_cms_single_corpus_scan(spark):
+    """The CMS heavy-hitters pipeline must touch the corpus ONCE: the
+    join-based draft aggregated tokens twice (exchange reuse does not
+    fire across the probe/sketch branches); the shipped single-lineage
+    window formulation plans one FileScan, and only the token-count
+    exchange is corpus-sized (the window + final-min exchanges are
+    vocab-sized)."""
+    plan = plan_of(spark, "text_cms_heavy_hitters")
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
