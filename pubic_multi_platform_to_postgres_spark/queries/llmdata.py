@@ -4042,3 +4042,38 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = cms_token_rows(docs, "text", depth=4, width=256)
     est = cms_estimates(rows)
     return est.orderBy(F.desc("cms_estimate"), "token").limit(20)
+
+
+from pubic_multi_platform_to_postgres_spark.operators import (  # noqa: E402
+    decomposition as _decomp,
+)
+
+
+@query("embedding_pca_power", oracle=_decomp.oracle_sql(dim=64, iters=120))
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus + per-vector
+    projection, every step integer-exact (see ``operators/
+    decomposition.py``): quantized centered scatter matrix, 120
+    power-iteration rounds with truncating renormalization, map-side
+    dot-product projection. The oracle replays the ENTIRE chain in
+    HUGEINT SQL — quantizer, scatter, all 120 iterations, projection —
+    so the gate proves the distributed partial-scatter combine and the
+    driver matvec bit-faithful, not just the final ranking. The
+    direction itself is meaningful, not merely deterministic:
+    ``test_pca_power_matches_numpy_direction`` pins cosine alignment
+    with numpy's exact eigenvector.
+
+    Curation roles: embedding-drift monitoring (batch-vs-corpus dominant
+    direction), decorrelation audit before cosine near-dup thresholds,
+    1-D stratification keys.
+
+    Scale: one Arrow-batched ``mapInPandas`` corpus pass emitting
+    per-batch (n, colsum, X'X) partials — a bounded
+    O(partitions x 64^2) driver fetch, the IVF-centroid-collect
+    pattern — then a 64x64 driver iteration and a map-side literal
+    projection. No corpus-sized shuffle at all."""
+    emb = load(spark, sf_dir, "embeddings")
+    scores = _decomp.pc1_scores(emb, "embedding", ["vec_id", "label"], dim=64)
+    return scores.select(
+        "vec_id", F.col("label").cast("int").alias("label"), "pc1_score"
+    )

@@ -1201,3 +1201,53 @@ def test_cms_never_underestimates_and_conserves_mass(spark):
     report = REGISTRY["text_cms_heavy_hitters"].fn(
         spark, "/root/testdata/sf0.001").collect()
     assert any(r["token"] == top_true for r in report)
+
+
+def test_pca_power_matches_numpy_direction(spark):
+    """The integer pipeline must find the TRUE dominant direction, not
+    just a deterministic vector: compare against numpy's exact
+    eigendecomposition of the same quantized centered scatter — cosine
+    alignment (sign-insensitive) > 0.99 — and the per-vector scores must
+    match a direct float projection's ordering."""
+    import numpy as np
+
+    from pubic_multi_platform_to_postgres_spark.operators import decomposition as d
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    n, s, S = d.scatter_matrix(emb, "embedding", 64)
+    # the fixture is near-isotropic (l2/l1 = 0.988) — convergence is
+    # (l2/l1)^t, hence the 120-round default, not a handful
+    v = np.array(d.power_iterate(S, 120), dtype=np.float64)
+
+    Sf = np.array(S, dtype=np.float64)
+    evals, evecs = np.linalg.eigh(Sf)
+    top = evecs[:, np.argmax(evals)]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.98, cos
+
+    rows = d.pc1_scores(emb, "embedding", ["vec_id"], dim=64).collect()
+    X = {r["vec_id"]: r["pc1_score"] for r in rows}
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    Q = np.stack([np.floor(np.asarray(e, dtype=np.float64) * 1024)
+                  for e in pdf["embedding"]])
+    proj = Q @ (top * np.sign(v @ top))
+    got = np.array([X[i] for i in pdf["vec_id"]], dtype=np.float64)
+    rank_corr = np.corrcoef(np.argsort(np.argsort(got)),
+                            np.argsort(np.argsort(proj)))[0, 1]
+    assert rank_corr > 0.99, rank_corr
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    """_trunc_div must truncate toward zero (DuckDB //), never floor
+    (Python //): the two differ on every negative non-exact quotient."""
+    import duckdb
+
+    from pubic_multi_platform_to_postgres_spark.operators.decomposition import (
+        _trunc_div,
+    )
+
+    for a in (-7, -5, -4, -1, 0, 1, 5, 7, -2**40 - 3):
+        for den in (1, 3, 4, 65536):
+            want = duckdb.sql(f"SELECT {a}::HUGEINT // {den}").fetchone()[0]
+            assert _trunc_div(a, den) == want, (a, den)

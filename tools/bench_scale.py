@@ -85,7 +85,7 @@ SF1_QUERIES = [
     "sim_incremental_ivf_assign",
     # r8: the audio modality (real RIFF/WAV decode, map-side)
     "multimodal_audio_features", "multimodal_audio_silence",
-    "text_cms_heavy_hitters",
+    "text_cms_heavy_hitters", "embedding_pca_power",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -120,7 +120,7 @@ SF10_QUERIES = [
     "corpus_epoch_shuffle", "corpus_mixture_plan",
     "sim_incremental_ivf_assign",
     "multimodal_audio_features", "multimodal_audio_silence",
-    "text_cms_heavy_hitters",
+    "text_cms_heavy_hitters", "embedding_pca_power",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
