@@ -24,6 +24,7 @@ from pubic_multi_platform_to_postgres_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
     simhash_neardup_pairs,
+    tokenize,
 )
 from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
     decode_blobs,
@@ -4076,4 +4077,106 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = _decomp.pc1_scores(emb, "embedding", ["vec_id", "label"], dim=64)
     return scores.select(
         "vec_id", F.col("label").cast("int").alias("label"), "pc1_score"
+    )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ),
+    tc AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    hist AS (
+        SELECT n, COUNT(*) AS n_tokens, n * COUNT(*) AS mass
+        FROM tc GROUP BY n
+    ),
+    cum AS (
+        SELECT n, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY n DESC) AS cum_tokens,
+               SUM(mass) OVER (ORDER BY n DESC) AS cum_mass,
+               SUM(n_tokens) OVER () AS vocab_total,
+               SUM(mass) OVER () AS total_tokens
+        FROM hist
+    ),
+    hit AS (
+        SELECT g.nv AS vocab_budget, c.*
+        FROM cum c, (VALUES (10), (100), (1000), (10000)) g(nv)
+        WHERE (c.cum_tokens >= g.nv AND c.cum_tokens - c.n_tokens < g.nv)
+           OR (c.vocab_total < g.nv AND c.cum_tokens = c.vocab_total)
+    )
+    SELECT CAST(vocab_budget AS BIGINT) AS vocab_budget,
+           CAST(CASE WHEN vocab_total < vocab_budget THEN 0 ELSE n END
+                AS BIGINT) AS threshold_count,
+           CAST(CASE WHEN vocab_total < vocab_budget THEN cum_mass
+                     ELSE cum_mass - (cum_tokens - vocab_budget) * n END
+                AS BIGINT) AS covered_tokens,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(CASE WHEN vocab_total < vocab_budget THEN cum_mass
+                     ELSE cum_mass - (cum_tokens - vocab_budget) * n END
+                AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage_frac
+    FROM hit
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design question "what
+    fraction of corpus token occurrences does a top-N vocabulary
+    cover?" for N in {10, 100, 1k, 10k}. Computed WITHOUT ranking any
+    token: the count-of-counts histogram determines coverage exactly
+    (every token tied at the crossing frequency contributes the same
+    mass, so the crossing row's cumulative arithmetic closes the
+    answer) — the same insight behind the repo's boundary-bucket
+    selection devices. Budgets beyond the vocabulary return full
+    coverage with threshold_count 0 (exercised at sf0.01, where
+    |vocab| < 10k).
+
+    Scale: one corpus scan + token-count shuffle; the histogram is
+    count-of-counts-sized (O(sqrt total) distinct frequencies by
+    Heap's-law-style tail shape), so its global cumulative window is a
+    bounded single-partition step, and the budget probe is an explode +
+    filter over histogram rows — no non-equi join, no global token
+    sort, nothing vocab-sized past the histogram aggregate."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    hist = tc.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.col("n") * F.count(F.lit(1))).alias("mass"),
+    )
+    w = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "n", "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("mass").over(w).alias("cum_mass"),
+        F.sum("n_tokens").over(wall).alias("vocab_total"),
+        F.sum("mass").over(wall).alias("total_tokens"),
+    )
+    hit = cum.withColumn(
+        "vocab_budget",
+        F.explode(F.array(*[F.lit(n) for n in (10, 100, 1000, 10000)])),
+    ).filter(
+        (
+            (F.col("cum_tokens") >= F.col("vocab_budget"))
+            & (F.col("cum_tokens") - F.col("n_tokens") < F.col("vocab_budget"))
+        )
+        | (
+            (F.col("vocab_total") < F.col("vocab_budget"))
+            & (F.col("cum_tokens") == F.col("vocab_total"))
+        )
+    )
+    overflow = F.col("vocab_total") < F.col("vocab_budget")
+    covered = F.when(overflow, F.col("cum_mass")).otherwise(
+        F.col("cum_mass") - (F.col("cum_tokens") - F.col("vocab_budget")) * F.col("n")
+    )
+    return hit.select(
+        F.col("vocab_budget").cast("long").alias("vocab_budget"),
+        F.when(overflow, F.lit(0)).otherwise(F.col("n"))
+        .cast("long").alias("threshold_count"),
+        covered.cast("long").alias("covered_tokens"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        (covered.cast("double") / F.col("total_tokens").cast("double"))
+        .alias("coverage_frac"),
     )

@@ -1251,3 +1251,30 @@ def test_trunc_div_matches_duckdb_semantics():
         for den in (1, 3, 4, 65536):
             want = duckdb.sql(f"SELECT {a}::HUGEINT // {den}").fetchone()[0]
             assert _trunc_div(a, den) == want, (a, den)
+
+
+def test_vocab_coverage_matches_direct_topn(spark):
+    """The histogram-crossing arithmetic must equal the brute answer:
+    sort tokens by (count desc, any tie order), sum the top-N counts —
+    tie order cannot matter because tied tokens carry equal mass."""
+    from collections import Counter
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["vocab_budget"]: r
+            for r in REGISTRY["text_vocab_coverage"].fn(spark, sf).collect()}
+    texts = [r["text"] for r in load(spark, sf, "documents").select("text").collect()]
+    counts = Counter(t for x in texts for t in x.strip().lower().split())
+    ordered = sorted(counts.values(), reverse=True)
+    total = sum(ordered)
+    for n, r in rows.items():
+        want = sum(ordered[:n])
+        assert r["covered_tokens"] == want, (n, r["covered_tokens"], want)
+        assert r["total_tokens"] == total
+        if n >= len(ordered):
+            assert r["threshold_count"] == 0 and r["covered_tokens"] == total
+    assert [rows[n]["covered_tokens"] for n in sorted(rows)] == sorted(
+        rows[n]["covered_tokens"] for n in rows
+    ), "coverage must be monotone in budget"
