@@ -4180,3 +4180,63 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (covered.cast("double") / F.col("total_tokens").cast("double"))
         .alias("coverage_frac"),
     )
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle="""
+    WITH assign AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT % 16
+                   AS shard_id,
+               n_chars,
+               len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks
+        FROM documents
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           COUNT(DISTINCT source) AS n_sources
+    FROM assign GROUP BY shard_id
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment + manifest — the webdataset/tar-shard
+    bookkeeping a 100 TB corpus ships with: every document lands in one
+    of 16 shards by the portable 60-bit md5 of ``'shard:' || doc_id``
+    (deterministic, rerun-stable, no coordination), and the manifest
+    records per-shard doc/token/char totals, the doc-id range, and
+    source diversity — what a training loader needs to plan epochs and
+    what an auditor needs to verify nothing was dropped (Σ n_docs =
+    corpus size by construction; pinned by
+    ``test_shard_manifest_conserves_corpus``).
+
+    Scale: assignment is map-side hash arithmetic; the manifest is ONE
+    shuffle keyed by shard — 16 output rows whatever the corpus. Hash
+    sharding (vs size-balanced bin packing) is the deliberate choice:
+    it needs no global order, stays stable under re-runs and appends,
+    and balances within ~sqrt variance at millions of docs per shard;
+    the token totals the manifest carries are exactly what a packer
+    needs if a later stage wants balanced physical files."""
+    docs = load(spark, sf_dir, "documents")
+    assign = docs.select(
+        "doc_id", "source", "n_chars",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 15),
+                16, 10,
+            ).cast("long") % 16
+        ).alias("shard_id"),
+        F.size(tokenize(F.col("text"))).alias("n_toks"),
+    )
+    return assign.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -1278,3 +1278,22 @@ def test_vocab_coverage_matches_direct_topn(spark):
     assert [rows[n]["covered_tokens"] for n in sorted(rows)] == sorted(
         rows[n]["covered_tokens"] for n in rows
     ), "coverage must be monotone in budget"
+
+
+def test_shard_manifest_conserves_corpus(spark):
+    """Nothing dropped, nothing double-counted: shard totals must sum to
+    the corpus totals, and the assignment must be balanced within the
+    hash-sharding expectation (no empty shard at 500 docs / 16 shards)."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["corpus_shard_manifest"].fn(spark, sf).collect()
+    docs = load(spark, sf, "documents")
+    n = docs.count()
+    from pyspark.sql import functions as F
+    total_chars = docs.agg(F.sum("n_chars")).first()[0]
+    assert sum(r["n_docs"] for r in rows) == n
+    assert sum(r["n_chars"] for r in rows) == total_chars
+    assert len(rows) == 16 and all(r["n_docs"] > 0 for r in rows)
+    assert all(r["min_doc_id"] <= r["max_doc_id"] for r in rows)
