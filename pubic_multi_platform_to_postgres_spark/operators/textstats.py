@@ -508,3 +508,28 @@ def lm_bigram_counts(
             yield pd.DataFrame({"id": ids, "idx": idxs, "c": cs})
 
     return cols.mapInPandas(run, schema="id long, idx int, c long")
+
+
+def html_extract(html: Column) -> Column:
+    """Main-text extraction from HTML — the first transform of every
+    web-crawl ingest pipeline (trafilatura/jusText's core loop, reduced
+    to its deterministic skeleton): drop ``<script>``/``<style>``
+    subtrees and comments, strip the remaining tags, decode the core
+    entities, collapse whitespace. Pure JVM ``regexp_replace`` chain —
+    map-side, codegen-friendly, no UDF.
+
+    Every pattern is chosen for Java-regex/RE2 agreement (lazy ``.*?``
+    under ``(?s)``, greedy ``[^>]*`` — both unambiguous across the
+    leftmost-first/leftmost-longest divide), so a DuckDB oracle replays
+    the extraction byte-for-byte; parity is gate-checked by
+    ``text_html_extract``. Entity decode order matters: ``&lt;/&gt;``
+    before ``&amp;`` (the reverse of escaping), or ``&amp;lt;``
+    double-decodes."""
+    t = F.regexp_replace(html, r"(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    t = F.replace(t, F.lit("&lt;"), F.lit("<"))
+    t = F.replace(t, F.lit("&gt;"), F.lit(">"))
+    t = F.replace(t, F.lit("&copy;"), F.lit("©"))
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

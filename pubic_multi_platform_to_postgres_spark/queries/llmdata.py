@@ -38,6 +38,7 @@ from pubic_multi_platform_to_postgres_spark.operators.textstats import (
     LANG_STOPWORDS,
     bpe_ish_token_count,
     fingerprint,
+    html_extract,
     lang_id,
     normalize_text,
     quality_features,
@@ -4239,4 +4240,100 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
         F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "text_html_extract",
+    oracle="""
+    WITH wrapped AS (
+        SELECT doc_id,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_orig,
+               '<html><head><title>Doc ' || doc_id || '</title>'
+               || '<style>body{margin:0}</style>'
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN '<script>if(a<b){track()}</script>' ELSE '' END
+               || '</head><body><!-- id=' || doc_id || ' -->'
+               || '<div class="nav">Home | About</div><p>'
+               || replace(replace(replace(text,
+                      '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+               || '</p><footer>&copy; 2026 Example</footer></body></html>'
+                   AS html
+        FROM documents
+    ),
+    x AS (
+        SELECT doc_id, norm_orig, html,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(html,
+                                   '<(script|style)[^>]*>.*?</(script|style)>',
+                                   ' ', 'gs'),
+                               '<!--.*?-->', ' ', 'gs'),
+                           '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'),
+                       '&copy;', chr(169)), '&amp;', '&'),
+                   '\\s+', ' ', 'g')) AS clean_text
+        FROM wrapped
+    )
+    SELECT doc_id, clean_text,
+           CAST(length(clean_text) AS BIGINT) AS n_chars_clean,
+           len(regexp_extract_all(html, '<[^>]*>')) > 0
+               AND doc_id % 3 <> 0 AS had_script,
+           contains(clean_text, norm_orig) AS recovered
+    FROM x
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-ingest main-text extraction, gate-checked byte-for-byte: wrap
+    every document in a deterministic HTML page (title, style, script
+    on 2/3 of docs, comment, nav chrome, entity-escaped body, footer),
+    then recover the text with :func:`html_extract` (script/style/
+    comment subtree removal -> tag strip -> entity decode -> whitespace
+    collapse). ``recovered`` asserts the round trip: the extracted text
+    must contain the whitespace-normalized original — true for EVERY
+    row (pinned by ``test_html_extract_roundtrip``); nav/footer chrome
+    survives by design (boilerplate removal is its own operator,
+    ``corpus_boilerplate_scrub``). The oracle replays both the wrap and
+    the extraction, so the gate proves Java-regex/RE2 dialect agreement
+    on the exact pattern set, not just similar behavior.
+
+    Scale: pure map-side ``regexp_replace``/``replace`` chain inside
+    whole-stage codegen — no UDF, no shuffle (plan-pinned)."""
+    docs = load(spark, sf_dir, "documents")
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"), F.lit("&lt;"),
+        ),
+        F.lit(">"), F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id"), F.lit("</title>"),
+        F.lit("<style>body{margin:0}</style>"),
+        F.when(F.col("doc_id") % 3 != 0,
+               F.lit("<script>if(a<b){track()}</script>")).otherwise(F.lit("")),
+        F.lit("</head><body><!-- id="), F.col("doc_id"), F.lit(" -->"),
+        F.lit('<div class="nav">Home | About</div><p>'),
+        esc,
+        F.lit("</p><footer>&copy; 2026 Example</footer></body></html>"),
+    )
+    wrapped = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm_orig"),
+        html.alias("html"),
+    )
+    x = wrapped.select(
+        "doc_id", "norm_orig", "html",
+        html_extract(F.col("html")).alias("clean_text"),
+    )
+    return x.select(
+        "doc_id", "clean_text",
+        F.length("clean_text").cast("long").alias("n_chars_clean"),
+        (
+            (F.size(F.regexp_extract_all(F.col("html"), F.lit(r"<[^>]*>"), F.lit(0))) > 0)
+            & (F.col("doc_id") % 3 != 0)
+        ).alias("had_script"),
+        F.contains(F.col("clean_text"), F.col("norm_orig")).alias("recovered"),
     )

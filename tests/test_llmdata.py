@@ -1297,3 +1297,41 @@ def test_shard_manifest_conserves_corpus(spark):
     assert sum(r["n_chars"] for r in rows) == total_chars
     assert len(rows) == 16 and all(r["n_docs"] > 0 for r in rows)
     assert all(r["min_doc_id"] <= r["max_doc_id"] for r in rows)
+
+
+def test_html_extract_roundtrip(spark):
+    """Every document must survive the wrap->extract round trip
+    (recovered = true for all rows), and hand-built adversarial HTML —
+    nested entities, script containing markup-like code, multi-line
+    comments — must extract to the expected text."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.operators.textstats import (
+        html_extract,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["text_html_extract"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["recovered"] for r in rows)
+    assert any(r["had_script"] for r in rows)
+    assert any(not r["had_script"] for r in rows)
+    # chrome survives tag stripping by design (boilerplate is a separate op)
+    assert all(r["clean_text"].startswith("Doc ") for r in rows)
+
+    cases = [
+        ("<p>&amp;lt; stays escaped-once</p>", "&lt; stays escaped-once"),
+        # the lazy .*? runs to the FIRST real </script>, so the whole
+        # script body — including the embedded '</p>' string — is removed
+        ("<script>var s = '</p>';\nif(a<b)x()</script><p>kept</p>", "kept"),
+        ("<!-- multi\nline\ncomment --><b>bold</b>", "bold"),
+        ("a   b\n\tc", "a b c"),
+        ("<style>p{}</style>text &copy; here", "text © here"),
+    ]
+    df = spark.createDataFrame([Row(i=i, h=h) for i, (h, _) in enumerate(cases)])
+    got = {r["i"]: r["t"] for r in
+           df.select("i", html_extract(F.col("h")).alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        import re as _re
+        want_norm = _re.sub(r"\s+", " ", want).strip()
+        assert got[i] == want_norm, (i, got[i], want_norm)

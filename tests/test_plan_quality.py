@@ -99,7 +99,7 @@ def test_lifecycle_windows_single_shuffle(spark, name):
     "name",
     ["text_pii_scrub", "corpus_stratified_sample", "embedding_quantize_int8",
      "corpus_epoch_shuffle", "multimodal_audio_features",
-     "multimodal_audio_silence"],
+     "multimodal_audio_silence", "text_html_extract"],
 )
 def test_mapside_ops_no_shuffle(spark, name):
     """PII scrub, hash-based stratified sampling, int8 quantization, and
