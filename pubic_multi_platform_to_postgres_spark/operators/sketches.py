@@ -98,3 +98,29 @@ def cms_estimates(token_rows: DataFrame) -> DataFrame:
             (F.col("cms_estimate") - F.col("true_n")).alias("overestimate"),
         )
     )
+
+
+def cms_cells_from_occurrences(
+    df: DataFrame, text_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The sketch as ONE aggregation over raw token occurrences —
+    ``(r, bucket, cell)`` identical to ``cms_cells(cms_token_rows(...))``
+    (pinned by ``test_streaming_cms_cells_match_batch``) but with no
+    per-token pre-count, so it is legal as a Structured Streaming
+    aggregation (chained aggregates are not). This is the streaming
+    face's whole point: the state is the d x w cell grid — 1024 keys
+    whatever the corpus has streamed past — where an exact top-k would
+    hold unbounded per-token state."""
+    toks = df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+    occ = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cms_bucket(F.col("token"), r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("rb")
+    ).select("rb.r", "rb.bucket")
+    return occ.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell"))

@@ -387,3 +387,46 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir, events_batc
     assert q.awaitTermination(180)
     got = _collect_sorted(spark.read.parquet(str(out_dir)), ["click_id", "purchase_id"])
     assert got == expected
+
+
+def test_streaming_cms_cells_match_batch(spark, tmp_path):
+    """The CMS cell grid built as a Structured Streaming aggregation over
+    micro-batched documents must equal the batch sketch exactly — and its
+    state is the bounded d x w grid (1024 keys), the reason the sketch is
+    the streaming answer to heavy hitters at all."""
+    import time as _time
+
+    from pubic_multi_platform_to_postgres_spark.operators.sketches import (
+        cms_cells,
+        cms_cells_from_occurrences,
+        cms_token_rows,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    src = tmp_path / "docs_stream_src"
+    for third in range(3):
+        docs.filter(F.col("doc_id") % 3 == third).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cms_cells_from_occurrences(stream, "text")
+        .writeStream.format("memory")
+        .queryName("cms_cells_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = _collect_sorted(spark.table("cms_cells_stream"), ["r", "bucket", "cell"])
+    want = _collect_sorted(cms_cells(cms_token_rows(docs, "text")), ["r", "bucket", "cell"])
+    assert got == want and len(got) > 0
+    assert len(got) <= 4 * 256  # bounded state: the whole point
