@@ -603,3 +603,48 @@ def test_smoothed_profile_dense_and_normalized(spark, obs):
         mass[r["g"]] += r["pm"]
     for g, m in mass.items():
         assert PROB_SCALE - B <= m <= PROB_SCALE
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12),
+        min_size=1, max_size=8,
+    ),
+    st.integers(2, 8),
+)
+def test_cms_matches_python_model(spark, texts, width):
+    """The Spark CMS (cells AND per-token estimates) must equal a direct
+    Python model of the Cormode-Muthukrishnan construction on arbitrary
+    tiny corpora and tiny widths (heavy collisions on purpose)."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.sketches import (
+        cms_cells,
+        cms_estimates,
+        cms_token_rows,
+    )
+
+    def md5_60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    counts = Counter(t for x in texts for t in x.strip().lower().split() or [""])
+    model_cells: Counter = Counter()
+    for tok, n in counts.items():
+        for r in range(4):
+            model_cells[(r, md5_60(f"{r}|{tok}") % width)] += n
+    model_est = {
+        tok: min(model_cells[(r, md5_60(f"{r}|{tok}") % width)] for r in range(4))
+        for tok in counts
+    }
+
+    df = spark.createDataFrame([Row(text=t) for t in texts])
+    rows = cms_token_rows(df, "text", depth=4, width=width)
+    got_cells = {(r["r"], r["bucket"]): r["cell"] for r in cms_cells(rows).collect()}
+    assert got_cells == dict(model_cells)
+    got_est = {r["token"]: (r["true_n"], r["cms_estimate"])
+               for r in cms_estimates(rows).collect()}
+    assert got_est == {t: (counts[t], model_est[t]) for t in counts}
