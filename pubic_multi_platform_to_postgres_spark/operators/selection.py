@@ -80,3 +80,71 @@ def nearest_rank_scalar(
         .first()
     )
     return row["t"]
+
+
+def nearest_rank_multi(
+    df: DataFrame,
+    value_col: str,
+    bucket: Column,
+    k_sqls: dict,
+    *,
+    tie_col: str = "doc_id",
+) -> dict:
+    """Every quantile in ``k_sqls`` from ONE histogram pass — the
+    multi-``k`` generalization of :func:`nearest_rank_scalar` (which
+    re-aggregates the histogram per call; nine deciles would mean nine
+    passes). ``k_sqls`` maps a label to a SQL rank expression over the
+    histogram's ``c`` column (e.g. ``"(sum(c) over () * 3 + 9) div 10"``
+    for the ceil-rank 30th percentile). Returns ``{label: value}``.
+
+    Plan shape: one bucket histogram aggregate; the rank expressions
+    are evaluated as window columns and EXPLODED into (label, k) pairs,
+    so each label finds its crossing bucket in the same frame; the
+    boundary join then touches only the union of crossing buckets
+    (~len(k_sqls)/65536ths of the corpus for the standard ``div 65536``
+    bucketing) and one row_number per label ranks within them. The
+    result is a len(k_sqls)-row driver fetch — the same bounded-scalar
+    class as the single-k device."""
+    hist = df.groupBy(bucket.alias("nr_bkt")).agg(F.count(F.lit(1)).alias("c"))
+    labels = list(k_sqls)
+    pre = hist.select(
+        "nr_bkt",
+        "c",
+        F.expr("sum(c) over (order by nr_bkt) - c").alias("cum_before"),
+        *[F.expr(sql).alias(f"_k_{i}") for i, sql in enumerate(k_sqls.values())],
+    )
+    bounds = (
+        pre.select(
+            "nr_bkt",
+            "c",
+            "cum_before",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(i).alias("qi"), F.col(f"_k_{i}").alias("k")
+                    )
+                    for i in range(len(labels))
+                ])
+            ).alias("qk"),
+        )
+        .filter(
+            (F.col("cum_before") < F.col("qk.k"))
+            & (F.col("cum_before") + F.col("c") >= F.col("qk.k"))
+        )
+        .select(
+            F.col("qk.qi").alias("qi"),
+            F.col("nr_bkt").alias("b_bkt"),
+            (F.col("qk.k") - F.col("cum_before")).alias("j"),
+        )
+    )
+    boundary = df.join(F.broadcast(bounds), bucket == F.col("b_bkt"))
+    wb = Window.partitionBy("qi").orderBy(value_col, tie_col)
+    rows = (
+        boundary.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= F.col("j"))
+        .groupBy("qi")
+        .agg(F.max(value_col).alias("t"))
+        .collect()
+    )
+    got = {r["qi"]: r["t"] for r in rows}
+    return {labels[i]: got[i] for i in range(len(labels)) if i in got}

@@ -62,14 +62,17 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
-def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str, id_col: str, keep_cols: tuple = ()
+) -> DataFrame:
     """Per-document quality features + composite score.
 
     Features follow the standard corpus-filtering recipe: length, mean
     token length, punctuation density, stopword density, uppercase ratio.
     The composite is a transparent linear score in [0, 1] — the point is
     the columnar feature plumbing, not the particular weights.
-    """
+    ``keep_cols`` ride along unchanged (lets callers keep labels next to
+    the score without a corpus self-join)."""
     text = F.col(text_col)
     toks = tokenize(text, lowercase=False)
     n_chars = F.length(text).cast("double")
@@ -88,6 +91,7 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_chars.alias("n_chars_measured"),
         n_tokens.cast("long").alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),

@@ -895,7 +895,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(load(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _langid_oracle() -> str:
+def _langid_case() -> str:
+    """The stopword-vote language-ID prediction as one SQL CASE — shared
+    by the langid gate and the calibration audit's mismatch label."""
     langs = list(LANG_STOPWORDS)
     cnt = {
         lg: f"CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL[lg]}')) AS BIGINT)"
@@ -906,8 +908,12 @@ def _langid_oracle() -> str:
     for lg in langs:  # first language in order wins ties, like the Spark side
         case += f"WHEN {best} > 0 AND {cnt[lg]} = {best} THEN '{lg}' "
     case += "ELSE 'und' END"
+    return case
+
+
+def _langid_oracle() -> str:
     return f"""
-    SELECT doc_id, lang AS declared_lang, {case} AS detected_lang
+    SELECT doc_id, lang AS declared_lang, {_langid_case()} AS detected_lang
     FROM documents
     """
 
@@ -4336,4 +4342,108 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_id") % 3 != 0)
         ).alias("had_script"),
         F.contains(F.col("clean_text"), F.col("norm_orig")).alias("recovered"),
+    )
+
+
+def _quality_calibration_oracle() -> str:
+    """Replay: micro-quantized quality score -> nine one-pass decile
+    thresholds (ceil nearest-rank, ties by doc_id) -> per-decile
+    composition with the langid-mismatch weak label."""
+    return f"""
+    WITH f AS (
+        SELECT doc_id, lang,
+               {_langid_case()} AS detected,
+               CAST(length(text) AS DOUBLE) AS nc,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nt,
+               CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+               CAST(len(regexp_extract_all(lower(text), '{_STOP_SQL["en"]}'))
+                    AS DOUBLE) AS stop
+        FROM documents
+    ),
+    scored AS MATERIALIZED (
+        SELECT doc_id, lang, detected,
+               CAST(floor((least(nt / 64.0, 1.0) * 0.4
+                 + least((stop / nt) * 4.0, 1.0) * 0.4
+                 + (1.0 - least((punct / nc) * 10.0, 1.0)) * 0.2) * 1000000)
+                    AS BIGINT) AS q_int
+        FROM f
+    ),
+    ranked AS (
+        SELECT q_int, ROW_NUMBER() OVER (ORDER BY q_int, doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM scored
+    ),
+    th AS MATERIALIZED (
+        SELECT g.d, MAX(r.q_int) AS t
+        FROM generate_series(1, 9) g(d)
+        JOIN ranked r ON r.rk <= (r.n * g.d + 9) // 10
+        GROUP BY g.d
+    ),
+    labeled AS (
+        SELECT s.*,
+               COALESCE((SELECT MIN(th.d) FROM th WHERE s.q_int <= th.t), 10)
+                   AS decile
+        FROM scored s
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN detected <> lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang_mismatch,
+           CAST(SUM(CASE WHEN detected <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS mismatch_rate,
+           CAST(MIN(q_int) AS BIGINT) AS min_q,
+           CAST(MAX(q_int) AS BIGINT) AS max_q
+    FROM labeled GROUP BY decile
+    """
+
+
+@query("corpus_quality_calibration", oracle=_quality_calibration_oracle())
+def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the quality score actually separate junk? Calibration audit:
+    micro-quantize the composite quality score (floor(score * 1e6) —
+    the float formula is IEEE-identical across engines, the
+    quantization makes ranking/thresholding integer-exact), cut the
+    corpus into nearest-rank deciles, and report each decile's
+    language-ID mismatch rate (declared lang != stopword-vote
+    prediction — the weak junk label available without human ratings).
+    A score worth its thresholds shows mismatch concentrating in the
+    low deciles. Ties at a threshold fall to the LOWER decile (both
+    engines label by min matching threshold), so decile sizes can be
+    uneven under mass ties — the deterministic contract, not a bug.
+
+    Scale: the nine thresholds come from ONE histogram pass via
+    ``nearest_rank_multi`` (`operators/selection.py`) — the multi-k
+    boundary-bucket device: histogram aggregate, all nine crossing
+    buckets found in one frame, one row_number over ~9/65536ths of the
+    corpus, nine-value driver fetch. Labeling + composition is then one
+    map-side CASE and a 10-row aggregate. The oracle replays the exact
+    ceil-rank/tie contract with a global ROW_NUMBER (fine at sf0.01;
+    the engine side never global-sorts)."""
+    from pubic_multi_platform_to_postgres_spark.operators.selection import (
+        nearest_rank_multi,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = quality_features(docs, "text", "doc_id", keep_cols=("lang", "text"))
+    s = scored.select(
+        "doc_id", "lang",
+        lang_id(F.col("text")).alias("detected"),
+        F.floor(F.col("quality_score") * 1e6).cast("long").alias("q_int"),
+    )
+    ks = {d: f"(sum(c) over () * {d} + 9) div 10" for d in range(1, 10)}
+    th = nearest_rank_multi(s, "q_int", F.expr("q_int div 65536"), ks)
+    decile = F.lit(10)
+    for d in sorted(th, reverse=True):
+        decile = F.when(F.col("q_int") <= F.lit(th[d]), F.lit(d)).otherwise(decile)
+    mism = (F.col("detected") != F.col("lang")).cast("long")
+    return (
+        s.withColumn("decile", decile.cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(mism).alias("n_lang_mismatch"),
+            (F.sum(mism).cast("double") / F.count(F.lit(1))).alias("mismatch_rate"),
+            F.min("q_int").alias("min_q"),
+            F.max("q_int").alias("max_q"),
+        )
     )

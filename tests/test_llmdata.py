@@ -1335,3 +1335,24 @@ def test_html_extract_roundtrip(spark):
         import re as _re
         want_norm = _re.sub(r"\s+", " ", want).strip()
         assert got[i] == want_norm, (i, got[i], want_norm)
+
+
+def test_quality_calibration_covers_corpus(spark):
+    """Decile labels partition the corpus: counts sum to |docs|, labels
+    lie in 1..10, per-decile [min_q, max_q] ranges are disjoint and
+    ordered, and the score must separate the weak label at least
+    directionally (bottom-decile mismatch rate >= top-decile)."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        REGISTRY["corpus_quality_calibration"].fn(spark, sf).collect(),
+        key=lambda r: r["decile"],
+    )
+    n = load(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert all(1 <= r["decile"] <= 10 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_q"] <= b["min_q"], (a, b)
+    assert rows[0]["mismatch_rate"] >= rows[-1]["mismatch_rate"] - 1e-9

@@ -648,3 +648,31 @@ def test_cms_matches_python_model(spark, texts, width):
     got_est = {r["token"]: (r["true_n"], r["cms_estimate"])
                for r in cms_estimates(rows).collect()}
     assert got_est == {t: (counts[t], model_est[t]) for t in counts}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+    st.lists(st.integers(1, 40), min_size=1, max_size=5, unique=True),
+    st.sampled_from([1, 64, 100000]),
+)
+def test_nearest_rank_multi_property(spark, vals, ks, bwidth):
+    """nearest_rank_multi must equal the sorted()-model k-th element for
+    EVERY requested k simultaneously — one histogram pass, any bucket
+    granularity (including one-bucket-per-value and everything-in-one-
+    bucket), duplicate-heavy distributions included."""
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.selection import (
+        nearest_rank_multi,
+    )
+
+    ks = [min(k, len(vals)) for k in ks]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, v=int(x)) for i, x in enumerate(vals)]
+    )
+    got = nearest_rank_multi(
+        df, "v", F.expr(f"v div {bwidth}"), {k: str(k) for k in set(ks)}
+    )
+    srt = sorted(vals)
+    assert got == {k: srt[k - 1] for k in set(ks)}
