@@ -35,6 +35,7 @@ def test_bench_mode_branches_verified():
         "multimodal_ann_pipeline",
         "percentiles_approx_order_value",
         "agg_approx_distinct",
+        "sim_incremental_ivf_assign",
     }
     assert set(report["checks"]) == expected
     assert all(c["ok"] for c in report["checks"].values())
