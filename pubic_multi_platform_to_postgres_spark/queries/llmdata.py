@@ -4447,3 +4447,161 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("q_int").alias("max_q"),
         )
     )
+
+
+def _source_matrix_oracle() -> str:
+    """Minhash pair replay + source labeling + symmetric-pair rollup."""
+    cte, band_conds, est = _minhash_sig_fragments(64, 3, 16)
+    return f"""{cte},
+    p AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ({est}) / 64.0 AS est_jaccard
+            FROM sigs a JOIN sigs b
+              ON a.doc_id < b.doc_id AND ({band_conds})
+        ) WHERE est_jaccard >= 0.4
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY 1, 2
+    """
+
+
+@query("dedup_source_matrix", oracle=_source_matrix_oracle())
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO copies from WHOM: the near-dup pair stream rolled up into a
+    symmetric source x source matrix (pair key ordered by least/greatest
+    source so (web, books) and (books, web) are one cell). Off-diagonal
+    mass is cross-source contamination — syndicated content, mirrors,
+    wiki scrapes inside web crawls — the signal that drives per-source
+    dedup policy and mixture corrections; the diagonal is within-source
+    redundancy. Composes the measured ``dedup_minhash_pairs`` machinery
+    (md5-portable hashes, banded LSH, no all-pairs) with two keyed joins
+    back to the source labels and a |sources|^2-bounded aggregate.
+
+    Scale: the pair stream is the banded join's output (linear in
+    near-dup mass, measured through 100x); each labeling join shuffles
+    pairs + the (doc_id, source) projection on doc_id; the rollup output
+    is at most |sources|^2 / 2 rows whatever the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.4,
+        token_hash="md5",
+    )
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnRenamed("doc_id", "id_a")
+                      .withColumnRenamed("source", "src_a"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("source", "src_b"), "id_b")
+    )
+    return (
+        lab.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "dedup_savings_report",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS grams
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / CAST(len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+    ),
+    sym AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    ),
+    comp AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src
+    ),
+    per AS (
+        SELECT c.label, COUNT(*) AS size,
+               SUM(d.n_chars) AS chars_total,
+               SUM(CASE WHEN c.node = c.label THEN d.n_chars ELSE 0 END)
+                   AS chars_kept
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+        GROUP BY c.label
+    )
+    SELECT CAST(CASE WHEN size >= 5 THEN 5 ELSE size END AS INT)
+               AS cluster_size_bucket,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs,
+           CAST(SUM(size - 1) AS BIGINT) AS n_removable_docs,
+           CAST(SUM(chars_total - chars_kept) AS BIGINT) AS chars_removable
+    FROM per GROUP BY 1
+    """,
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does dedup actually BUY? The decision-support rollup of the
+    measured ``dedup_clusters`` path: collapse near-dup clusters, then
+    report — per cluster-size bucket (2, 3, 4, 5+) — how many clusters
+    exist, how many documents they hold, how many are removable
+    (keep-one-per-cluster), and how many characters of training data
+    that removal saves. This is the table a curation review reads
+    before turning a dedup pass on; the oracle re-derives the clusters
+    with the independent recursive transitive-closure CTE and replays
+    the savings arithmetic.
+
+    Scale: everything up to the components is the measured cluster
+    machinery (prefix-filter candidates + local-contraction union-find,
+    curves through 100x on file); the savings roll-up adds one keyed
+    join of the component table to (doc_id, n_chars) and two bounded
+    aggregates (|clusters|, then 4 output rows)."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50)
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang", "len_bucket"],
+        threshold=0.5, ngram=1,
+    )
+    comp = connected_components(pairs)
+    per = (
+        comp.join(
+            docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(
+                F.when(F.col("node") == F.col("label"), F.col("n_chars"))
+                .otherwise(F.lit(0))
+            ).alias("chars_kept"),
+        )
+    )
+    bucket = F.when(F.col("size") >= 5, F.lit(5)).otherwise(F.col("size"))
+    return (
+        per.groupBy(bucket.cast("int").alias("cluster_size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("size").alias("n_docs"),
+            F.sum(F.col("size") - 1).alias("n_removable_docs"),
+            F.sum(F.col("chars_total") - F.col("chars_kept"))
+            .alias("chars_removable"),
+        )
+    )

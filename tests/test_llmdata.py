@@ -1356,3 +1356,34 @@ def test_quality_calibration_covers_corpus(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["max_q"] <= b["min_q"], (a, b)
     assert rows[0]["mismatch_rate"] >= rows[-1]["mismatch_rate"] - 1e-9
+
+
+def test_savings_report_consistent_with_clusters(spark):
+    """The savings rollup must agree with the cluster table it is built
+    from: per-bucket doc counts sum to the component-table size, every
+    cluster has size >= 2 (components only contain paired docs), and
+    removable = docs - clusters."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["dedup_savings_report"].fn(spark, sf).collect()
+    comp = REGISTRY["dedup_clusters"].fn(spark, sf)
+    n_nodes = comp.count()
+    n_clusters = comp.select("label").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == n_nodes
+    assert sum(r["n_clusters"] for r in rows) == n_clusters
+    assert sum(r["n_removable_docs"] for r in rows) == n_nodes - n_clusters
+    assert all(r["cluster_size_bucket"] >= 2 for r in rows)
+    assert all(r["chars_removable"] > 0 for r in rows)
+
+
+def test_source_matrix_counts_all_pairs(spark):
+    """Matrix mass must equal the pair-stream size and the key must be
+    symmetric-normalized (source_a <= source_b on every row)."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    rows = REGISTRY["dedup_source_matrix"].fn(spark, sf).collect()
+    n_pairs = REGISTRY["dedup_minhash_pairs"].fn(spark, sf).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    assert all(r["source_a"] <= r["source_b"] for r in rows)
