@@ -548,33 +548,49 @@ def simhash_neardup_pairs(
     Scale: same shape as MinHash LSH — linear ×n_chunks explode, hash
     shuffle on chunk value, per-bucket candidates, cheap exact verify.
     """
-    if max_hamming >= n_chunks:
-        raise ValueError("pigeonhole guarantee needs max_hamming < n_chunks")
-    bits = 64 // n_chunks
     # materialize the fingerprints once: both self-join branches read them,
     # and without this the tokenize + pandas-UDF fingerprint subtree
     # executes twice (Catalyst doesn't auto-reuse non-identical branches)
     fp = simhash(df, text_col, id_col, token_hash).localCheckpoint()
+    return hamming_neardup_pairs(fp, id_col, "simhash64", max_hamming, n_chunks)
+
+
+def hamming_neardup_pairs(
+    fp_df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Pigeonhole-banded Hamming pairs over ANY 64-bit fingerprint column
+    — the banding core of :func:`simhash_neardup_pairs`, factored so
+    other fingerprint families (image aHash, audio chromaprint-style
+    hashes) reuse the identical candidate machinery. ``fp_df`` must be
+    cheap to read twice (checkpoint/cache upstream if the fingerprint is
+    expensive)."""
+    if max_hamming >= n_chunks:
+        raise ValueError("pigeonhole guarantee needs max_hamming < n_chunks")
+    bits = 64 // n_chunks
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_idx"),
-                F.shiftrightunsigned(F.col("simhash64"), i * bits)
+                F.shiftrightunsigned(F.col(fp_col), i * bits)
                 .bitwiseAND(F.lit((1 << bits) - 1).cast("long"))
                 .alias("chunk_val"),
             )
             for i in range(n_chunks)
         ]
     )
-    banded = fp.select(
-        F.col(id_col), "simhash64", F.explode(chunks).alias("c")
-    ).select(id_col, "simhash64", "c.chunk_idx", "c.chunk_val")
+    banded = fp_df.select(
+        F.col(id_col), fp_col, F.explode(chunks).alias("c")
+    ).select(id_col, fp_col, "c.chunk_idx", "c.chunk_val")
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash64").alias("fp_a"),
+        F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"),
         "chunk_idx", "chunk_val",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash64").alias("fp_b"),
+        F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"),
         "chunk_idx", "chunk_val",
     )
     hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))

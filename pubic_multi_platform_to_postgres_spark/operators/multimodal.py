@@ -1055,7 +1055,15 @@ def decode_audio_features(df: DataFrame, blob_col: str, id_col: str) -> DataFram
                     for k in ("n_samples", "sample_rate", "duration_ms",
                               "peak", "zero_crossings", "energy"):
                         out[k].append(None)
-            yield pd.DataFrame(out)
+            # nullable Int64: a None in the batch would otherwise promote
+            # these to float64 (exact below 2^53 — energy <= n*2^30 keeps
+            # clips safe to ~8e6 samples — but the aHash gate caught this
+            # class losing bits, so no column rides on that margin)
+            yield pd.DataFrame({
+                k: pd.array(v, dtype="Int64")
+                if k not in ("id", "decode_ok") else v
+                for k, v in out.items()
+            })
 
     return df.mapInPandas(
         run,
@@ -1133,7 +1141,11 @@ def audio_window_stats(
                     for k in ("n_windows", "n_silent", "lead_trim",
                               "trail_trim", "max_window_energy"):
                         out[k].append(None)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame({
+                k: pd.array(v, dtype="Int64")
+                if k not in ("id", "decode_ok") else v
+                for k, v in out.items()
+            })
 
     return df.mapInPandas(
         run,
@@ -1142,3 +1154,62 @@ def audio_window_stats(
             " lead_trim long, trail_trim long, max_window_energy long"
         ),
     )
+
+
+def ahash64(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+    """64-bit average-hash (aHash) perceptual fingerprint per image —
+    the standard cheap image near-dup signal: decode to grayscale,
+    reduce to an 8x8 grid of block means (integer ``sum // area``; the
+    image's dimensions must be divisible by 8 — enforced, because
+    fractional blocks would need a resample policy the oracle would
+    have to mirror), threshold each block against the grid's integer
+    mean, pack the 64 bits (bit 63 wraps into the long's sign bit —
+    fine, Hamming works on the bit pattern). Near-identical images
+    differ in a few bits; pair search is the SAME pigeonhole banding as
+    SimHash (``dedup.hamming_neardup_pairs``). Undecodable or
+    wrong-shaped blobs dead-letter as null hashes. Arrow-batched
+    ``mapInPandas``; all arithmetic integer-exact for oracle replay."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes, oks = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                ids.append(i)
+                try:
+                    px = decode_image_pixels(bytes(blob))
+                    if px.ndim == 3:  # RGB -> integer-mean gray
+                        px = px.astype(np.int64).sum(axis=2) // px.shape[2]
+                    px = px.astype(np.int64)
+                    h, w = px.shape
+                    if h % 8 or w % 8:
+                        raise ValueError(f"dims {w}x{h} not divisible by 8")
+                    bh, bw = h // 8, w // 8
+                    sums = px.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+                    means = sums // (bh * bw)
+                    m = int(means.sum()) // 64
+                    bits = (means > m).reshape(-1)
+                    val = 0
+                    for j in range(64):
+                        if bits[j]:
+                            val |= 1 << j
+                    if val >= 1 << 63:  # wrap into int64 sign bit
+                        val -= 1 << 64
+                    hashes.append(val)
+                    oks.append(True)
+                except (ValueError, struct.error, IndexError):
+                    hashes.append(None)
+                    oks.append(False)
+            # NULLABLE Int64, never a plain list: with a dead-letter None
+            # in the batch pandas promotes an int list to float64, and a
+            # 64-bit hash above 2^53 silently loses its low bits (caught
+            # by the oracle gate: 486/495 hashes off by <=224)
+            yield pd.DataFrame({
+                "id": ids,
+                "ahash64": pd.array(hashes, dtype="Int64"),
+                "decode_ok": oks,
+            })
+
+    return df.mapInPandas(run, schema="id long, ahash64 long, decode_ok boolean")

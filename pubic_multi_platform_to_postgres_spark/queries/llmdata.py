@@ -4605,3 +4605,104 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_removable"),
         )
     )
+
+
+@query(
+    "multimodal_image_ahash_neardup",
+    # ORACLE FIXTURE CAP: 16x16 images by construction of the render
+    # below. The 64-bit hash is carried as two BIGINT halves (lo/hi)
+    # because bit 63 overflows a signed BIGINT shift; hamming = sum of
+    # the halves' bit_count(xor).
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, doc_id % 50 AS g, doc_id % 101 = 0 AS corrupt
+        FROM documents
+    ),
+    px AS (
+        SELECT p.doc_id, gy.i AS y, gx.i AS x,
+               (p.g * 37 + gy.i * (5 + p.g % 3) + gx.i * (11 + p.g % 5)
+                + CASE WHEN gy.i = p.doc_id % 16
+                        AND gx.i = (p.doc_id // 16) % 16
+                       THEN p.doc_id % 7 ELSE 0 END) % 256 AS v
+        FROM p, generate_series(0, 15) gy(i), generate_series(0, 15) gx(i)
+        WHERE NOT p.corrupt
+    ),
+    blk AS (
+        SELECT doc_id, y // 2 AS by, x // 2 AS bx, SUM(v) // 4 AS bm
+        FROM px GROUP BY 1, 2, 3
+    ),
+    gm AS (SELECT doc_id, SUM(bm) // 64 AS m FROM blk GROUP BY 1),
+    bits AS (
+        SELECT b.doc_id,
+               SUM(CASE WHEN b.bm > gm.m AND (b.by * 8 + b.bx) < 32
+                        THEN (1::BIGINT << (b.by * 8 + b.bx))
+                        ELSE 0 END) AS lo,
+               SUM(CASE WHEN b.bm > gm.m AND (b.by * 8 + b.bx) >= 32
+                        THEN (1::BIGINT << (b.by * 8 + b.bx - 32))
+                        ELSE 0 END) AS hi
+        FROM blk b JOIN gm USING (doc_id) GROUP BY b.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INT) AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 4
+    """,
+)
+def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-dup dedup — the multimodal face of the dedup family:
+    render a real 16x16 grayscale PNG per document (per-group gradient
+    pattern keyed by ``doc_id % 50`` with a per-doc single-pixel
+    perturbation, so planted near-dup groups exist; every 101st
+    container truncated for the dead-letter path), decode it back with
+    the real PNG codec, fingerprint with the 64-bit average hash
+    (``multimodal.ahash64`` — 8x8 integer block means vs grid mean),
+    and find Hamming <= 4 pairs with the SAME pigeonhole banding that
+    backs SimHash (``dedup.hamming_neardup_pairs``, 8 chunks — the
+    pigeonhole guarantee needs max_hamming < n_chunks). The oracle
+    rebuilds every pixel, block mean, and hash bit from doc_id
+    arithmetic and brute-forces the pairs, so the gate proves the
+    encode -> decode -> hash -> banded-join chain bit-exact INCLUDING
+    the banding's losslessness at this threshold.
+
+    Scale: render/decode/hash are narrow Arrow-batched stages; the pair
+    search is the measured linear x8 chunk explode + equi-join — no
+    all-pairs anywhere on the engine side (the brute-force join lives
+    only in the sf0.01 oracle)."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        ahash64,
+        encode_png,
+    )
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d % 50
+                y = np.arange(16)
+                x = np.arange(16)
+                px = (g * 37 + np.add.outer(y * (5 + g % 3), x * (11 + g % 5)))
+                px = px.astype(np.int64)
+                px[d % 16, (d // 16) % 16] += d % 7
+                blob = encode_png((px % 256).astype(np.uint8))
+                ids.append(d)
+                blobs.append(blob[:10] if d % 101 == 0 else blob)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    fp = (
+        ahash64(blobs, "blob", "doc_id")
+        .filter(F.col("decode_ok"))
+        .select(F.col("id").alias("doc_id"), "ahash64")
+        .localCheckpoint()
+    )
+    return hamming_neardup_pairs(fp, "doc_id", "ahash64",
+                                 max_hamming=4, n_chunks=8)

@@ -1387,3 +1387,65 @@ def test_source_matrix_counts_all_pairs(spark):
     n_pairs = REGISTRY["dedup_minhash_pairs"].fn(spark, sf).count()
     assert sum(r["n_pairs"] for r in rows) == n_pairs
     assert all(r["source_a"] <= r["source_b"] for r in rows)
+
+
+def test_ahash_nullable_batch_keeps_full_precision(spark):
+    """Regression for the float64-promotion bug the aHash gate caught: a
+    dead-letter None in the SAME Arrow batch as a hash above 2^53 must
+    not round the hash's low bits (pandas promotes a plain int list with
+    None to float64). Also pins the dead-letter contract."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        ahash64,
+        decode_image_pixels,
+        encode_png,
+    )
+
+    # exactly blocks (0,0) and (7,6) bright -> hash = 2^62 + 1, whose
+    # float64 rounding drops the +1 (bottom-half-bright would wrap to
+    # -2^32, which float64 represents exactly and would not catch)
+    px = np.zeros((16, 16), dtype=np.uint8)
+    px[0:2, 0:2] = 255    # block (0,0) -> bit 0
+    px[14:16, 12:14] = 255  # block (7,6) -> bit 62
+    blob = encode_png(px)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, blob=bytearray(blob)),
+         Row(doc_id=2, blob=bytearray(b"not an image"))]
+    ).coalesce(1)  # force one Arrow batch so the None shares it
+    out = {r["id"]: r for r in ahash64(df, "blob", "doc_id").collect()}
+    assert out[2]["decode_ok"] is False and out[2]["ahash64"] is None
+
+    pxd = decode_image_pixels(blob).astype(np.int64)
+    sums = pxd.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+    means = sums // 4
+    m = int(means.sum()) // 64
+    bits = (means > m).reshape(-1)
+    want = sum(1 << j for j in range(64) if bits[j])
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert out[1]["ahash64"] == want
+    assert want == (1 << 62) + 1  # loses the +1 if float64 ever intervenes
+
+
+def test_image_ahash_neardup_groups(spark):
+    """Planted near-dup groups must pair within themselves: every
+    same-group (doc_id % 50) non-corrupt pair appears with hamming <= 4
+    at the planted single-pixel perturbation level."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["multimodal_image_ahash_neardup"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert pairs
+    ids = sorted({i for p in pairs for i in p})
+    same_group = [
+        (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        if a % 50 == b % 50
+    ]
+    # a single-pixel perturbation can nudge the GLOBAL mean and flip
+    # several bits at once, so not every same-group pair stays within
+    # hamming 4 — but the overwhelming majority must
+    found = sum(1 for p in same_group if p in pairs)
+    assert found >= 0.8 * len(same_group), (found, len(same_group))

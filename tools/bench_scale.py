@@ -87,7 +87,7 @@ SF1_QUERIES = [
     "multimodal_audio_features", "multimodal_audio_silence",
     "text_cms_heavy_hitters", "embedding_pca_power",
     "text_vocab_coverage", "corpus_shard_manifest", "text_html_extract",
-    "corpus_quality_calibration",
+    "corpus_quality_calibration", "dedup_source_matrix", "dedup_savings_report", "multimodal_image_ahash_neardup",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -124,7 +124,7 @@ SF10_QUERIES = [
     "multimodal_audio_features", "multimodal_audio_silence",
     "text_cms_heavy_hitters", "embedding_pca_power",
     "text_vocab_coverage", "corpus_shard_manifest", "text_html_extract",
-    "corpus_quality_calibration",
+    "corpus_quality_calibration", "dedup_source_matrix", "dedup_savings_report", "multimodal_image_ahash_neardup",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
