@@ -4706,3 +4706,110 @@ def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return hamming_neardup_pairs(fp, "doc_id", "ahash64",
                                  max_hamming=4, n_chunks=8)
+
+
+@query(
+    "multimodal_audio_fingerprint_neardup",
+    # ORACLE FIXTURE CAP: 256-sample clips by construction (64 windows
+    # of 4). Fingerprints carried as lo/hi BIGINT halves (bit 63
+    # overflows a signed shift); lower median = the rank-32 energy.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, doc_id % 40 AS g, doc_id % 103 = 0 AS corrupt
+        FROM documents
+    ),
+    s AS (
+        SELECT p.doc_id, g_i.i,
+               (p.g * 7919 + g_i.i * 104729
+                + CASE WHEN g_i.i % 64 = p.doc_id % 64
+                       THEN p.doc_id % 11 ELSE 0 END) % 65536 - 32768 AS v
+        FROM p, generate_series(0, 255) g_i(i)
+        WHERE NOT p.corrupt
+    ),
+    w AS (
+        SELECT doc_id, i // 4 AS wi, SUM(CAST(v AS BIGINT) * v) AS e
+        FROM s GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT doc_id, e AS m FROM (
+            SELECT doc_id, e,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY e) AS rk
+            FROM w
+        ) WHERE rk = 32
+    ),
+    bits AS (
+        SELECT w.doc_id,
+               SUM(CASE WHEN w.e > med.m AND w.wi < 32
+                        THEN (1::BIGINT << w.wi) ELSE 0 END) AS lo,
+               SUM(CASE WHEN w.e > med.m AND w.wi >= 32
+                        THEN (1::BIGINT << (w.wi - 32)) ELSE 0 END) AS hi
+        FROM w JOIN med USING (doc_id) GROUP BY w.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INT) AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def multimodal_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """AUDIO near-dup dedup — completing the modality matrix (text:
+    minhash/simhash/jaccard/levenshtein; image: aHash; audio: THIS):
+    synthesize a real 256-sample WAV per document (clip content keyed
+    by ``doc_id % 40`` so planted near-dup groups exist; a per-doc
+    4-sample perturbation keeps group members near- but not exactly
+    identical; every 103rd container truncated), decode with the
+    chunk-walking RIFF parser, fingerprint with the 64-window
+    energy-contour hash (``multimodal.audio_fingerprint64``), and find
+    Hamming <= 3 pairs with the SAME pigeonhole banding as SimHash and
+    the image aHash. The oracle rebuilds every sample, window energy,
+    median, bit, and pair from doc_id arithmetic (brute-force join), so
+    the gate proves the banding lossless at the threshold and the whole
+    encode -> decode -> contour -> pair chain integer-exact.
+
+    Scale: render/decode/fingerprint are narrow Arrow-batched stages;
+    pair search is the measured linear x4 chunk explode + equi-join —
+    no all-pairs on the engine side."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        audio_fingerprint64,
+        make_wav,
+    )
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d % 40
+                blob = bytearray(make_wav(256, 8000, seed=g))
+                # patch the perturbed samples (i % 64 == d % 64) in the
+                # data chunk: samples start at byte 44 of make_wav's
+                # fixed layout, little-endian int16
+                i = np.arange(256)
+                mask = (i % 64) == (d % 64)
+                pcm = np.frombuffer(bytes(blob[44:44 + 512]), dtype="<i2").copy()
+                vals = (g * 7919 + i * 104729 + d % 11) % 65536 - 32768
+                pcm[mask] = vals[mask].astype("<i2")
+                blob[44:44 + 512] = pcm.tobytes()
+                ids.append(d)
+                blobs.append(bytes(blob[:11]) if d % 103 == 0 else bytes(blob))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    fp = (
+        audio_fingerprint64(blobs, "blob", "doc_id")
+        .filter(F.col("decode_ok"))
+        .select(F.col("id").alias("doc_id"), "fp64")
+        .localCheckpoint()
+    )
+    return hamming_neardup_pairs(fp, "doc_id", "fp64",
+                                 max_hamming=3, n_chunks=4)

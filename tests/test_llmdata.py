@@ -1449,3 +1449,33 @@ def test_image_ahash_neardup_groups(spark):
     # hamming 4 — but the overwhelming majority must
     found = sum(1 for p in same_group if p in pairs)
     assert found >= 0.8 * len(same_group), (found, len(same_group))
+
+
+def test_audio_fingerprint_operator_contracts(spark):
+    """Hand-clip checks for the energy-contour hash: identical clips ->
+    identical fingerprints; a loudness-contour change flips bits; short
+    clips and corrupt containers dead-letter as null."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        audio_fingerprint64,
+        make_wav,
+    )
+
+    a = make_wav(256, 8000, seed=9)
+    df = spark.createDataFrame([
+        Row(doc_id=1, blob=bytearray(a)),
+        Row(doc_id=2, blob=bytearray(a)),                 # identical
+        Row(doc_id=3, blob=bytearray(make_wav(256, 8000, seed=23))),
+        Row(doc_id=4, blob=bytearray(make_wav(32, 8000, seed=9))),  # < 64 samples
+        Row(doc_id=5, blob=bytearray(b"RIFFjunk")),
+    ]).coalesce(1)
+    out = {r["id"]: r for r in audio_fingerprint64(df, "blob", "doc_id").collect()}
+    assert out[1]["fp64"] == out[2]["fp64"] and out[1]["decode_ok"]
+    assert out[1]["fp64"] != out[3]["fp64"]
+    assert out[4]["fp64"] is None and out[4]["decode_ok"] is False
+    assert out[5]["fp64"] is None and out[5]["decode_ok"] is False
+    # exactly 32 bits set: 64 energies vs their lower median (ties can
+    # reduce, never increase, the count)
+    assert bin(out[1]["fp64"] & ((1 << 64) - 1)).count("1") <= 32

@@ -88,6 +88,7 @@ SF1_QUERIES = [
     "text_cms_heavy_hitters", "embedding_pca_power",
     "text_vocab_coverage", "corpus_shard_manifest", "text_html_extract",
     "corpus_quality_calibration", "dedup_source_matrix", "dedup_savings_report", "multimodal_image_ahash_neardup",
+    "multimodal_audio_fingerprint_neardup",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -125,6 +126,7 @@ SF10_QUERIES = [
     "text_cms_heavy_hitters", "embedding_pca_power",
     "text_vocab_coverage", "corpus_shard_manifest", "text_html_extract",
     "corpus_quality_calibration", "dedup_source_matrix", "dedup_savings_report", "multimodal_image_ahash_neardup",
+    "multimodal_audio_fingerprint_neardup",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
