@@ -458,6 +458,39 @@ def make_gif(width: int, height: int, n_frames: int = 1, seed: int = 0) -> bytes
     return b"".join(parts)
 
 
+def encode_gif(frames) -> bytes:
+    """Assemble a spec-conformant animated GIF89a from uint8 grayscale
+    frame arrays (all the same ``(h, w)`` shape): global 256-entry gray
+    palette, a GCE delay block and full-frame image descriptor per
+    frame, real LZW data (:func:`_gif_lzw_encode`). The write-side
+    counterpart of :func:`decode_gif_frames` for ARBITRARY frame
+    content (:func:`make_gif` hardwires its roundtrip-fixture pattern);
+    video fixtures and tests build multi-frame containers with this."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_gif: no frames")
+    h, w = frames[0].shape
+    lsd = struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    parts = [b"GIF89a", lsd, palette]
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("encode_gif: frame shape mismatch")
+        parts.append(b"\x21\xf9\x04\x00\x04\x00\x00\x00")  # GCE: 4cs delay
+        parts.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0))
+        lzw = _gif_lzw_encode(
+            np.asarray(fr, dtype=np.uint8).tobytes(), 8
+        )
+        parts.append(b"\x08")  # LZW minimum code size
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            parts.append(bytes([len(block)]) + block)
+        parts.append(b"\x00")
+    parts.append(b"\x3b")
+    return b"".join(parts)
+
+
 def decode_gif_frames(blob: bytes):
     """Decode every frame of a GIF to uint8 pixel arrays — ``(h, w)`` when
     the active palette is grayscale, else ``(h, w, 3)`` RGB. Real LZW
@@ -1267,3 +1300,71 @@ def audio_fingerprint64(
             })
 
     return df.mapInPandas(run, schema="id long, fp64 long, decode_ok boolean")
+
+
+def video_framehash64(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
+    """64-bit temporal-mean frame hash per video container — the
+    classic cheap video near-dup baseline (thumbnail-mean perceptual
+    hash): decode every frame (real GIF-LZW decode —
+    :func:`decode_gif_frames`), grayscale each (integer channel mean),
+    SUM the frames pixel-wise into one int64 image (the temporal sum —
+    aHash thresholds against the image's own mean, so sum and mean
+    yield the same bits without a frame-count division the oracle
+    would have to round-mirror), then apply exactly the aHash
+    arithmetic: 8x8 grid of integer block means, threshold against the
+    grid's integer mean, pack 64 bits. Re-encoded or lightly edited
+    clips (a changed pixel, a re-dithered frame) land within small
+    Hamming distance; a clip with one REPLACED frame moves only the
+    temporal sum's share of that frame. Pair search reuses
+    ``dedup.hamming_neardup_pairs``. Undecodable containers and
+    non-8-divisible dims dead-letter as null hashes, with ``n_frames``
+    carried for decoded clips. Arrow-batched ``mapInPandas``; all
+    arithmetic integer-exact for oracle replay."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hashes, nfs, oks = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                ids.append(i)
+                try:
+                    frames = decode_gif_frames(bytes(blob))
+                    acc = None
+                    for px in frames:
+                        if px.ndim == 3:  # RGB -> integer-mean gray
+                            px = px.astype(np.int64).sum(axis=2) // px.shape[2]
+                        px = px.astype(np.int64)
+                        acc = px if acc is None else acc + px
+                    h, w = acc.shape
+                    if h % 8 or w % 8:
+                        raise ValueError(f"dims {w}x{h} not divisible by 8")
+                    bh, bw = h // 8, w // 8
+                    sums = acc.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+                    means = sums // (bh * bw)
+                    m = int(means.sum()) // 64
+                    bits = (means > m).reshape(-1)
+                    val = 0
+                    for j in range(64):
+                        if bits[j]:
+                            val |= 1 << j
+                    if val >= 1 << 63:  # wrap into int64 sign bit
+                        val -= 1 << 64
+                    hashes.append(val)
+                    nfs.append(len(frames))
+                    oks.append(True)
+                except (ValueError, struct.error, IndexError):
+                    hashes.append(None)
+                    nfs.append(None)
+                    oks.append(False)
+            yield pd.DataFrame({
+                "id": ids,
+                "vhash64": pd.array(hashes, dtype="Int64"),
+                "n_frames": pd.array(nfs, dtype="Int64"),
+                "decode_ok": oks,
+            })
+
+    return df.mapInPandas(
+        run, schema="id long, vhash64 long, n_frames long, decode_ok boolean"
+    )

@@ -4615,17 +4615,27 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the halves' bit_count(xor).
     oracle="""
     WITH p AS (
-        SELECT doc_id, doc_id % 50 AS g, doc_id % 101 = 0 AS corrupt
+        SELECT doc_id, doc_id // 10 AS g,
+               1 + ('0x' || substr(md5('img:' || (doc_id // 10)), 1, 15))
+                   ::BIGINT % 65519 AS a,
+               (('0x' || substr(md5('img:' || (doc_id // 10)), 1, 15))
+                   ::BIGINT // 65536) % 65521 AS b,
+               doc_id % 101 = 0 AS corrupt
         FROM documents
     ),
-    px AS (
+    pr AS (
         SELECT p.doc_id, gy.i AS y, gx.i AS x,
-               (p.g * 37 + gy.i * (5 + p.g % 3) + gx.i * (11 + p.g % 5)
-                + CASE WHEN gy.i = p.doc_id % 16
-                        AND gx.i = (p.doc_id // 16) % 16
-                       THEN p.doc_id % 7 ELSE 0 END) % 256 AS v
+               (p.a * (gy.i * 16 + gx.i + 1) + p.b) % 65521 AS r,
+               CASE WHEN gy.i = p.doc_id % 16
+                     AND gx.i = (p.doc_id // 16) % 16
+                    THEN p.doc_id % 7 ELSE 0 END AS pert
         FROM p, generate_series(0, 15) gy(i), generate_series(0, 15) gx(i)
         WHERE NOT p.corrupt
+    ),
+    px AS (
+        SELECT doc_id, y, x,
+               (((r * r) % 65521) % 256 + pert) % 256 AS v
+        FROM pr
     ),
     blk AS (
         SELECT doc_id, y // 2 AS by, x // 2 AS bx, SUM(v) // 4 AS bm
@@ -4646,27 +4656,45 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
                 AS INT) AS hamming
     FROM bits a JOIN bits b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 4
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
     """,
 )
 def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-dup dedup — the multimodal face of the dedup family:
-    render a real 16x16 grayscale PNG per document (per-group gradient
-    pattern keyed by ``doc_id % 50`` with a per-doc single-pixel
-    perturbation, so planted near-dup groups exist; every 101st
-    container truncated for the dead-letter path), decode it back with
-    the real PNG codec, fingerprint with the 64-bit average hash
+    render a real 16x16 grayscale PNG per document (per-group pattern
+    keyed by ``doc_id // 10`` — group SIZE is a constant ~10 docs
+    however large the corpus, so the planted pair count grows LINEARLY
+    with scale; the first ``% 50`` keying fixed the group COUNT instead
+    and everything grew quadratically — 52 s at 10x, timeout at 100x.
+    The pattern itself is md5-seeded SQUARED-LCG noise: with
+    ``r = (a*(idx+1) + b) % 65521`` and per-group ``(a, b)`` drawn from
+    the portable md5 of the group key, pixel(idx) =
+    ``((r*r) % 65521) % 256`` — ~4.3e9 pattern classes AND
+    near-uniform aHash bits. Uniformity is the second scale lesson this
+    fixture taught: a smooth md5-seeded GRADIENT had plenty of classes,
+    but gradients concentrate their aHash chunk values onto a few hot
+    16-bit buckets, and the banded join spilled 10.8 GB at 30x (17.8x
+    wall) from bucket SKEW alone — and the PLAIN LCG is not enough
+    either (its additive lattice makes adjacent blocks/windows
+    correlate, concentrating the audio tier's chunks onto alternating
+    bit patterns like 0xAAAA at 588 of 38k groups); squaring mod the
+    prime destroys the lattice (max bucket 8 of 50k groups, measured).
+    Fingerprint ENTROPY, not just class count, is what keeps LSH
+    buckets ~|corpus|/65536) — with a per-doc
+    single-pixel perturbation, so planted near-dup groups exist; every
+    101st container truncated for the dead-letter path), decode it back
+    with the real PNG codec, fingerprint with the 64-bit average hash
     (``multimodal.ahash64`` — 8x8 integer block means vs grid mean),
-    and find Hamming <= 4 pairs with the SAME pigeonhole banding that
-    backs SimHash (``dedup.hamming_neardup_pairs``, 8 chunks — the
-    pigeonhole guarantee needs max_hamming < n_chunks). The oracle
-    rebuilds every pixel, block mean, and hash bit from doc_id
+    and find Hamming <= 3 pairs with the SAME pigeonhole banding AND
+    chunk geometry that back SimHash (``dedup.hamming_neardup_pairs``,
+    4 chunks of 16 bits — max_hamming < n_chunks for pigeonhole). The
+    oracle rebuilds every pixel, block mean, and hash bit from doc_id
     arithmetic and brute-forces the pairs, so the gate proves the
     encode -> decode -> hash -> banded-join chain bit-exact INCLUDING
     the banding's losslessness at this threshold.
 
     Scale: render/decode/hash are narrow Arrow-batched stages; the pair
-    search is the measured linear x8 chunk explode + equi-join — no
+    search is the measured linear x4 chunk explode + equi-join — no
     all-pairs anywhere on the engine side (the brute-force join lives
     only in the sf0.01 oracle)."""
     from pubic_multi_platform_to_postgres_spark.operators.dedup import (
@@ -4683,15 +4711,20 @@ def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
 
         for pdf in batches:
             ids, blobs = [], []
+            import hashlib
+
             for d in pdf["doc_id"]:
                 d = int(d)
-                g = d % 50
-                y = np.arange(16)
-                x = np.arange(16)
-                px = (g * 37 + np.add.outer(y * (5 + g % 3), x * (11 + g % 5)))
-                px = px.astype(np.int64)
+                g = d // 10
+                h = int(hashlib.md5(f"img:{g}".encode()).hexdigest()[:15], 16)
+                a = 1 + h % 65519
+                b = (h // 65536) % 65521
+                idx = np.arange(256, dtype=np.int64)
+                r = (a * (idx + 1) + b) % 65521
+                px = (((r * r) % 65521) % 256).reshape(16, 16)
                 px[d % 16, (d // 16) % 16] += d % 7
-                blob = encode_png((px % 256).astype(np.uint8))
+                px = px % 256
+                blob = encode_png(px.astype(np.uint8))
                 ids.append(d)
                 blobs.append(blob[:10] if d % 101 == 0 else blob)
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
@@ -4704,8 +4737,12 @@ def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("id").alias("doc_id"), "ahash64")
         .localCheckpoint()
     )
+    # 4 chunks of 16 bits, NOT 8 of 8: 8-bit chunk values give only 256
+    # join buckets, so bucket size grows linearly with the corpus and the
+    # candidate join quadratically (the simhash family's 16-bit setting
+    # keeps buckets ~|corpus|/65536); hamming <= 3 preserves pigeonhole
     return hamming_neardup_pairs(fp, "doc_id", "ahash64",
-                                 max_hamming=4, n_chunks=8)
+                                 max_hamming=3, n_chunks=4)
 
 
 @query(
@@ -4715,16 +4752,26 @@ def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     # overflows a signed shift); lower median = the rank-32 energy.
     oracle="""
     WITH p AS (
-        SELECT doc_id, doc_id % 40 AS g, doc_id % 103 = 0 AS corrupt
+        SELECT doc_id, doc_id // 13 AS g,
+               1 + ('0x' || substr(md5('aud:' || (doc_id // 13)), 1, 15))
+                   ::BIGINT % 65519 AS a,
+               (('0x' || substr(md5('aud:' || (doc_id // 13)), 1, 15))
+                   ::BIGINT // 65536) % 65521 AS b,
+               doc_id % 103 = 0 AS corrupt
         FROM documents
     ),
-    s AS (
+    sr AS (
         SELECT p.doc_id, g_i.i,
-               (p.g * 7919 + g_i.i * 104729
-                + CASE WHEN g_i.i % 64 = p.doc_id % 64
-                       THEN p.doc_id % 11 ELSE 0 END) % 65536 - 32768 AS v
+               (p.a * (g_i.i + 1) + p.b) % 65521 AS r,
+               CASE WHEN g_i.i % 64 = p.doc_id % 64
+                    THEN p.doc_id % 11 ELSE 0 END AS pert
         FROM p, generate_series(0, 255) g_i(i)
         WHERE NOT p.corrupt
+    ),
+    s AS (
+        SELECT doc_id, i,
+               ((r * r) % 65521) % 4096 - 2048 + pert AS v
+        FROM sr
     ),
     w AS (
         SELECT doc_id, i // 4 AS wi, SUM(CAST(v AS BIGINT) * v) AS e
@@ -4758,9 +4805,20 @@ def multimodal_audio_fingerprint_neardup(
     """AUDIO near-dup dedup — completing the modality matrix (text:
     minhash/simhash/jaccard/levenshtein; image: aHash; audio: THIS):
     synthesize a real 256-sample WAV per document (clip content keyed
-    by ``doc_id % 40`` so planted near-dup groups exist; a per-doc
-    4-sample perturbation keeps group members near- but not exactly
-    identical; every 103rd container truncated), decode with the
+    by ``doc_id // 13`` — constant group size, so planted pairs grow
+    linearly with corpus scale, the image-tier re-key lesson — and
+    sampled from md5-seeded SQUARED-LCG noise — ``r = (a*(i+1) + b) %
+    65521``, sample = ``((r*r) % 65521) % 4096 - 2048`` — the ENTROPY
+    lesson twice over: the first fixture was a linear ramp whose
+    per-group content differed only by a 16-bit shift (banded join
+    spilled 32.8 GB at 30x from hot buckets), and the PLAIN LCG still
+    carried its additive lattice into the window energies — 588 of 38k
+    groups landed on the alternating chunk pattern 0xAAAA and sf10
+    spilled 4.8 GB at 31x wall; squaring mod the prime kills the
+    lattice (max chunk bucket 11 of 38k groups, all fingerprints
+    distinct, measured); a
+    per-doc 4-sample perturbation keeps group members near- but not
+    exactly identical; every 103rd container truncated), decode with the
     chunk-walking RIFF parser, fingerprint with the 64-window
     energy-contour hash (``multimodal.audio_fingerprint64``), and find
     Hamming <= 3 pairs with the SAME pigeonhole banding as SimHash and
@@ -4786,19 +4844,23 @@ def multimodal_audio_fingerprint_neardup(
 
         for pdf in batches:
             ids, blobs = [], []
+            import hashlib
+
             for d in pdf["doc_id"]:
                 d = int(d)
-                g = d % 40
-                blob = bytearray(make_wav(256, 8000, seed=g))
-                # patch the perturbed samples (i % 64 == d % 64) in the
-                # data chunk: samples start at byte 44 of make_wav's
-                # fixed layout, little-endian int16
-                i = np.arange(256)
-                mask = (i % 64) == (d % 64)
-                pcm = np.frombuffer(bytes(blob[44:44 + 512]), dtype="<i2").copy()
-                vals = (g * 7919 + i * 104729 + d % 11) % 65536 - 32768
-                pcm[mask] = vals[mask].astype("<i2")
-                blob[44:44 + 512] = pcm.tobytes()
+                g = d // 13
+                h = int(hashlib.md5(f"aud:{g}".encode()).hexdigest()[:15], 16)
+                a = 1 + h % 65519
+                b = (h // 65536) % 65521
+                # overwrite the data chunk with the LCG-noise samples:
+                # samples start at byte 44 of make_wav's fixed layout,
+                # little-endian int16
+                blob = bytearray(make_wav(256, 8000, seed=0))
+                i = np.arange(256, dtype=np.int64)
+                r = (a * (i + 1) + b) % 65521
+                s = ((r * r) % 65521) % 4096 - 2048
+                s = s + np.where(i % 64 == d % 64, d % 11, 0)
+                blob[44:44 + 512] = s.astype("<i2").tobytes()
                 ids.append(d)
                 blobs.append(bytes(blob[:11]) if d % 103 == 0 else bytes(blob))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
@@ -4813,3 +4875,205 @@ def multimodal_audio_fingerprint_neardup(
     )
     return hamming_neardup_pairs(fp, "doc_id", "fp64",
                                  max_hamming=3, n_chunks=4)
+
+
+@query(
+    "multimodal_video_framehash_neardup",
+    # ORACLE FIXTURE CAP: 4 frames of 16x16 by construction. Hash
+    # carried as lo/hi BIGINT halves (bit 63 overflows a signed shift).
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, doc_id // 11 AS g,
+               1 + ('0x' || substr(md5('vid:' || (doc_id // 11)), 1, 15))
+                   ::BIGINT % 65519 AS a,
+               (('0x' || substr(md5('vid:' || (doc_id // 11)), 1, 15))
+                   ::BIGINT // 65536) % 65521 AS b,
+               doc_id % 107 = 0 AS corrupt
+        FROM documents
+    ),
+    pr AS (
+        SELECT p.doc_id, gy.i AS y, gx.i AS x,
+               (p.a * (gf.i * 256 + gy.i * 16 + gx.i + 1) + p.b)
+                   % 65521 AS r,
+               CASE WHEN gf.i = p.doc_id % 4
+                     AND gy.i = p.doc_id % 16
+                     AND gx.i = (p.doc_id // 16) % 16
+                    THEN p.doc_id % 9 ELSE 0 END AS pert
+        FROM p, generate_series(0, 3) gf(i),
+             generate_series(0, 15) gy(i), generate_series(0, 15) gx(i)
+        WHERE NOT p.corrupt
+    ),
+    px AS (
+        SELECT doc_id, y, x,
+               SUM((((r * r) % 65521) % 256 + pert) % 256) AS sv
+        FROM pr
+        GROUP BY 1, 2, 3
+    ),
+    blk AS (
+        SELECT doc_id, y // 2 AS by, x // 2 AS bx, SUM(sv) // 4 AS bm
+        FROM px GROUP BY 1, 2, 3
+    ),
+    gm AS (SELECT doc_id, SUM(bm) // 64 AS m FROM blk GROUP BY 1),
+    bits AS (
+        SELECT b.doc_id,
+               SUM(CASE WHEN b.bm > gm.m AND (b.by * 8 + b.bx) < 32
+                        THEN (1::BIGINT << (b.by * 8 + b.bx))
+                        ELSE 0 END) AS lo,
+               SUM(CASE WHEN b.bm > gm.m AND (b.by * 8 + b.bx) >= 32
+                        THEN (1::BIGINT << (b.by * 8 + b.bx - 32))
+                        ELSE 0 END) AS hi
+        FROM blk b JOIN gm USING (doc_id) GROUP BY b.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INT) AS hamming
+    FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def multimodal_video_framehash_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIDEO near-dup dedup — the last cell of the modality-dedup
+    matrix (text: minhash/simhash/jaccard/levenshtein; image: aHash;
+    audio: energy contour; video: THIS): synthesize a real 4-frame
+    16x16 animated GIF89a per document (``multimodal.encode_gif`` —
+    real LZW data any decoder accepts), content keyed by
+    ``doc_id // 11`` with BOTH image-tier scale lessons applied from
+    the start: constant group SIZE so planted pairs grow linearly with
+    the corpus, and md5-seeded SQUARED-LCG noise — one stream across
+    all 1024 (frame, pixel) positions, ``r = (a*(f*256+idx+1) + b) %
+    65521``, pixel = ``((r*r) % 65521) % 256`` (squaring mod the prime
+    kills the plain LCG's additive lattice, the audio-tier lesson) —
+    so fingerprint chunk values spread across all 65,536 banding
+    buckets (~4.3e9 pattern classes). A per-doc single-pixel
+    perturbation in ONE frame keeps group members near- but not exactly
+    identical; every 107th container truncated for the dead-letter
+    path. Decode with the real GIF-LZW parser, fingerprint with the
+    temporal-mean frame hash (``multimodal.video_framehash64`` — aHash
+    arithmetic over the temporal SUM), and find Hamming <= 3 pairs
+    with the SAME pigeonhole banding as SimHash/aHash/audio
+    (``dedup.hamming_neardup_pairs``, 4 chunks of 16 bits). The oracle
+    rebuilds every frame pixel, temporal sum, block mean, and hash bit
+    from doc_id arithmetic and brute-forces the pairs, proving the
+    encode -> multi-frame decode -> temporal hash -> banded-join chain
+    bit-exact including the banding's losslessness at the threshold.
+
+    Scale: render/decode/hash are narrow Arrow-batched stages (blobs
+    never leave the executor); pair search is the measured linear x4
+    chunk explode + equi-join — no all-pairs on the engine side."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        hamming_neardup_pairs,
+    )
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        encode_gif,
+        video_framehash64,
+    )
+
+    def render(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 11
+                h = int(hashlib.md5(f"vid:{g}".encode()).hexdigest()[:15], 16)
+                a = 1 + h % 65519
+                b = (h // 65536) % 65521
+                idx = np.arange(256, dtype=np.int64)
+                frames = []
+                for f in range(4):
+                    r = (a * (f * 256 + idx + 1) + b) % 65521
+                    fr = ((r * r) % 65521) % 256
+                    fr = fr.reshape(16, 16)
+                    if f == d % 4:
+                        fr[d % 16, (d // 16) % 16] += d % 9
+                        fr = fr % 256
+                    frames.append(fr.astype(np.uint8))
+                blob = encode_gif(frames)
+                ids.append(d)
+                blobs.append(blob[:12] if d % 107 == 0 else blob)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    fp = (
+        video_framehash64(blobs, "blob", "doc_id")
+        .filter(F.col("decode_ok"))
+        .select(F.col("id").alias("doc_id"), "vhash64")
+        .localCheckpoint()
+    )
+    return hamming_neardup_pairs(fp, "doc_id", "vhash64",
+                                 max_hamming=3, n_chunks=4)
+
+
+@query(
+    "text_bpe_pair_counts",
+    # Ties broken deterministically (count DESC, then pair ASC) so the
+    # top-50 cut is engine-independent.
+    oracle="""
+    WITH words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w, COUNT(*) AS c FROM words WHERE length(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, i::INT, 2) AS pair,
+               CAST(SUM(c) AS BIGINT) AS pair_count
+        FROM (SELECT w, c, unnest(range(1, length(w))) AS i FROM vocab)
+        GROUP BY 1
+    )
+    SELECT pair, pair_count FROM pairs
+    ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the inner statistic: corpus-wide adjacent
+    symbol-pair frequencies at the character stage (iteration zero of
+    byte-pair encoding — the table whose argmax becomes the first
+    merge). The classic scale trick is the whole design: pair counting
+    runs over the word VOCABULARY weighted by word counts, not over the
+    raw token stream, so the expensive character-pair explode touches
+    |vocab| rows (Zipf-bounded, grows ~sublinearly) instead of |corpus
+    tokens|. Two shuffles end to end: the word-count groupBy (linear,
+    map-side combine) and the pair-sum groupBy whose OUTPUT is bounded
+    by the alphabet squared (<= 36^2 = 1,296 rows at any corpus size);
+    the top-50 is a TakeOrdered over that bounded table, not a global
+    sort. Words are ASCII ``[a-z0-9]+`` runs of the lowercased text —
+    the Java-regex/DuckDB-dialect-agreement choice the HTML extractor
+    documents. A length-1 word has no adjacent pair and drops out (the
+    oracle's ``length >= 2`` mirrors ``sequence(1, len-1)`` being empty
+    at len 1 — made explicit on both sides). Ties at the cut are broken
+    by (count DESC, pair ASC) on both engines.
+
+    At 100 TB: the token->vocab reduction is the measured linear
+    hashed-count machinery; everything after it is vocabulary-sized.
+    Real BPE iterates merge->recount; each iteration is this same
+    bounded plan over a rewritten vocab, so the statistic's cost model
+    is the training loop's cost model."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(50)
+    )

@@ -1442,7 +1442,7 @@ def test_image_ahash_neardup_groups(spark):
     ids = sorted({i for p in pairs for i in p})
     same_group = [
         (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
-        if a % 50 == b % 50
+        if a // 10 == b // 10
     ]
     # a single-pixel perturbation can nudge the GLOBAL mean and flip
     # several bits at once, so not every same-group pair stays within
@@ -1479,3 +1479,89 @@ def test_audio_fingerprint_operator_contracts(spark):
     # exactly 32 bits set: 64 energies vs their lower median (ties can
     # reduce, never increase, the count)
     assert bin(out[1]["fp64"] & ((1 << 64) - 1)).count("1") <= 32
+
+
+def test_video_framehash_operator_contracts(spark):
+    """Hand-clip checks for the temporal-mean frame hash: identical
+    containers -> identical hashes with the frame count carried; a
+    single-pixel edit in one frame flips only a few bits; different
+    content -> different hashes; truncated containers and
+    non-8-divisible dims dead-letter as null."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        encode_gif,
+        video_framehash64,
+    )
+
+    rng = [((np.arange(256) * (13 + f) + 7) % 256).astype(np.uint8)
+           .reshape(16, 16) for f in range(4)]
+    base = encode_gif(rng)
+    edited = [f.copy() for f in rng]
+    edited[2][5, 5] = (int(edited[2][5, 5]) + 3) % 256
+    other = encode_gif([((np.arange(256) * (31 + f) + 99) % 256)
+                        .astype(np.uint8).reshape(16, 16) for f in range(4)])
+    odd = encode_gif([np.zeros((10, 10), dtype=np.uint8)])
+    df = spark.createDataFrame([
+        Row(doc_id=1, blob=bytearray(base)),
+        Row(doc_id=2, blob=bytearray(base)),
+        Row(doc_id=3, blob=bytearray(encode_gif(edited))),
+        Row(doc_id=4, blob=bytearray(other)),
+        Row(doc_id=5, blob=bytearray(base[:12])),   # truncated container
+        Row(doc_id=6, blob=bytearray(odd)),         # dims not / by 8
+    ]).coalesce(1)
+    out = {r["id"]: r for r in video_framehash64(df, "blob", "doc_id").collect()}
+    assert out[1]["vhash64"] == out[2]["vhash64"] and out[1]["decode_ok"]
+    assert out[1]["n_frames"] == 4
+    ham = bin((out[1]["vhash64"] ^ out[3]["vhash64"]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 4, ham
+    assert out[1]["vhash64"] != out[4]["vhash64"]
+    assert out[5]["vhash64"] is None and out[5]["decode_ok"] is False
+    assert out[6]["vhash64"] is None and out[6]["decode_ok"] is False
+
+
+def test_video_framehash_neardup_groups(spark):
+    """Planted near-dup groups must pair within themselves: pairs only
+    ever join docs of the same doc_id // 11 group, the overwhelming
+    majority of same-group pairs survive the hamming <= 3 cut, and
+    corrupt (truncated) containers never appear."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["multimodal_video_framehash_neardup"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert pairs
+    assert all(a // 11 == b // 11 for a, b in pairs)
+    assert all(a % 107 != 0 and b % 107 != 0 for a, b in pairs)
+    ids = sorted({i for p in pairs for i in p})
+    same_group = [
+        (a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+        if a // 11 == b // 11
+    ]
+    found = sum(1 for p in same_group if p in pairs)
+    assert found >= 0.8 * len(same_group), (found, len(same_group))
+
+
+def test_bpe_pair_counts_hand_model(spark, tmp_path):
+    """Three hand-built docs: pair counts follow the weighted-vocab
+    model (a word's count multiplies ALL its adjacent pairs, repeated
+    2-grams inside one word count per occurrence), length-1 words drop,
+    case folds, punctuation splits words."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["Banana banana!", "aaa b", "ab-ab"],
+        "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [14, 5, 5],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = REGISTRY["text_bpe_pair_counts"].fn(
+        spark, str(tmp_path)).collect()
+    got = {r["pair"]: r["pair_count"] for r in rows}
+    # banana x2: ba,an,na,an,na -> per word; aaa x1: aa,aa; ab x2
+    assert got["an"] == 4 and got["na"] == 4 and got["ba"] == 2
+    assert got["aa"] == 2          # both occurrences inside one word
+    assert got["ab"] == 2          # split on '-'
+    assert "b" not in got          # length-1 word contributes nothing

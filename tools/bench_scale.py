@@ -88,7 +88,9 @@ SF1_QUERIES = [
     "text_cms_heavy_hitters", "embedding_pca_power",
     "text_vocab_coverage", "corpus_shard_manifest", "text_html_extract",
     "corpus_quality_calibration", "dedup_source_matrix", "dedup_savings_report", "multimodal_image_ahash_neardup",
-    "multimodal_audio_fingerprint_neardup",
+    "multimodal_audio_fingerprint_neardup", "multimodal_video_framehash_neardup",
+    # r8: BPE pair counts — vocab-weighted, bounded pair table
+    "text_bpe_pair_counts",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -125,8 +127,15 @@ SF10_QUERIES = [
     "multimodal_audio_features", "multimodal_audio_silence",
     "text_cms_heavy_hitters", "embedding_pca_power",
     "text_vocab_coverage", "corpus_shard_manifest", "text_html_extract",
-    "corpus_quality_calibration", "dedup_source_matrix", "dedup_savings_report", "multimodal_image_ahash_neardup",
-    "multimodal_audio_fingerprint_neardup",
+    "corpus_quality_calibration", "dedup_source_matrix", "dedup_savings_report",
+    # r8: image/audio near-dup sustain sf10 once the fixture draws
+    # md5-seeded LCG noise — constant group SIZE keeps planted pairs
+    # linear, and near-uniform fingerprint bits keep the banded join's
+    # 16-bit buckets ~|corpus|/65536 (the skewed gradient/ramp fixtures
+    # spilled 10.8/32.8 GB at 30x from hot buckets alone)
+    "multimodal_image_ahash_neardup", "multimodal_audio_fingerprint_neardup",
+    "multimodal_video_framehash_neardup",
+    "text_bpe_pair_counts",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
@@ -139,6 +148,11 @@ SF3_QUERIES = [
     "dedup_clusters",
     # r7: the multi-pass SNM variant (2x the one-pass candidate budget)
     "dedup_levenshtein_snm2",
+    # r8: the image/audio near-dup pair generators ALSO take an sf3
+    # point so they appear in the pair-family growth table next to the
+    # text dedup families
+    "multimodal_image_ahash_neardup", "multimodal_audio_fingerprint_neardup",
+    "multimodal_video_framehash_neardup",
 ]
 
 
