@@ -4607,13 +4607,7 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_image_ahash_neardup",
-    # ORACLE FIXTURE CAP: 16x16 images by construction of the render
-    # below. The 64-bit hash is carried as two BIGINT halves (lo/hi)
-    # because bit 63 overflows a signed BIGINT shift; hamming = sum of
-    # the halves' bit_count(xor).
-    oracle="""
+_IMAGE_NEARDUP_ORACLE = """
     WITH p AS (
         SELECT doc_id, doc_id // 10 AS g,
                1 + ('0x' || substr(md5('img:' || (doc_id // 10)), 1, 15))
@@ -4657,7 +4651,16 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS INT) AS hamming
     FROM bits a JOIN bits b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
-    """,
+    """
+
+
+@query(
+    "multimodal_image_ahash_neardup",
+    # ORACLE FIXTURE CAP: 16x16 images by construction of the render
+    # below. The 64-bit hash is carried as two BIGINT halves (lo/hi)
+    # because bit 63 overflows a signed BIGINT shift; hamming = sum of
+    # the halves' bit_count(xor).
+    oracle=_IMAGE_NEARDUP_ORACLE,
 )
 def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-dup dedup — the multimodal face of the dedup family:
@@ -4745,12 +4748,7 @@ def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
                                  max_hamming=3, n_chunks=4)
 
 
-@query(
-    "multimodal_audio_fingerprint_neardup",
-    # ORACLE FIXTURE CAP: 256-sample clips by construction (64 windows
-    # of 4). Fingerprints carried as lo/hi BIGINT halves (bit 63
-    # overflows a signed shift); lower median = the rank-32 energy.
-    oracle="""
+_AUDIO_NEARDUP_ORACLE = """
     WITH p AS (
         SELECT doc_id, doc_id // 13 AS g,
                1 + ('0x' || substr(md5('aud:' || (doc_id // 13)), 1, 15))
@@ -4797,7 +4795,15 @@ def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
                 AS INT) AS hamming
     FROM bits a JOIN bits b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
-    """,
+    """
+
+
+@query(
+    "multimodal_audio_fingerprint_neardup",
+    # ORACLE FIXTURE CAP: 256-sample clips by construction (64 windows
+    # of 4). Fingerprints carried as lo/hi BIGINT halves (bit 63
+    # overflows a signed shift); lower median = the rank-32 energy.
+    oracle=_AUDIO_NEARDUP_ORACLE,
 )
 def multimodal_audio_fingerprint_neardup(
     spark: SparkSession, sf_dir: str
@@ -5077,3 +5083,160 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(50)
     )
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    # ORACLE FIXTURE CAP: 4 frames of 16x16 (two planted 2-frame
+    # shots). SAD/mean are integer-exact; threshold mad > 16.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, doc_id // 11 AS g,
+               1 + ('0x' || substr(md5('scn:' || (doc_id // 11)), 1, 15))
+                   ::BIGINT % 65519 AS a,
+               (('0x' || substr(md5('scn:' || (doc_id // 11)), 1, 15))
+                   ::BIGINT // 65536) % 65521 AS b,
+               doc_id % 109 = 0 AS corrupt
+        FROM documents
+    ),
+    pr AS (
+        SELECT p.doc_id, gf.i AS f, gy.i AS y, gx.i AS x,
+               (p.a * (CASE WHEN gf.i < 2 THEN 0 ELSE 512 END
+                       + gy.i * 16 + gx.i + 1) + p.b) % 65521 AS r,
+               CASE WHEN gf.i IN (1, 3)
+                    THEN (gy.i * 16 + gx.i) % 3 ELSE 0 END AS wob,
+               CASE WHEN gf.i = p.doc_id % 4
+                     AND gy.i = p.doc_id % 16
+                     AND gx.i = (p.doc_id // 16) % 16
+                    THEN p.doc_id % 7 ELSE 0 END AS pert
+        FROM p, generate_series(0, 3) gf(i),
+             generate_series(0, 15) gy(i), generate_series(0, 15) gx(i)
+        WHERE NOT p.corrupt
+    ),
+    px AS (
+        SELECT doc_id, f, y, x,
+               (((r * r) % 65521) % 256 + wob + pert) % 256 AS v
+        FROM pr
+    ),
+    d AS (
+        SELECT cur.doc_id, cur.f AS transition,
+               CAST(SUM(ABS(cur.v - prv.v)) AS BIGINT) AS sad
+        FROM px cur
+        JOIN px prv ON cur.doc_id = prv.doc_id AND cur.y = prv.y
+                   AND cur.x = prv.x AND prv.f = cur.f - 1
+        WHERE cur.f >= 1
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, transition, sad,
+           CAST(sad // 256 AS BIGINT) AS mad,
+           sad // 256 > 16 AS is_cut
+    FROM d
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO scene-cut detection — the analysis face of the video tier
+    (near-dup is its dedup face): synthesize a real 4-frame 16x16
+    animated GIF per document with PLANTED SHOT STRUCTURE — frames 0-1
+    are one shot (frame 1 = frame 0 plus a tiny ``idx % 3`` wobble,
+    the re-encode jitter), frames 2-3 a second shot drawn from a
+    DIFFERENT stretch of the group's squared-LCG stream (offset 512),
+    so transition 2 is a true cut (mean abs pixel delta ~85) while
+    transitions 1 and 3 are within-shot (~2); a per-doc single-pixel
+    perturbation and every 109th container truncated, as in the rest
+    of the tier. Decode with the real GIF-LZW parser, profile with
+    ``multimodal.video_frame_deltas`` (integer SAD + per-pixel mean
+    per consecutive frame pair), and threshold ``mad > 16`` — the
+    classic cheap shot detector a frame-sampling pipeline runs before
+    choosing keyframes. The oracle rebuilds every frame pixel and
+    every SAD from doc_id arithmetic, so the gate proves the
+    encode -> multi-frame decode -> delta-profile chain integer-exact.
+
+    Scale: one Arrow-batched map-side pass over the blobs — no
+    shuffle at all on the engine side (the transition rows are emitted
+    directly by the decode stage); output is (n_frames - 1) rows per
+    document, linear by construction."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        encode_gif,
+        video_frame_deltas,
+    )
+
+    def render(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d // 11
+                h = int(hashlib.md5(f"scn:{g}".encode()).hexdigest()[:15], 16)
+                a = 1 + h % 65519
+                b = (h // 65536) % 65521
+                idx = np.arange(256, dtype=np.int64)
+                frames = []
+                for f in range(4):
+                    off = 0 if f < 2 else 512
+                    r = (a * (off + idx + 1) + b) % 65521
+                    fr = ((r * r) % 65521) % 256
+                    if f in (1, 3):
+                        fr = fr + idx % 3
+                    fr = fr.reshape(16, 16)
+                    if f == d % 4:
+                        fr[d % 16, (d // 16) % 16] += d % 7
+                    frames.append((fr % 256).astype(np.uint8))
+                blob = encode_gif(frames)
+                ids.append(d)
+                blobs.append(blob[:12] if d % 109 == 0 else blob)
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    deltas = video_frame_deltas(blobs, "blob", "doc_id")
+    return deltas.filter(F.col("decode_ok")).select(
+        F.col("id").alias("doc_id"),
+        "transition",
+        "sad",
+        "mad",
+        (F.col("mad") > 16).alias("is_cut"),
+    )
+
+
+@query(
+    "dedup_crossmodal_consensus",
+    # Composes the two full fixture-rebuild oracles verbatim (module
+    # constants, nested-WITH subqueries) and intersects their pair sets.
+    oracle=f"""
+    SELECT img.id_a, img.id_b,
+           img.hamming AS hamming_image, aud.hamming AS hamming_audio
+    FROM ({_IMAGE_NEARDUP_ORACLE}) img
+    JOIN ({_AUDIO_NEARDUP_ORACLE}) aud
+      ON img.id_a = aud.id_a AND img.id_b = aud.id_b
+    """,
+)
+def dedup_crossmodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup consensus — the capstone composition of the
+    modality matrix: a document pair is removed ONLY when two
+    INDEPENDENT fingerprint families both call it a near-dup (image
+    aHash pairs INNER JOIN audio energy-contour pairs on the pair
+    key), the standard web-scale trick for cutting fingerprint false
+    positives — each family's collision set is (approximately)
+    independent noise, so requiring agreement multiplies the
+    false-positive rates while true re-uploads survive both. Emits the
+    surviving pairs with BOTH families' Hamming distances, the
+    evidence columns a curation review reads. On the planted fixtures
+    the intersection is exactly the pairs inside BOTH a ``// 10``
+    image group and a ``// 13`` audio group, so the gate has real mass
+    (docs near each other in id space) and real rejections (pairs one
+    family finds and the other doesn't).
+
+    Scale: both inputs are the measured banded pair generators (linear
+    planted output, ~uniform 16-bit banding buckets); the consensus is
+    ONE equi-join on (id_a, id_b) — pair-stream-sized, AQE-planned, no
+    new shuffle pattern."""
+    img = multimodal_image_ahash_neardup(spark, sf_dir).select(
+        "id_a", "id_b", F.col("hamming").alias("hamming_image"))
+    aud = multimodal_audio_fingerprint_neardup(spark, sf_dir).select(
+        "id_a", "id_b", F.col("hamming").alias("hamming_audio"))
+    return img.join(aud, ["id_a", "id_b"])

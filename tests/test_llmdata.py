@@ -1565,3 +1565,47 @@ def test_bpe_pair_counts_hand_model(spark, tmp_path):
     assert got["aa"] == 2          # both occurrences inside one word
     assert got["ab"] == 2          # split on '-'
     assert "b" not in got          # length-1 word contributes nothing
+
+
+def test_video_scene_cuts_planted_shots(spark):
+    """The planted shot structure must be recovered: transition 2 (the
+    boundary between the two planted shots) is a cut for every doc,
+    within-shot transitions 1 and 3 never are, and corrupt containers
+    never appear."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["multimodal_video_scene_cuts"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r["doc_id"] % 109 != 0 for r in rows)
+    by_tr = {}
+    for r in rows:
+        by_tr.setdefault(r["transition"], []).append(r)
+    assert set(by_tr) == {1, 2, 3}
+    assert all(r["is_cut"] for r in by_tr[2])
+    assert not any(r["is_cut"] for r in by_tr[1] + by_tr[3])
+    # the cut's delta must dwarf the within-shot wobble
+    import statistics
+    assert statistics.median(r["mad"] for r in by_tr[2]) > 5 * max(
+        r["mad"] for r in by_tr[1] + by_tr[3])
+
+
+def test_crossmodal_consensus_intersection_semantics(spark):
+    """Consensus = the exact intersection of the two family pair sets:
+    every surviving pair lies in BOTH an image (// 10) and an audio
+    (// 13) planted group, and each family contributes pairs the other
+    rejects (the false-positive-cutting point of the composition)."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    both = REGISTRY["dedup_crossmodal_consensus"].fn(spark, sf).collect()
+    assert both
+    assert all(r["id_a"] // 10 == r["id_b"] // 10
+               and r["id_a"] // 13 == r["id_b"] // 13 for r in both)
+    img = {(r["id_a"], r["id_b"]) for r in REGISTRY[
+        "multimodal_image_ahash_neardup"].fn(spark, sf).collect()}
+    aud = {(r["id_a"], r["id_b"]) for r in REGISTRY[
+        "multimodal_audio_fingerprint_neardup"].fn(spark, sf).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in both}
+    assert got == img & aud
+    assert img - aud and aud - img   # each family rejects some of the other's

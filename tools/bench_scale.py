@@ -91,6 +91,11 @@ SF1_QUERIES = [
     "multimodal_audio_fingerprint_neardup", "multimodal_video_framehash_neardup",
     # r8: BPE pair counts — vocab-weighted, bounded pair table
     "text_bpe_pair_counts",
+    # r8: video analysis — pure map-side frame-delta profile
+    "multimodal_video_scene_cuts",
+    # r8: multi-signal consensus — one pair-stream equi-join on top of
+    # the two measured banded generators
+    "dedup_crossmodal_consensus",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -135,7 +140,8 @@ SF10_QUERIES = [
     # spilled 10.8/32.8 GB at 30x from hot buckets alone)
     "multimodal_image_ahash_neardup", "multimodal_audio_fingerprint_neardup",
     "multimodal_video_framehash_neardup",
-    "text_bpe_pair_counts",
+    "text_bpe_pair_counts", "multimodal_video_scene_cuts",
+    "dedup_crossmodal_consensus",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
