@@ -5085,11 +5085,7 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "multimodal_video_scene_cuts",
-    # ORACLE FIXTURE CAP: 4 frames of 16x16 (two planted 2-frame
-    # shots). SAD/mean are integer-exact; threshold mad > 16.
-    oracle="""
+_SCENE_CUTS_ORACLE = """
     WITH p AS (
         SELECT doc_id, doc_id // 11 AS g,
                1 + ('0x' || substr(md5('scn:' || (doc_id // 11)), 1, 15))
@@ -5131,7 +5127,14 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sad // 256 AS BIGINT) AS mad,
            sad // 256 > 16 AS is_cut
     FROM d
-    """,
+    """
+
+
+@query(
+    "multimodal_video_scene_cuts",
+    # ORACLE FIXTURE CAP: 4 frames of 16x16 (two planted 2-frame
+    # shots). SAD/mean are integer-exact; threshold mad > 16.
+    oracle=_SCENE_CUTS_ORACLE,
 )
 def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VIDEO scene-cut detection — the analysis face of the video tier
@@ -5240,3 +5243,148 @@ def dedup_crossmodal_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud = multimodal_audio_fingerprint_neardup(spark, sf_dir).select(
         "id_a", "id_b", F.col("hamming").alias("hamming_audio"))
     return img.join(aud, ["id_a", "id_b"])
+
+
+@query(
+    "text_ngram_novelty_curve",
+    # Deciles are value-based over the dense doc_id range (scaled
+    # fixtures keep ids dense: replica k = doc_id + k*N), so both
+    # engines bucket identically with integer arithmetic.
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               ws[i::INT] || ' ' || ws[i::INT + 1] || ' ' || ws[i::INT + 2]
+                   AS g
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+              FROM words)
+    ),
+    firsts AS (SELECT g, MIN(doc_id) AS fd FROM tri GROUP BY g),
+    n AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+    d AS (
+        SELECT LEAST(9, fd * 10 // nd) AS decile,
+               COUNT(*) AS new_ngrams
+        FROM firsts, n GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(new_ngrams AS BIGINT) AS new_ngrams,
+           CAST(SUM(new_ngrams) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_ngrams
+    FROM d
+    """,
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram novelty curve (the Heaps-law saturation signal):
+    bucket the corpus into 10 ingestion deciles by doc_id, and for
+    each decile count how many word TRIGRAMS appear there for the
+    FIRST time, plus the cumulative distinct-trigram count — the curve
+    a curation review reads to decide whether more of the same source
+    still buys new content or the corpus is saturating (flattening
+    new_ngrams = diminishing novelty; near-linear = still fresh).
+    Words are the ASCII ``[a-z0-9]+`` runs of the lowercased text (the
+    established dialect-parity tokenization); a doc with fewer than 3
+    words contributes nothing.
+
+    Scale: the only corpus-sized work is the trigram explode (map-side)
+    and ONE linear groupBy(g) -> min(doc_id) shuffle with map-side
+    partial min — the same cost class as the hashed-token machinery.
+    Everything after is 10-row arithmetic: the decile rollup, a
+    broadcast 1-row max-doc scalar, and a 10-row running sum (the
+    unpartitioned window is bounded by construction — it never sees
+    more than 10 rows). At 100 TB the min-aggregation carries (g, id)
+    pairs only; trigram keys could be hashed to 64-bit to shrink the
+    shuffle further without changing the counts (collisions ~n^2/2^64)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ws"),
+    )
+    # Spark sequence(1, n) DESCENDS when n < 1 — guard short docs with
+    # an explicit empty array, not greatest()
+    tri = words.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(ws) >= 3 THEN transform("
+            " sequence(1, size(ws) - 2),"
+            " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+            " ELSE array() END"
+        )).alias("g"),
+    )
+    firsts = tri.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    # the doc-count scalar is a driver-side 1-ROW aggregate fetch (the
+    # catalog's documented benign pattern — same class as the perplexity
+    # threshold and IVF centroid fetches); joining it in on a literal
+    # key would fold to the nested-loop plan the plan-quality suite
+    # forbids, and a scalar literal keeps the decile math map-side
+    nd = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    d = (
+        firsts.select(
+            F.expr(f"least(9, fd * 10 div {nd}L)").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_ngrams"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("new_ngrams").cast("long").alias("new_ngrams"),
+        F.sum("new_ngrams").over(w).cast("long").alias("cum_ngrams"),
+    )
+
+
+@query(
+    "multimodal_keyframe_select",
+    # Composes the scene-cut oracle verbatim; LEAD default 4 = the
+    # fixture's frame count (documented cap).
+    oracle=f"""
+    WITH cuts AS ({_SCENE_CUTS_ORACLE}),
+    kf AS (
+        SELECT doc_id, transition AS f FROM cuts WHERE is_cut
+        UNION ALL
+        SELECT DISTINCT doc_id, 0 FROM cuts
+    ),
+    seq AS (
+        SELECT doc_id, f,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) - 1
+                   AS shot_id,
+               LEAD(f, 1, 4) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+        FROM kf
+    )
+    SELECT doc_id, CAST(shot_id AS BIGINT) AS shot_id,
+           CAST(f AS BIGINT) AS keyframe,
+           CAST(nxt - f AS BIGINT) AS shot_frames
+    FROM seq
+    """,
+)
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection — the step a frame-sampling pipeline runs ON
+    TOP of shot detection: segment each clip's frames into shots at
+    the ``multimodal_video_scene_cuts`` boundaries and emit one
+    keyframe per shot (the shot's FIRST frame — the deterministic
+    representative; content-based 'best frame' scoring would slot into
+    the same shape) with the shot's id and frame span. On the planted
+    two-shot fixture every doc yields exactly two shots with keyframes
+    0 and 2. Output is (doc, shot) rows — strictly fewer than frames,
+    linear by construction.
+
+    Scale: the delta profile is the measured map-side pass; shot
+    assembly is ONE per-doc window (row_number + lead over <= n_frames
+    rows per partition key — a bounded-width window partitioned by
+    doc_id, no skew possible) — the same single-shuffle shape as the
+    catalog's other per-entity window queries."""
+    cuts = multimodal_video_scene_cuts(spark, sf_dir)
+    kf = cuts.filter(F.col("is_cut")).select(
+        "doc_id", F.col("transition").alias("f")
+    ).unionAll(
+        cuts.select("doc_id").distinct().select("doc_id", F.lit(0).alias("f"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("f")
+    return kf.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("long").alias("shot_id"),
+        F.col("f").cast("long").alias("keyframe"),
+        (F.lead("f", 1, 4).over(w) - F.col("f")).cast("long")
+        .alias("shot_frames"),
+    )

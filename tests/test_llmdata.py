@@ -1609,3 +1609,44 @@ def test_crossmodal_consensus_intersection_semantics(spark):
     got = {(r["id_a"], r["id_b"]) for r in both}
     assert got == img & aud
     assert img - aud and aud - img   # each family rejects some of the other's
+
+
+def test_ngram_novelty_curve_hand_model(spark, tmp_path):
+    """Four hand-built docs across deciles: first-seen attribution,
+    short-doc dropout, and the 10-row running sum all follow the
+    Python model."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    # N = 20 -> doc_id // 2 = decile; doc 0 plants 'a b c', doc 10
+    # repeats it (no novelty) and adds 'b c d'; doc 19 is too short
+    pd.DataFrame({
+        "doc_id": [0, 10, 19],
+        "text": ["a b c", "a b c d", "x y"],
+        "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [5, 7, 3],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["decile"]: r for r in REGISTRY["text_ngram_novelty_curve"].fn(
+        spark, str(tmp_path)).collect()}
+    assert set(rows) == {0, 5}
+    assert rows[0]["new_ngrams"] == 1          # 'a b c'
+    # doc 10's trigrams: 'a b c' (first seen at doc 0) and 'b c d' (new)
+    assert rows[5]["new_ngrams"] == 1
+    assert rows[5]["cum_ngrams"] == 2
+    assert rows[0]["cum_ngrams"] == 1
+
+
+def test_keyframe_select_two_shots(spark):
+    """On the planted two-shot fixture every doc yields exactly shots
+    (0, keyframe 0, 2 frames) and (1, keyframe 2, 2 frames)."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["multimodal_keyframe_select"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["shot_id"], r["keyframe"], r["shot_frames"]))
+    for doc, shots in by_doc.items():
+        assert sorted(shots) == [(0, 0, 2), (1, 2, 2)], (doc, shots)

@@ -96,6 +96,10 @@ SF1_QUERIES = [
     # r8: multi-signal consensus — one pair-stream equi-join on top of
     # the two measured banded generators
     "dedup_crossmodal_consensus",
+    # r8: Heaps-law novelty curve — one linear min-agg shuffle
+    "text_ngram_novelty_curve",
+    # r8: shot segmentation + keyframes on top of the delta profile
+    "multimodal_keyframe_select",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -141,7 +145,8 @@ SF10_QUERIES = [
     "multimodal_image_ahash_neardup", "multimodal_audio_fingerprint_neardup",
     "multimodal_video_framehash_neardup",
     "text_bpe_pair_counts", "multimodal_video_scene_cuts",
-    "dedup_crossmodal_consensus",
+    "dedup_crossmodal_consensus", "text_ngram_novelty_curve",
+    "multimodal_keyframe_select",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
