@@ -676,3 +676,47 @@ def test_nearest_rank_multi_property(spark, vals, ks, bwidth):
     )
     srt = sorted(vals)
     assert got == {k: srt[k - 1] for k in set(ks)}
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    frames=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2**30 - 1)),
+        min_size=1, max_size=5,
+    ),
+    dims=st.sampled_from([(8, 8), (16, 16), (8, 24), (5, 7)]),
+)
+def test_encode_gif_decode_roundtrip(frames, dims):
+    """encode_gif -> decode_gif_frames is the identity on arbitrary
+    grayscale frame stacks (any shape, any frame count, any content —
+    including non-8-divisible dims, which only the HASH stage rejects):
+    frame count, shapes, and every pixel byte survive the real LZW
+    encode/decode."""
+    import numpy as np
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    h, w = dims
+    arrs = []
+    for mode, seed in frames:
+        rng = np.random.default_rng(seed)
+        if mode == 0:
+            a = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        elif mode == 1:
+            a = np.full((h, w), seed % 256, dtype=np.uint8)
+        elif mode == 2:
+            a = (np.add.outer(np.arange(h), np.arange(w)) + seed) % 256
+            a = a.astype(np.uint8)
+        else:
+            a = np.zeros((h, w), dtype=np.uint8)
+            a[seed % h, seed % w] = 255
+        arrs.append(a)
+    out = decode_gif_frames(encode_gif(arrs))
+    assert len(out) == len(arrs)
+    for got, want in zip(out, arrs):
+        assert got.shape == want.shape
+        assert (got == want).all()
