@@ -4607,6 +4607,46 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def render_image_fixture(feed: DataFrame) -> DataFrame:
+    """Render the image-tier fixture container for each ``(uid, d)``
+    row — content keyed by ``d`` (group ``d // 10``, md5-seeded
+    squared-LCG noise, single-pixel perturbation, every 101st container
+    truncated), returned as ``(uid, blob)``. Factored so the
+    content-addressed ingest query can re-upload a container under a
+    NEW uid with bit-identical bytes (uid != d) while
+    ``multimodal_image_ahash_neardup`` renders the plain corpus
+    (uid == d)."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        encode_png,
+    )
+
+    def render(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            uids, blobs = [], []
+            for u, d in zip(pdf["uid"], pdf["d"]):
+                u, d = int(u), int(d)
+                g = d // 10
+                h = int(hashlib.md5(f"img:{g}".encode()).hexdigest()[:15], 16)
+                a = 1 + h % 65519
+                b = (h // 65536) % 65521
+                idx = np.arange(256, dtype=np.int64)
+                r = (a * (idx + 1) + b) % 65521
+                px = (((r * r) % 65521) % 256).reshape(16, 16)
+                px[d % 16, (d // 16) % 16] += d % 7
+                px = px % 256
+                blob = encode_png(px.astype(np.uint8))
+                uids.append(u)
+                blobs.append(blob[:10] if d % 101 == 0 else blob)
+            yield pd.DataFrame({"uid": uids, "blob": blobs})
+
+    return feed.mapInPandas(render, schema="uid long, blob binary")
+
+
 _IMAGE_NEARDUP_ORACLE = """
     WITH p AS (
         SELECT doc_id, doc_id // 10 AS g,
@@ -4705,37 +4745,13 @@ def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
         ahash64,
-        encode_png,
     )
 
-    def render(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            ids, blobs = [], []
-            import hashlib
-
-            for d in pdf["doc_id"]:
-                d = int(d)
-                g = d // 10
-                h = int(hashlib.md5(f"img:{g}".encode()).hexdigest()[:15], 16)
-                a = 1 + h % 65519
-                b = (h // 65536) % 65521
-                idx = np.arange(256, dtype=np.int64)
-                r = (a * (idx + 1) + b) % 65521
-                px = (((r * r) % 65521) % 256).reshape(16, 16)
-                px[d % 16, (d // 16) % 16] += d % 7
-                px = px % 256
-                blob = encode_png(px.astype(np.uint8))
-                ids.append(d)
-                blobs.append(blob[:10] if d % 101 == 0 else blob)
-            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
-
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    blobs = docs.mapInPandas(render, schema="doc_id long, blob binary")
+    blobs = render_image_fixture(docs.select(
+        F.col("doc_id").alias("uid"), F.col("doc_id").alias("d")))
     fp = (
-        ahash64(blobs, "blob", "doc_id")
+        ahash64(blobs, "blob", "uid")
         .filter(F.col("decode_ok"))
         .select(F.col("id").alias("doc_id"), "ahash64")
         .localCheckpoint()
@@ -5388,3 +5404,103 @@ def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lead("f", 1, 4).over(w) - F.col("f")).cast("long")
         .alias("shot_frames"),
     )
+
+
+@query(
+    "multimodal_content_addressed_dedup",
+    # Re-upload uids are d + 10,000,000 (disjoint from any fixture id
+    # range); content is keyed by the ORIGINAL d, so a re-upload's
+    # bytes are bit-identical to the original container.
+    oracle="""
+    WITH feed AS (
+        SELECT doc_id AS uid, doc_id AS d FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS uid, doc_id AS d FROM documents
+        WHERE doc_id % 7 = 0
+    ),
+    p AS (
+        SELECT uid, d,
+               1 + ('0x' || substr(md5('img:' || (d // 10)), 1, 15))
+                   ::BIGINT % 65519 AS a,
+               (('0x' || substr(md5('img:' || (d // 10)), 1, 15))
+                   ::BIGINT // 65536) % 65521 AS b,
+               d % 101 = 0 AS corrupt
+        FROM feed
+    ),
+    pr AS (
+        SELECT p.uid, gy.i AS y, gx.i AS x,
+               (p.a * (gy.i * 16 + gx.i + 1) + p.b) % 65521 AS r,
+               CASE WHEN gy.i = p.d % 16
+                     AND gx.i = (p.d // 16) % 16
+                    THEN p.d % 7 ELSE 0 END AS pert
+        FROM p, generate_series(0, 15) gy(i), generate_series(0, 15) gx(i)
+        WHERE NOT p.corrupt
+    ),
+    px AS (
+        SELECT uid, y, x,
+               (((r * r) % 65521) % 256 + pert) % 256 AS v
+        FROM pr
+    ),
+    blk AS (
+        SELECT uid, y // 2 AS by, x // 2 AS bx, SUM(v) // 4 AS bm
+        FROM px GROUP BY 1, 2, 3
+    ),
+    gm AS (SELECT uid, SUM(bm) // 64 AS m FROM blk GROUP BY 1),
+    bits AS (
+        SELECT b.uid,
+               SUM(CASE WHEN b.bm > gm.m AND (b.by * 8 + b.bx) < 32
+                        THEN (1::BIGINT << (b.by * 8 + b.bx))
+                        ELSE 0 END) AS lo,
+               SUM(CASE WHEN b.bm > gm.m AND (b.by * 8 + b.bx) >= 32
+                        THEN (1::BIGINT << (b.by * 8 + b.bx - 32))
+                        ELSE 0 END) AS hi
+        FROM blk b JOIN gm USING (uid) GROUP BY b.uid
+    )
+    SELECT CAST(MIN(uid) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM bits GROUP BY lo, hi
+    """,
+)
+def multimodal_content_addressed_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-addressed exactly-once ingest — the modality tier's
+    answer to at-least-once delivery: every 7th clip is RE-UPLOADED
+    under a fresh id with bit-identical bytes (the duplicate feed a
+    retrying uploader produces), and dedup collapses on the CONTENT
+    fingerprint (``multimodal.ahash64`` over the real PNG container),
+    not the delivery id — so re-uploads collapse onto the first copy
+    (``min(uid)``) no matter what id they arrive under, and
+    coincidentally hash-identical group members (a ``d % 7 == 0``
+    perturbation is a no-op) collapse too, which is exactly the
+    content-addressed contract. Emits one row per distinct content
+    hash: the kept id and how many feed rows collapsed into it. The
+    oracle rebuilds every re-upload's pixels and hash bits from id
+    arithmetic and replays the collapse.
+
+    Scale: render/hash are map-side; the collapse is ONE groupBy on
+    the 64-bit fingerprint (near-uniform by the measured squared-LCG
+    entropy, no hot keys) carrying (hash, uid) pairs — the same linear
+    shape as exact dedup. The STREAMING face — the same fingerprint
+    aggregate as a stateful Structured Streaming query over
+    micro-batched uploads, state bounded by distinct content — is
+    asserted batch==streaming in ``test_streaming.py``."""
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        ahash64,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    feed = docs.select(
+        F.col("doc_id").alias("uid"), F.col("doc_id").alias("d")
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("uid"),
+            F.col("doc_id").alias("d"),
+        )
+    )
+    blobs = render_image_fixture(feed)
+    fp = ahash64(blobs, "blob", "uid").filter(F.col("decode_ok"))
+    return fp.groupBy("ahash64").agg(
+        F.min("id").cast("long").alias("doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    ).select("doc_id", "n_copies")

@@ -430,3 +430,70 @@ def test_streaming_cms_cells_match_batch(spark, tmp_path):
     want = _collect_sorted(cms_cells(cms_token_rows(docs, "text")), ["r", "bucket", "cell"])
     assert got == want and len(got) > 0
     assert len(got) <= 4 * 256  # bounded state: the whole point
+
+
+def test_streaming_content_addressed_dedup_matches_batch(spark, tmp_path):
+    """The content-addressed ingest collapse (fingerprint -> min-uid +
+    copy count) built as a stateful Structured Streaming aggregation
+    over micro-batched uploads must equal the batch query exactly —
+    re-uploads arriving in LATER micro-batches still collapse onto the
+    first copy, and state is bounded by distinct content (one row per
+    fingerprint), not by feed volume."""
+    import time as _time
+
+    from pubic_multi_platform_to_postgres_spark.operators.multimodal import (
+        ahash64,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries.llmdata import (
+        render_image_fixture,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries.registry import REGISTRY
+
+    docs = load(spark, SF, "documents").select("doc_id")
+    feed = docs.select(
+        F.col("doc_id").alias("uid"), F.col("doc_id").alias("d")
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("uid"),
+            F.col("doc_id").alias("d"),
+        )
+    )
+    # originals in two files, re-uploads in a LATER third file — the
+    # cross-micro-batch redelivery case
+    src = tmp_path / "uploads_src"
+    for part, flt in enumerate([
+        feed.filter((F.col("uid") < 10_000_000) & (F.col("d") % 2 == 0)),
+        feed.filter((F.col("uid") < 10_000_000) & (F.col("d") % 2 == 1)),
+        feed.filter(F.col("uid") >= 10_000_000),
+    ]):
+        flt.coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("uid long, d long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    fp = ahash64(render_image_fixture(stream), "blob", "uid").filter(
+        F.col("decode_ok"))
+    q = (
+        fp.groupBy("ahash64")
+        .agg(F.min("id").cast("long").alias("doc_id"),
+             F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .writeStream.format("memory")
+        .queryName("cad_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cad_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = _collect_sorted(spark.table("cad_stream"), ["doc_id", "n_copies"])
+    want = _collect_sorted(
+        REGISTRY["multimodal_content_addressed_dedup"].fn(spark, SF),
+        ["doc_id", "n_copies"])
+    assert got == want and len(got) > 0
+    # every re-upload collapsed: no kept id is from the re-upload range
+    assert all(r["doc_id"] < 10_000_000 for r in spark.table("cad_stream").collect())

@@ -100,6 +100,8 @@ SF1_QUERIES = [
     "text_ngram_novelty_curve",
     # r8: shot segmentation + keyframes on top of the delta profile
     "multimodal_keyframe_select",
+    # r8: content-addressed ingest collapse (one fingerprint groupBy)
+    "multimodal_content_addressed_dedup",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -146,7 +148,7 @@ SF10_QUERIES = [
     "multimodal_video_framehash_neardup",
     "text_bpe_pair_counts", "multimodal_video_scene_cuts",
     "dedup_crossmodal_consensus", "text_ngram_novelty_curve",
-    "multimodal_keyframe_select",
+    "multimodal_keyframe_select", "multimodal_content_addressed_dedup",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
