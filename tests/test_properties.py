@@ -720,3 +720,51 @@ def test_encode_gif_decode_roundtrip(frames, dims):
     for got, want in zip(out, arrs):
         assert got.shape == want.shape
         assert (got == want).all()
+
+
+# -- weighted PageRank vs a direct python model ----------------------------
+
+
+def test_pagerank_matches_python_model(spark):
+    """``weighted_pagerank`` on a hand-built graph must equal a direct
+    Python replay of the integer recurrence (teleport + damped floored
+    contributions) — an independent implementation, so the distributed
+    join/aggregate rounds are verified against the arithmetic spec, not
+    against themselves. Graph: a 5-node weighted digraph with an
+    isolated node (6) that must stay at TELEPORT, a self-loop, and a
+    weight-skewed hub."""
+    from pubic_multi_platform_to_postgres_spark.operators.graph import (
+        D_DEN,
+        D_NUM,
+        SCALE,
+        TELEPORT,
+        weighted_pagerank,
+    )
+
+    edge_list = [
+        (1, 2, 3), (1, 3, 1), (2, 3, 5), (3, 1, 2), (4, 3, 7),
+        (2, 2, 1),  # self-loop
+        (5, 3, 100),  # weight-skewed hub feed
+    ]
+    node_ids = [1, 2, 3, 4, 5, 6]
+    iters = 7
+
+    ranks = {n: SCALE for n in node_ids}
+    wdeg = {}
+    for s, _, w in edge_list:
+        wdeg[s] = wdeg.get(s, 0) + w
+    for _ in range(iters):
+        nxt = {n: TELEPORT for n in node_ids}
+        for s, d, w in edge_list:
+            nxt[d] += (D_NUM * ranks[s] * w) // (D_DEN * wdeg[s])
+        ranks = nxt
+
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "node long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_q"]
+        for r in weighted_pagerank(nodes, edges, iters=iters, checkpoint_every=3).collect()
+    }
+    assert got == ranks
+    assert got[6] == TELEPORT  # isolated: teleport-only, still present
+    assert got[3] == max(got.values())  # the hub every edge feeds
