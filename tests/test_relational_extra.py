@@ -228,3 +228,40 @@ def test_journey_cap_bounds_hot_keys(spark, tmp_path, monkeypatch):
     pat = {r["user_id"]: r["n_events"] for r in
            REGISTRY["journey_pattern_match"].fn(spark, str(tmp_path)).collect()}
     assert pat == {"cold": 2}
+
+
+def test_er_fuzzy_match_contract(spark):
+    """The ER matcher's semantic contract, independent of the oracle:
+    every matchable feed row (not every-13th) resolves at the exact
+    edit distance its corruption class implies (1, or 2 for every-3rd),
+    every-13th rows never match (block key destroyed), and when the
+    block is unambiguous the match is the true entity."""
+    rows = REGISTRY["er_fuzzy_customer_match"].fn(spark, SF).collect()
+    assert len(rows) == 1500
+    by_true = {r["feed_id"] - 50_000_000: r for r in rows}
+    for c, r in by_true.items():
+        if c % 13 == 0:
+            assert r["matched_custkey"] is None and r["edit_dist"] is None
+        elif c % 3 == 0:
+            assert r["edit_dist"] == 2
+        else:
+            assert r["edit_dist"] == 1
+        if r["matched_custkey"] is not None and c % 3 != 0:
+            # single-edit rows: any accepted match differs from the feed
+            # name at exactly the edited position; with the true entity
+            # always in-block, a WRONG match at dist 1 requires another
+            # custkey sharing all but that digit — possible, but the
+            # true key must then have lost the ORDER BY tie-break, so
+            # matched <= true under (dist, custkey) ordering
+            assert r["matched_custkey"] <= c
+
+
+def test_minhash_eval_invariants(spark):
+    """Confusion arithmetic invariants of the sketch-quality audit row:
+    hits bounded by both sides, ratios in [0,1], and every hit is by
+    definition exact-verified (truth pairs ARE exact-threshold pairs),
+    so n_hit <= n_pred_exact."""
+    r = REGISTRY["dedup_minhash_eval"].fn(spark, SF).collect()[0]
+    assert 0 <= r["n_hit"] <= min(r["n_pred"], r["n_truth"])
+    assert r["n_hit"] <= r["n_pred_exact"] <= r["n_pred"]
+    assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
