@@ -5755,3 +5755,39 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin_id"),
     )
+
+
+from pubic_multi_platform_to_postgres_spark.operators import pq as _pq  # noqa: E402
+
+
+@query("sim_topk_pq", oracle=_pq.pq_oracle_sql())
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the memory face of
+    the similarity family next to brute/IVF/LSH: train M=8 per-subspace
+    codebooks (K=16, two fixed integer k-means rounds, deterministic
+    lowest-id seeding), encode the corpus to 8 one-byte codes per
+    vector (32× smaller than raw float32 at D=64), and answer the fixed
+    8-lowest-id probe set by ADC — per-probe distance TABLES from the
+    probes' exact subvectors, corpus scored by M table lookups per
+    vector. Every step is integer arithmetic (quantize floor(x·2^10);
+    truncating-division centroid updates; see ``operators/pq.py`` for
+    the DuckDB ``//``-vs-Python ``//`` truncation note and int64
+    bounds), so the oracle replays the WHOLE chain — both k-means
+    rounds, empty-cell carry-over, encoding, distance tables, ADC,
+    ranking. Output: (probe_id, rank, vec_id, adc_dist).
+
+    Scale: training collapses to M·K·DSUB driver rows per round (the
+    IVF-centroid-collect class); assignment/encoding are Arrow-batched
+    map-side passes with codebook literals; the ADC scan reads ONLY the
+    codes column and each partition emits per-probe top-k heads, so the
+    shuffle is probes·k·partitions rows into one rank window."""
+    emb = load(spark, sf_dir, "embeddings")
+    qsub = _pq.quantized_subvectors(emb, "embedding", "vec_id").localCheckpoint(
+        eager=False
+    )
+    cents = _pq.train_codebooks(qsub)
+    probes = [
+        (r["vec_id"], r["qv"])
+        for r in qsub.filter(F.col("vec_id") < _pq.N_PROBES).orderBy("vec_id").collect()
+    ]
+    return _pq.adc_topk(qsub, cents, probes)

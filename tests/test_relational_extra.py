@@ -295,3 +295,43 @@ def test_compaction_plan_invariants(spark):
     docs_chars = load(spark, SF, "documents").agg(
         {"n_chars": "sum"}).collect()[0][0]
     assert sum(r["file_chars"] for r in rows) == docs_chars
+
+
+def test_pq_adc_invariants_and_recall(spark):
+    """PQ contract: per-probe result is exactly TOPK rows, ranks
+    1..TOPK, distances non-decreasing, never the probe itself; and the
+    ADC ranking tracks the EXACT quantized-L2 ranking well above chance
+    (measured 0.325 mean recall@10 at sf0.01 on the near-isotropic
+    synthetic embeddings — PQ8x16's expected regime; chance is
+    10/500 = 0.02; pinned floor 0.15)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.operators import pq as P
+
+    rows = REGISTRY["sim_topk_pq"].fn(spark, SF).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert len(by_probe) == P.N_PROBES
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, P.TOPK + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        assert all(r["vec_id"] != pid for r in rs)
+
+    emb = load(spark, SF, "embeddings").orderBy("vec_id").collect()
+    X = np.floor(
+        np.array([r["embedding"] for r in emb], dtype=np.float64) * P.QSCALE
+    ).astype(np.int64)
+    ids = np.array([r["vec_id"] for r in emb])
+    recalls = []
+    for pid, rs in by_probe.items():
+        q = X[ids == pid][0]
+        d = ((X - q) ** 2).sum(axis=1)
+        mask = ids != pid
+        order = np.lexsort((ids[mask], d[mask]))[: P.TOPK]
+        exact = set(ids[mask][order].tolist())
+        recalls.append(len(exact & {r["vec_id"] for r in rs}) / P.TOPK)
+    assert sum(recalls) / len(recalls) >= 0.15

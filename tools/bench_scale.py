@@ -107,6 +107,8 @@ SF1_QUERIES = [
     # r8: blocked fuzzy ER join + the sketch-quality audit (two full
     # measured pipelines composed)
     "er_fuzzy_customer_match", "dedup_minhash_eval",
+    # r8: PQ ANN (train->encode->ADC scan, codes-only corpus read)
+    "sim_topk_pq",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
