@@ -5641,15 +5641,30 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred_scored = (
         pred.join(ga, "id_a").join(gb, "id_b").select((jac >= 0.4).alias("ok"))
     )
+    # 1-row aggregates combined on a literal equi-key (a bare crossJoin
+    # plans as BroadcastNestedLoopJoin, which the catalog-wide plan
+    # invariant forbids; the literal key makes these hash joins)
+    # the key is produced BY the aggregate (max(1)) so it is a genuine
+    # attribute, not a foldable literal — a literal key folds to `true`
+    # and the join degenerates to nested-loop again; the coalesce keeps
+    # the key non-NULL when an aggregate sees zero input rows (max over
+    # nothing is NULL, and a NULL key would drop the metrics row)
     pa = pred_scored.agg(
         F.count(F.lit(1)).alias("n_pred"),
         F.sum(F.col("ok").cast("long")).alias("n_pred_exact"),
+        F.max(F.lit(1)).alias("k0"),
+    ).withColumn("k", F.coalesce(F.col("k0"), F.lit(1)))
+    ta = truth.agg(
+        F.count(F.lit(1)).alias("n_truth"), F.max(F.lit(1)).alias("k0")
+    ).withColumn("k", F.coalesce(F.col("k0"), F.lit(1)))
+    ha = (
+        pred.join(truth, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).alias("n_hit"), F.max(F.lit(1)).alias("k0"))
+        .withColumn("k", F.coalesce(F.col("k0"), F.lit(1)))
     )
-    ta = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    ha = pred.join(truth, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
     return (
-        pa.crossJoin(ta)
-        .crossJoin(ha)
+        pa.join(ta, "k")
+        .join(ha, "k")
         .select(
             F.col("n_pred").cast("long").alias("n_pred"),
             F.col("n_truth").cast("long").alias("n_truth"),

@@ -325,3 +325,35 @@ def test_cms_single_corpus_scan(spark):
     plan = plan_of(spark, "text_cms_heavy_hitters")
     assert plan.count("FileScan") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_pagerank_iterations_reuse_materialized_graph(spark):
+    """The PageRank loop must never re-derive the edge list from parquet
+    per iteration: edges and nodes are repartitioned + localCheckpoint'd
+    ONCE, so the executed plan's leaves are the materialized RDDs — zero
+    parquet scans survive into the iterative subtree — and every
+    per-round join is equi-keyed (the catalog-wide no-cartesian test
+    covers the rest)."""
+    plan = plan_of(spark, "graph_pagerank_purchases")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+
+
+def test_er_match_is_blocked_equi_join(spark):
+    """The fuzzy matcher's candidate join must be an equi-join on the
+    block key (hash/broadcast on substr(name)), with levenshtein as a
+    post-join filter — never a similarity cross product."""
+    plan = plan_of(spark, "er_fuzzy_customer_match")
+    assert "levenshtein" in plan
+    assert "substr(" in plan.lower()
+    # one of the hash-join families on the substr key, never nested loop
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pq_adc_single_shuffle_to_rank_window(spark):
+    """PQ's ADC scan is map-side (encode + table lookups + per-partition
+    heads inside Arrow-batched python stages); the ONLY exchange in the
+    executed plan is the bounded head-rows shuffle into the per-probe
+    rank window."""
+    plan = plan_of(spark, "sim_topk_pq")
+    assert plan.count("Exchange") == 1, plan
