@@ -5806,3 +5806,171 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in qsub.filter(F.col("vec_id") < _pq.N_PROBES).orderBy("vec_id").collect()
     ]
     return _pq.adc_topk(qsub, cents, probes)
+
+
+_BPE_MERGES = 4
+
+
+def _bpe_merge_oracle_sql(merges: int = _BPE_MERGES) -> str:
+    """DuckDB replay of the full BPE training loop: vocabulary build,
+    then per merge step the weighted adjacent-pair count, the argmax
+    (tie-broken lexicographically), and the greedy left-to-right
+    non-overlapping rewrite of every vocab word as a recursive CTE over
+    symbol positions — all ``merges`` steps unrolled, so the gate proves
+    each distributed count→argmax→rewrite round, not just the final
+    merge table."""
+    parts = ["""WITH RECURSIVE words AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents
+    ),
+    v0 AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i::INT, 1)) AS syms
+        FROM words GROUP BY w
+    )"""]
+    for t in range(1, merges + 1):
+        prev = f"v{t - 1}"
+        parts.append(f""",
+    p{t} AS MATERIALIZED (
+        SELECT pa, pb, CAST(SUM(c) AS BIGINT) AS pc FROM (
+            SELECT c, syms[i] AS pa, syms[i + 1] AS pb FROM (
+                SELECT c, syms, unnest(range(1, len(syms))) AS i
+                FROM {prev} WHERE len(syms) >= 2
+            )
+        ) GROUP BY pa, pb
+    ),
+    b{t} AS MATERIALIZED (
+        SELECT pa, pb, pc FROM (
+            SELECT pa, pb, pc,
+                   ROW_NUMBER() OVER (ORDER BY pc DESC, pa, pb) AS rn
+            FROM p{t}
+        ) WHERE rn = 1
+    ),
+    wk{t}(w, pos, acc) AS (
+        SELECT w, 1, [syms[1]] FROM {prev}
+        UNION ALL
+        SELECT k.w, k.pos + 1,
+               CASE WHEN k.acc[-1] = b.pa AND v.syms[k.pos + 1] = b.pb
+                    THEN list_append(list_slice(k.acc, 1, len(k.acc) - 1),
+                                     b.pa || b.pb)
+                    ELSE list_append(k.acc, v.syms[k.pos + 1])
+               END
+        FROM wk{t} k JOIN {prev} v ON v.w = k.w CROSS JOIN b{t} b
+        WHERE k.pos < len(v.syms)
+    ),
+    v{t} AS MATERIALIZED (
+        SELECT v.w, v.c, k.acc AS syms
+        FROM wk{t} k JOIN {prev} v ON v.w = k.w
+        WHERE k.pos = len(v.syms)
+    ),
+    s{t} AS MATERIALIZED (
+        SELECT (SELECT COUNT(DISTINCT s) FROM (
+                    SELECT unnest(syms) AS s FROM v{t})) AS n_symbols_after,
+               (SELECT CAST(SUM(c * len(syms)) AS BIGINT) FROM v{t})
+                   AS total_units_after
+    )""")
+    selects = [
+        f"""SELECT {t} AS step, pa, pb, pc AS pair_count,
+           CAST(n_symbols_after AS BIGINT) AS n_symbols_after,
+           total_units_after
+    FROM b{t} CROSS JOIN s{t}"""
+        for t in range(1, merges + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(selects))
+    return "".join(parts)
+
+
+@query("text_bpe_merge_steps", oracle=_bpe_merge_oracle_sql())
+def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training LOOP (Sennrich et al. 2016) —
+    ``text_bpe_pair_counts`` is iteration zero; this runs the first
+    four merges end-to-end, distributed: per step, (1) weighted
+    adjacent-pair counts over the symbolized VOCABULARY (the classic
+    trick — the pair explode touches |vocab| rows, corpus frequency
+    rides along as the weight), (2) the argmax pair (1-row TakeOrdered,
+    lexicographic tie-break), (3) a greedy left-to-right
+    non-overlapping rewrite of every vocab word's symbol list — a
+    single map-side ``aggregate`` HOF whose accumulator replays exactly
+    the scan a tokenizer trainer runs (``"aaaa"`` + merge (a,a) →
+    ``["aa","aa"]``, never the overlapping middle pair). Output: the
+    merge table a tokenizer ships — (step, pa, pb, pair_count) — plus
+    per-step audit columns (distinct symbols, total corpus units after
+    the merge, which must strictly decrease by pair_count··· exactly
+    ``total_units_t = total_units_{t-1} − pair_count_t`` when no merged
+    occurrence overlaps; the invariant test pins the bookkeeping).
+
+    Scale: every step is one |vocab|-sized map-side pass + one bounded
+    pair aggregate + a 1-row argmax collect (the IVF-centroid class);
+    the corpus is read ONCE to build the weighted vocabulary; K merges
+    = K linear vocab passes with lineage cut per step. The oracle
+    unrolls all four steps — pair counts, argmax, and the greedy
+    rewrite as a recursive CTE over symbol positions — so every round
+    is hash-verified, not just the final table."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            "w",
+            "c",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = []
+    v = vocab
+    for step in range(1, _BPE_MERGES + 1):
+        pairs = (
+            v.filter(F.size("syms") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> named_struct('pa', element_at(syms, i), 'pb', element_at(syms, i + 1)))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.pa", "p.pb")
+            .agg(F.sum("c").alias("pc"))
+        )
+        best = pairs.orderBy(F.desc("pc"), "pa", "pb").limit(1).collect()
+        if not best:
+            break
+        pa, pb, pc = best[0]["pa"], best[0]["pb"], int(best[0]["pc"])
+        merged = F.concat(F.lit(pa), F.lit(pb))
+        rewrite = F.when(F.size("syms") < 2, F.col("syms")).otherwise(
+            F.aggregate(
+                F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+                F.slice(F.col("syms"), 1, 1),
+                lambda acc, x: F.when(
+                    (F.element_at(acc, -1) == F.lit(pa)) & (x == F.lit(pb)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+        )
+        v = v.select("w", "c", rewrite.alias("syms")).localCheckpoint(eager=False)
+        units = v.agg(
+            F.sum(F.col("c") * F.size("syms")).cast("long").alias("u")
+        ).collect()[0]["u"]
+        nsym = (
+            v.select(F.explode("syms").alias("s")).agg(
+                F.countDistinct("s").alias("n")
+            ).collect()[0]["n"]
+        )
+        out.append((step, pa, pb, pc, int(nsym), int(units)))
+    return spark.createDataFrame(
+        out,
+        "step int, pa string, pb string, pair_count long,"
+        " n_symbols_after long, total_units_after long",
+    )

@@ -246,14 +246,10 @@ def test_er_fuzzy_match_contract(spark):
             assert r["edit_dist"] == 2
         else:
             assert r["edit_dist"] == 1
-        if r["matched_custkey"] is not None and c % 3 != 0:
-            # single-edit rows: any accepted match differs from the feed
-            # name at exactly the edited position; with the true entity
-            # always in-block, a WRONG match at dist 1 requires another
-            # custkey sharing all but that digit — possible, but the
-            # true key must then have lost the ORDER BY tie-break, so
-            # matched <= true under (dist, custkey) ordering
-            assert r["matched_custkey"] <= c
+        if c % 13 != 0:
+            # the last-7 block key determines the entity outright below
+            # 10^7 rows, so every matchable row resolves to its TRUE key
+            assert r["matched_custkey"] == c
 
 
 def test_minhash_eval_invariants(spark):
@@ -335,3 +331,21 @@ def test_pq_adc_invariants_and_recall(spark):
         exact = set(ids[mask][order].tolist())
         recalls.append(len(exact & {r["vec_id"] for r in rs}) / P.TOPK)
     assert sum(recalls) / len(recalls) >= 0.15
+
+
+def test_bpe_merge_steps_bookkeeping(spark):
+    """BPE loop invariants, independent of the oracle: four steps, each
+    merge strictly reduces total corpus units by EXACTLY its
+    pair_count when no merged occurrence overlaps (greedy non-overlap
+    means reductions <= pair_count always; equality pins that the
+    rewrite merged every counted occurrence on this fixture), counts
+    are non-increasing across steps (the argmax can only shrink), and
+    the symbol inventory never grows by more than one per merge."""
+    rows = REGISTRY["text_bpe_merge_steps"].fn(spark, SF).collect()
+    rows.sort(key=lambda r: r["step"])
+    assert [r["step"] for r in rows] == [1, 2, 3, 4]
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["total_units_after"] - cur["total_units_after"] == cur["pair_count"]
+        assert cur["n_symbols_after"] - prev["n_symbols_after"] <= 1

@@ -109,6 +109,8 @@ SF1_QUERIES = [
     "er_fuzzy_customer_match", "dedup_minhash_eval",
     # r8: PQ ANN (train->encode->ADC scan, codes-only corpus read)
     "sim_topk_pq",
+    # r8: compaction planner (manifest aggregate + O(files) prefix sum)
+    "layout_compaction_plan",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -157,6 +159,7 @@ SF10_QUERIES = [
     "dedup_crossmodal_consensus", "text_ngram_novelty_curve",
     "multimodal_keyframe_select", "multimodal_content_addressed_dedup",
     "graph_pagerank_purchases", "er_fuzzy_customer_match",
+    "dedup_minhash_eval", "sim_topk_pq",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
