@@ -86,14 +86,32 @@ def weighted_pagerank(
     at the default K=10 the plan is 10 join+agg levels, well inside
     Catalyst's comfort zone.
     """
+    from pyspark import StorageLevel
+
     deg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # one-time materialization, SERIALIZED + disk-spill: a default
+    # localCheckpoint stores DESERIALIZED row objects, which at the
+    # 100× bench point (240M directed edge rows) OOM'd the single-JVM
+    # 8g heap; a plain columnar persist() fixed that and scans fastest
+    # (2.96 s fresh-session sf10) but its CacheManager entries outlive
+    # the query — a long-lived session accumulating other scale
+    # points measured 120.7 s from the memory pressure. The serialized
+    # localCheckpoint is the robust middle: compact storage, graceful
+    # disk spill, ContextCleaner reclamation once the result frame is
+    # dereferenced (49 s at sf10 in a loaded session, 6.4× growth for
+    # 100× data).
+    level = StorageLevel.MEMORY_AND_DISK  # serialized in PySpark
     e = (
         edges.join(deg, "src")
         .select("src", "dst", "w", "wdeg")
         .repartition(F.col("src"))
-        .localCheckpoint()
+        .localCheckpoint(eager=True, storageLevel=level)
     )
-    nodes = nodes.select("node").repartition(F.col("node")).localCheckpoint()
+    nodes = (
+        nodes.select("node")
+        .repartition(F.col("node"))
+        .localCheckpoint(eager=True, storageLevel=level)
+    )
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("r"))
     for i in range(iters):
         contrib = e.join(ranks, e.src == ranks.node).select(

@@ -591,3 +591,114 @@ def journey_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         chains.filter(F.col("chain").rlike("s[^p]*p"))
         .select("user_id", F.length("chain").cast("int").alias("n_events"))
     )
+
+
+@query(
+    "dq_join_skew_audit",
+    oracle="""
+    WITH k AS (
+        SELECT o_custkey AS key, COUNT(*) AS n
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(n) AS BIGINT) AS max_key_rows
+        FROM k
+    ),
+    q AS (
+        SELECT CAST(n AS BIGINT) AS p50_key_rows,
+               CAST(p99 AS BIGINT) AS p99_key_rows
+        FROM (
+            SELECT n,
+                   ROW_NUMBER() OVER (ORDER BY n, key) AS rn,
+                   (SELECT n FROM (
+                        SELECT n, ROW_NUMBER() OVER (ORDER BY n, key) AS r
+                        FROM k)
+                    WHERE r = CAST(ceil(0.99 * (SELECT COUNT(*) FROM k))
+                                   AS BIGINT)) AS p99
+            FROM k)
+        WHERE rn = CAST(ceil(0.50 * (SELECT COUNT(*) FROM k)) AS BIGINT)
+    ),
+    top AS (
+        SELECT key, n, rnk FROM (
+            SELECT key, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rnk
+            FROM k)
+        WHERE rnk <= 10
+    )
+    SELECT CAST(t.rnk AS INTEGER) AS rank,
+           CAST(t.key AS BIGINT) AS key,
+           CAST(t.n AS BIGINT) AS key_rows,
+           tot.total_rows, tot.n_keys,
+           q.p50_key_rows, q.p99_key_rows,
+           CAST(t.n AS DOUBLE) / CAST(tot.total_rows AS DOUBLE) AS key_share,
+           tot.max_key_rows * tot.n_keys > 8 * tot.total_rows
+               AS salting_recommended
+    FROM top t CROSS JOIN tot CROSS JOIN q
+    """,
+)
+def dq_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the diagnostic you run BEFORE choosing a
+    join strategy at 100 TB: for the orders-side customer key, the ten
+    heaviest keys with their row share, the key-count landscape
+    (distinct keys, nearest-rank p50/p99 key sizes, max), and a
+    salting recommendation (max key ≥ 8× the mean key — the imbalance
+    at which one task dominates a stage and AQE's skew split or manual
+    salting pays for itself; ``join_salted_order_items`` is the
+    machinery this audit gates). One groupBy on the key plus tiny
+    rank/aggregate passes over the |keys| table; nearest-rank
+    percentiles use explicit rank rows (ceil(q·n), tie-broken by key)
+    so both engines select the same tuple BY VALUE.
+
+    Scale: the key histogram is one linear shuffle (the same aggregate
+    any join would pay at planning time via sampling — here exact);
+    everything downstream is |keys|-sized. The oracle replays the
+    histogram, both nearest-rank selections, the top-10 rank, and the
+    recommendation predicate."""
+    orders = load(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
+    tot = k.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.max(F.lit(1)).alias("j0"),
+    ).withColumn("j", F.coalesce(F.col("j0"), F.lit(1))).drop("j0")
+    wq = Window.orderBy("n", "key")
+    ranked = k.withColumn("rn", F.row_number().over(wq)).localCheckpoint(
+        eager=False
+    )
+    n_keys = ranked.count()
+    import math
+
+    p50 = (
+        ranked.filter(F.col("rn") == int(math.ceil(0.50 * n_keys)))
+        .select(F.col("n").cast("long").alias("p50_key_rows"))
+        .withColumn("j", F.lit(1) + F.col("p50_key_rows") * 0)
+    )
+    p99 = (
+        ranked.filter(F.col("rn") == int(math.ceil(0.99 * n_keys)))
+        .select(F.col("n").cast("long").alias("p99_key_rows"))
+        .withColumn("j", F.lit(1) + F.col("p99_key_rows") * 0)
+    )
+    wt = Window.orderBy(F.desc("n"), "key")
+    top = (
+        k.withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= 10)
+        .withColumn("j", F.lit(1) + F.col("rnk") * 0)
+    )
+    return (
+        top.join(tot, "j").join(p50, "j").join(p99, "j")
+        .select(
+            F.col("rnk").cast("int").alias("rank"),
+            F.col("key").cast("long").alias("key"),
+            F.col("n").cast("long").alias("key_rows"),
+            "total_rows", "n_keys", "p50_key_rows", "p99_key_rows",
+            (F.col("n").cast("double") / F.col("total_rows").cast("double"))
+            .alias("key_share"),
+            (F.col("max_key_rows") * F.col("n_keys") > 8 * F.col("total_rows"))
+            .alias("salting_recommended"),
+        )
+    )

@@ -330,10 +330,10 @@ def test_cms_single_corpus_scan(spark):
 def test_pagerank_iterations_reuse_materialized_graph(spark):
     """The PageRank loop must never re-derive the edge list from parquet
     per iteration: edges and nodes are repartitioned + localCheckpoint'd
-    ONCE, so the executed plan's leaves are the materialized RDDs — zero
-    parquet scans survive into the iterative subtree — and every
-    per-round join is equi-keyed (the catalog-wide no-cartesian test
-    covers the rest)."""
+    (SERIALIZED storage — the deserialized default OOM'd the single-JVM
+    heap at the 100× bench point; see ``operators/graph.py``) ONCE, so
+    the executed plan's leaves are the materialized checkpoint RDDs and
+    ZERO parquet scans survive into the iterative subtree."""
     plan = plan_of(spark, "graph_pagerank_purchases")
     assert "Scan ExistingRDD" in plan
     assert "Scan parquet" not in plan

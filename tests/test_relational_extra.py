@@ -349,3 +349,21 @@ def test_bpe_merge_steps_bookkeeping(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert prev["total_units_after"] - cur["total_units_after"] == cur["pair_count"]
         assert cur["n_symbols_after"] - prev["n_symbols_after"] <= 1
+
+
+def test_join_skew_audit_contract(spark):
+    """Skew-audit semantics, independent of the oracle: exactly 10
+    ranked rows sharing one landscape (total/n_keys/percentiles),
+    ranks descending by key_rows, shares sum below 1, p50 <= p99 <=
+    max implied by rank-1, and the recommendation matches the stated
+    predicate (max >= 8x mean)."""
+    rows = REGISTRY["dq_join_skew_audit"].fn(spark, SF).collect()
+    rows.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    sizes = [r["key_rows"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    r0 = rows[0]
+    assert r0["p50_key_rows"] <= r0["p99_key_rows"] <= r0["key_rows"]
+    assert sum(r["key_share"] for r in rows) < 1.0
+    expected = r0["key_rows"] * r0["n_keys"] > 8 * r0["total_rows"]
+    assert all(r["salting_recommended"] == expected for r in rows)

@@ -111,6 +111,8 @@ SF1_QUERIES = [
     "sim_topk_pq",
     # r8: compaction planner (manifest aggregate + O(files) prefix sum)
     "layout_compaction_plan",
+    # r8: BPE merge loop (K vocab-sized passes + 1-row argmax collects)
+    "text_bpe_merge_steps",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -159,7 +161,7 @@ SF10_QUERIES = [
     "dedup_crossmodal_consensus", "text_ngram_novelty_curve",
     "multimodal_keyframe_select", "multimodal_content_addressed_dedup",
     "graph_pagerank_purchases", "er_fuzzy_customer_match",
-    "dedup_minhash_eval", "sim_topk_pq",
+    "dedup_minhash_eval", "sim_topk_pq", "text_bpe_merge_steps",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
