@@ -656,6 +656,10 @@ def dq_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything downstream is |keys|-sized. The oracle replays the
     histogram, both nearest-rank selections, the top-10 rank, and the
     recommendation predicate."""
+    # 1-row sides combine on j = least(1, <positive data column>) — a
+    # data-dependent key the optimizer cannot fold (a literal key folds
+    # to `true` and the combine degenerates to BroadcastNestedLoopJoin,
+    # which the catalog-wide plan invariant forbids)
     orders = load(spark, sf_dir, "orders")
     k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
@@ -664,8 +668,7 @@ def dq_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("total_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.max("n").cast("long").alias("max_key_rows"),
-        F.max(F.lit(1)).alias("j0"),
-    ).withColumn("j", F.coalesce(F.col("j0"), F.lit(1))).drop("j0")
+    ).withColumn("j", F.least(F.lit(1), F.col("n_keys")))
     wq = Window.orderBy("n", "key")
     ranked = k.withColumn("rn", F.row_number().over(wq)).localCheckpoint(
         eager=False
@@ -676,18 +679,18 @@ def dq_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50 = (
         ranked.filter(F.col("rn") == int(math.ceil(0.50 * n_keys)))
         .select(F.col("n").cast("long").alias("p50_key_rows"))
-        .withColumn("j", F.lit(1) + F.col("p50_key_rows") * 0)
+        .withColumn("j", F.least(F.lit(1), F.col("p50_key_rows")))
     )
     p99 = (
         ranked.filter(F.col("rn") == int(math.ceil(0.99 * n_keys)))
         .select(F.col("n").cast("long").alias("p99_key_rows"))
-        .withColumn("j", F.lit(1) + F.col("p99_key_rows") * 0)
+        .withColumn("j", F.least(F.lit(1), F.col("p99_key_rows")))
     )
     wt = Window.orderBy(F.desc("n"), "key")
     top = (
         k.withColumn("rnk", F.row_number().over(wt))
         .filter(F.col("rnk") <= 10)
-        .withColumn("j", F.lit(1) + F.col("rnk") * 0)
+        .withColumn("j", F.least(F.lit(1), F.col("rnk")))
     )
     return (
         top.join(tot, "j").join(p50, "j").join(p99, "j")
