@@ -693,3 +693,115 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("node") / 2).cast("long").alias("ref_id"),
         "rank_q",
     )
+
+
+@query(
+    "graph_cluster_coefficient",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS grams
+        FROM documents
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / CAST(len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams)) AS DOUBLE) >= 0.5
+    ),
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM p e1 JOIN p e2 ON e2.id_a = e1.id_b
+                  JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    tcnt AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT id_a AS node FROM p UNION ALL SELECT id_b FROM p
+        ) GROUP BY node
+    )
+    SELECT d.node AS doc_id, d.degree,
+           COALESCE(tc.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE)
+           END AS clustering_coef
+    FROM deg d LEFT JOIN tcnt tc ON tc.node = d.node
+    """,
+)
+def graph_cluster_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    exact-Jaccard near-dup pair graph — the cluster-QUALITY signal a
+    dedup pipeline reads before collapsing: coefficient ≈ 1 means the
+    component is a genuine duplicate clique (safe to keep one doc);
+    low coefficient flags chain-shaped components, the signature of
+    banding false positives or threshold-straddling pairs, where
+    keep-one collapse would destroy non-duplicates. Triangles come from
+    the standard oriented enumeration (``a < b < c`` via two edge
+    self-joins on the ordered pair list — each triangle counted exactly
+    once, then credited to all three corners); degree from the
+    symmetrized edge list; coefficient = 2·T / (deg·(deg−1)).
+
+    Scale: the pair graph is the measured prefix-filter output (near-dup
+    pairs, ≪ corpus); the triangle join is edge-list⨝edge-list on node
+    keys — the oriented form keeps it to two equi-joins with no
+    direction double-count, and at 100 TB you run it per connected
+    component (bounded by the cluster-size cap every production dedup
+    imposes). One IEEE division of exact integers per node. The oracle
+    replays pairs, orientation, both joins, and the coefficient."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50)
+    )
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    p = (
+        ngram_jaccard_pairs(
+            docs, "text", "doc_id",
+            block_cols=["lang", "len_bucket"], threshold=0.5, ngram=1,
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    e1 = p.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = p.select(F.col("id_a").alias("b2"), F.col("id_b").alias("c"))
+    e3 = p.select(F.col("id_a").alias("a3"), F.col("id_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        p.select(F.explode(F.array("id_a", "id_b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.join(tcnt, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coef"),
+    )

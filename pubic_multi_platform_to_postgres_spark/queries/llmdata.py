@@ -11,7 +11,7 @@ the driver's hash gate checks the whole pipeline, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pubic_multi_platform_to_postgres_spark.operators.dedup import (
@@ -5973,4 +5973,131 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "step int, pa string, pb string, pair_count long,"
         " n_symbols_after long, total_units_after long",
+    )
+
+
+# The URL fixture (each engine builds it in its own dialect — integer
+# division and string casts don't share syntax): every document gets a
+# primary URL derived from its id (7 hosts, per-doc path, tracking
+# query on even ids) and every 5th doc repeats its NEIGHBOR's canonical
+# URL under a different scheme/www/query dressing — the exact-dup class
+# URL normalization exists to catch.
+_URL_WRAP_SQL = (
+    "text || ' https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END"
+    " || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'"
+    " || CAST(doc_id // 7 AS VARCHAR)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0"
+    "         THEN ' http://site' || CAST((doc_id + 1) % 7 AS VARCHAR)"
+    "              || '.example/p/' || CAST((doc_id + 1) // 7 AS VARCHAR)"
+    "              || '?ref=copy'"
+    "         ELSE '' END"
+)
+
+
+def _url_wrap_col() -> Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" https://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (d % 7).cast("string"),
+        F.lit(".example/p/"), F.floor(d / 7).cast("long").cast("string"),
+        F.when(d % 2 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit(" http://site"), ((d + 1) % 7).cast("string"),
+                F.lit(".example/p/"),
+                F.floor((d + 1) / 7).cast("long").cast("string"),
+                F.lit("?ref=copy"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "text_url_domain_stats",
+    oracle=f"""
+    WITH wrapped AS (
+        SELECT doc_id,
+               {_URL_WRAP_SQL} AS body
+        FROM documents
+    ),
+    urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(body,
+            'https?://[^ ]+')) AS url
+        FROM wrapped
+    ),
+    norm AS (
+        SELECT doc_id,
+               split_part(regexp_replace(
+                   regexp_replace(url, '^https?://', ''), '^www\\.', ''),
+                   '?', 1) AS canon
+        FROM urls
+    ),
+    keyed AS (
+        SELECT doc_id, canon, split_part(canon, '/', 1) AS host FROM norm
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT canon) AS BIGINT) AS n_dup_urls
+    FROM keyed GROUP BY host
+    """,
+)
+def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + canonicalization + per-domain rollup — the web
+    half of corpus curation: pull every URL out of the text (regex on
+    the raw bytes — matching Java and RE2 dialects, same policy as
+    ``text_html_extract``), canonicalize (scheme off, leading ``www.``
+    off, query string off), and report per host: URL mentions, citing
+    documents, distinct canonical URLs, and the dup-mention count —
+    the per-domain fetch/dedup planning table every crawl pipeline
+    keeps. The fixture plants id-derived URLs including cross-doc
+    repeats under different scheme/www/query dressings, so the
+    canonicalization provably collapses exactly those (pinned by the
+    dup-count column: mentions − canonicals).
+
+    Scale: extraction + canonicalization are map-side regex/split
+    chains (JVM codegen); the rollup is ONE shuffle keyed by host —
+    the same linear shape as every count-distinct rollup in the
+    catalog (exact distincts expand per-key; swap to HLL sketches at
+    100 TB if the host key ever skews, the same trade
+    ``agg_approx_distinct`` documents). The oracle replays wrap,
+    extraction, canonicalization, and the rollup."""
+    docs = load(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        _url_wrap_col().alias("body"),
+    )
+    urls = wrapped.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(body, 'https?://[^ ]+', 0)")
+        ).alias("url"),
+    )
+    norm = urls.select(
+        "doc_id",
+        F.split_part(
+            F.regexp_replace(
+                F.regexp_replace("url", F.lit("^https?://"), F.lit("")),
+                F.lit("^www\\."),
+                F.lit(""),
+            ),
+            F.lit("?"),
+            F.lit(1),
+        ).alias("canon"),
+    )
+    keyed = norm.select(
+        "doc_id", "canon", F.split_part("canon", F.lit("/"), F.lit(1)).alias("host")
+    )
+    return keyed.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("canon").cast("long").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("canon"))
+        .cast("long")
+        .alias("n_dup_urls"),
     )

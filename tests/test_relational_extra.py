@@ -367,3 +367,60 @@ def test_join_skew_audit_contract(spark):
     assert sum(r["key_share"] for r in rows) < 1.0
     expected = r0["key_rows"] * r0["n_keys"] > 8 * r0["total_rows"]
     assert all(r["salting_recommended"] == expected for r in rows)
+
+
+def test_cluster_coefficient_matches_bruteforce(spark):
+    """Triangle counts and coefficients recomputed from the collected
+    pair list with a brute-force python triple loop must match the
+    distributed oriented enumeration exactly."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, SF, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id",
+            block_cols=["lang", "len_bucket"], threshold=0.5, ngram=1,
+        ).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        for u, v in combinations(sorted(nbrs), 2):
+            if v in adj.get(u, ()):  # u < v by construction
+                tri[n] += 1
+    got = {r["doc_id"]: r for r in
+           REGISTRY["graph_cluster_coefficient"].fn(spark, SF).collect()}
+    assert set(got) == set(adj)
+    for n in adj:
+        assert got[n]["degree"] == len(adj[n])
+        assert got[n]["n_triangles"] == tri[n]
+        d = len(adj[n])
+        want = 2 * tri[n] / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(got[n]["clustering_coef"] - want) < 1e-12
+        assert 0.0 <= got[n]["clustering_coef"] <= 1.0
+
+
+def test_url_domain_stats_planted_dups(spark):
+    """The canonicalizer must collapse exactly the planted cross-dressing
+    repeats: total dup mentions across hosts == number of every-5th
+    documents whose neighbor URL canonicalizes onto an existing one,
+    and n_urls - n_dup_urls == n_canonical per host."""
+    rows = REGISTRY["text_url_domain_stats"].fn(spark, SF).collect()
+    assert len(rows) == 7  # 7 planted hosts
+    n_docs_total = load(spark, SF, "documents").count()
+    for r in rows:
+        assert r["n_urls"] - r["n_dup_urls"] == r["n_canonical"]
+        assert r["host"].startswith("site") and r["host"].endswith(".example")
+    # every doc contributes exactly one primary URL; every 5th adds one
+    assert sum(r["n_urls"] for r in rows) == n_docs_total + (n_docs_total + 4) // 5

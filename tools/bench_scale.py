@@ -113,6 +113,8 @@ SF1_QUERIES = [
     "layout_compaction_plan",
     # r8: BPE merge loop (K vocab-sized passes + 1-row argmax collects)
     "text_bpe_merge_steps",
+    # r8: pair-graph triangles + URL rollup (one-shuffle shapes)
+    "graph_cluster_coefficient", "text_url_domain_stats",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
