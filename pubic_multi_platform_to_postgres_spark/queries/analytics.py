@@ -805,3 +805,55 @@ def graph_cluster_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering_coef"),
     )
+
+
+@query(
+    "journey_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS src_event,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst_event
+        FROM events
+    ),
+    t AS (
+        SELECT src_event, dst_event, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nxt WHERE dst_event IS NOT NULL
+        GROUP BY src_event, dst_event
+    )
+    SELECT src_event, dst_event, n,
+           CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY src_event) AS DOUBLE) AS prob
+    FROM t
+    """,
+)
+def journey_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys —
+    the behavioral-analytics table next-event prediction, funnel
+    leakage analysis, and bot detection all start from: for every
+    (current, next) event-type pair, the transition count and the
+    row-normalized probability (one IEEE division of exact counts, so
+    the gate hash-checks it). Successor pairs come from a LEAD window
+    per user ordered by (ts, event_id) — the deterministic journey
+    order ``user_event_journey`` established.
+
+    Scale: one shuffle on user_id for the LEAD window (the same
+    partitioning every sessionization query pays), then a bounded
+    aggregate — the transition table is |event_types|² whatever the
+    corpus, and the row normalization windows over that tiny table."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("src_event"),
+        F.lead("event_type").over(w).alias("dst_event"),
+    ).filter(F.col("dst_event").isNotNull())
+    t = nxt.groupBy("src_event", "dst_event").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wr = Window.partitionBy("src_event")
+    return t.select(
+        "src_event", "dst_event", "n",
+        (F.col("n").cast("double") / F.sum("n").over(wr).cast("double"))
+        .alias("prob"),
+    )

@@ -424,3 +424,20 @@ def test_url_domain_stats_planted_dups(spark):
         assert r["host"].startswith("site") and r["host"].endswith(".example")
     # every doc contributes exactly one primary URL; every 5th adds one
     assert sum(r["n_urls"] for r in rows) == n_docs_total + (n_docs_total + 4) // 5
+
+
+def test_transition_matrix_rows_normalize(spark):
+    """Each source row of the Markov matrix must sum to probability 1
+    and transition counts must conserve the total number of
+    consecutive same-user event pairs (n_events - n_users with >= 1
+    event)."""
+    rows = REGISTRY["journey_transition_matrix"].fn(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src_event"], []).append(r)
+    for src, rs in by_src.items():
+        assert abs(sum(r["prob"] for r in rs) - 1.0) < 1e-9, src
+    ev = load(spark, SF, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
