@@ -115,6 +115,8 @@ SF1_QUERIES = [
     "text_bpe_merge_steps",
     # r8: pair-graph triangles + URL rollup (one-shuffle shapes)
     "graph_cluster_coefficient", "text_url_domain_stats",
+    # r8: Markov transition matrix (one user-window shuffle)
+    "journey_transition_matrix",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -206,8 +208,11 @@ def _run_once(spark, fn, sf_dir: str, timeout_s: float) -> tuple[float, bool]:
     try:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0, False
-    except Exception:  # noqa: BLE001 — cancelled by watchdog
-        return time.perf_counter() - t0, True
+    except Exception:  # noqa: BLE001
+        el = time.perf_counter() - t0
+        if el < timeout_s:  # a REAL error, not the watchdog cancel —
+            raise           # surface it instead of recording "timeout"
+        return el, True
     finally:
         done.set()
         sc.setJobGroup("", "")

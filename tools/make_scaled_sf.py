@@ -95,7 +95,8 @@ def build(base: str, factor: int, out: str) -> None:
 
 def build_relational(base: str, factor: int, out: str, con=None) -> None:
     """Replica-scale the relational tables the graph/ER queries read
-    (customer, supplier, orders, lineitem): replica ``k`` shifts every
+    (customer, supplier, orders, lineitem, events): replica ``k``
+    shifts every
     key by ``k · n_rows`` of its table and REGENERATES the name columns
     from the shifted key (the ER fixture derives corruption and blocking
     from the name's digit positions, so a shifted key with a stale name
@@ -108,7 +109,7 @@ def build_relational(base: str, factor: int, out: str, con=None) -> None:
         t: con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{base}/{t}.parquet')"
         ).fetchone()[0]
-        for t in ("customer", "supplier", "orders")
+        for t in ("customer", "supplier", "orders", "events")
     }
     specs = {
         "customer": """
@@ -133,6 +134,10 @@ def build_relational(base: str, factor: int, out: str, con=None) -> None:
                    l_extendedprice, l_discount, l_tax, l_returnflag,
                    l_linestatus, l_shipdate
             FROM read_parquet('{base}/lineitem.parquet')""",
+        "events": """
+            SELECT event_id + {ke} AS event_id, ts,
+                   user_id + {kc} AS user_id, event_type, value, props
+            FROM read_parquet('{base}/events.parquet')""",
     }
     for table, sql in specs.items():
         tdir = Path(out) / f"{table}.parquet"
@@ -145,6 +150,7 @@ def build_relational(base: str, factor: int, out: str, con=None) -> None:
                 kc=k * counts["customer"],
                 ks=k * counts["supplier"],
                 ko=k * counts["orders"],
+                ke=k * counts["events"],
             )
             con.execute(
                 f"COPY ({sel}) TO '{tdir}/part-{k:05d}.parquet' (FORMAT PARQUET)"
