@@ -116,3 +116,57 @@ def first_seen_filter(
     return df.groupBy(key_col).applyInPandasWithState(
         func, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def transition_pairs(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key consecutive-event pairing — the stateful front half of
+    the Markov transition matrix (``journey_transition_matrix``) in
+    streaming form: state per user is the LAST event type seen; each
+    micro-batch sorts its own rows by (ts, event_id), stitches the
+    stored last event onto the batch's first, emits one
+    ``(src_event, dst_event)`` row per consecutive pair, and stores the
+    batch's last event. Downstream, a plain streaming count aggregate
+    turns the pair stream into transition counts — batch==streaming is
+    asserted by ``test_streaming_transition_pairs_match_batch``.
+
+    Ordering contract: correctness requires per-key batch-monotone
+    event time (a later micro-batch never carries an EARLIER event for
+    a user than one already processed) — the file-source replay /
+    log-compacted topic case. Out-of-order arrivals need the
+    watermarked window operators instead; this operator is the
+    exactly-ordered fast path. State is one string per user —
+    O(distinct users), the minimum any journey model can hold."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("src_event", T.StringType()),
+            T.StructField("dst_event", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("last_type", T.StringType())])
+
+    def func(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        seq = rows[type_col].tolist()
+        prev = state.get[0] if state.exists else None
+        srcs, dsts = [], []
+        if prev is not None:
+            srcs.append(prev)
+            dsts.append(seq[0])
+        srcs.extend(seq[:-1])
+        dsts.extend(seq[1:])
+        state.update((seq[-1],))
+        if srcs:
+            yield pd.DataFrame({"src_event": srcs, "dst_event": dsts})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        func, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -497,3 +497,61 @@ def test_streaming_content_addressed_dedup_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # every re-upload collapsed: no kept id is from the re-upload range
     assert all(r["doc_id"] < 10_000_000 for r in spark.table("cad_stream").collect())
+
+
+def test_streaming_transition_pairs_match_batch(spark, tmp_path):
+    """The stateful per-user event pairing (applyInPandasWithState, one
+    last-event string per user) over time-ordered micro-batches must
+    reproduce the BATCH transition matrix exactly: pairs spanning
+    micro-batch boundaries are stitched through state, so total counts
+    per (src, dst) — and therefore the normalized probabilities — are
+    identical."""
+    import time as _time
+
+    from pubic_multi_platform_to_postgres_spark.queries.registry import REGISTRY
+    from pubic_multi_platform_to_postgres_spark.streaming.stateful import (
+        transition_pairs,
+    )
+
+    ev = load(spark, SF, "events").select("event_id", "ts", "user_id", "event_type")
+    # three time-ordered files: per-user batch-monotone event time
+    from pyspark.sql import Window as W
+
+    ranked = ev.withColumn(
+        "part", F.ntile(3).over(W.orderBy("ts", "event_id"))
+    )
+    src = tmp_path / "events_src"
+    for p in (1, 2, 3):
+        ranked.filter(F.col("part") == p).drop("part").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        transition_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("trans_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "trans_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["src_event"], r["dst_event"]): r["n"]
+        for r in spark.table("trans_stream")
+        .groupBy("src_event", "dst_event")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = {
+        (r["src_event"], r["dst_event"]): r["n"]
+        for r in REGISTRY["journey_transition_matrix"].fn(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
