@@ -5631,7 +5631,7 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.select(
         "doc_id",
         F.array_distinct(word_shingles(tokenize(F.col("text")), 3)).alias("grams"),
-    )
+    ).localCheckpoint(eager=False)  # feeds BOTH sides of the pair join
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
