@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Catalog-wide physical-plan inventory → PLAN_AUDIT.json.
+
+The plan-quality test suite asserts specific regressions can't land
+(no cartesian products, broadcast where expected, pushdown on key
+scans); this tool records the WHOLE catalog's plan shapes so a reviewer
+can read the shuffle/broadcast/codegen discipline per query instead of
+trusting prose:
+
+- ``n_exchanges``: shuffle boundaries in the executed plan (AQE may
+  remove more at runtime; this is the static upper bound),
+- ``n_broadcast_joins`` / ``n_sortmerge_joins`` / ``n_hash_joins``,
+- ``n_python_stages``: Arrow/pandas boundaries (the deliberate slow
+  path: codecs, signatures, stateful ops),
+- ``pushed_filters``: whether any parquet scan carries PushedFilters,
+- ``cartesian``: nested-loop/cartesian present (must stay False —
+  also enforced by ``test_no_cartesian_products_anywhere``).
+
+Usage::
+
+    python tools/plan_audit.py [--sf-dir /root/testdata/sf0.01]
+        [--out PLAN_AUDIT.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pubic_multi_platform_to_postgres_spark.queries import REGISTRY  # noqa: E402
+from pubic_multi_platform_to_postgres_spark.session import get_session  # noqa: E402
+
+
+def audit_plan(plan: str) -> dict:
+    return {
+        "n_exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "n_broadcast_joins": plan.count("BroadcastHashJoin"),
+        "n_sortmerge_joins": plan.count("SortMergeJoin"),
+        "n_shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "n_python_stages": (
+            plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInPandas")
+            + plan.count("AggregateInPandas")
+        ),
+        "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "cartesian": (
+            "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+        ),
+        # NOTE: whole-stage-codegen spans are deliberately NOT reported:
+        # under AQE the pre-execution plan (isFinalPlan=false) carries no
+        # codegen markers, so any count here would read as a misleading 0.
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=str(REPO / "PLAN_AUDIT.json"))
+    args = ap.parse_args()
+
+    spark = get_session(app_name="spark_graft_plan_audit")
+    report: dict[str, dict] = {}
+    for name in sorted(REGISTRY):
+        try:
+            plan = (
+                REGISTRY[name]
+                .fn(spark, args.sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            report[name] = audit_plan(plan)
+        except Exception as exc:  # noqa: BLE001 — record, keep auditing
+            report[name] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
+        print(f"  {name}: {report[name]}", file=sys.stderr)
+
+    ok = [r for r in report.values() if "err" not in r]
+    summary = {
+        "n_queries": len(report),
+        "n_errors": len(report) - len(ok),
+        "n_cartesian": sum(1 for r in ok if r["cartesian"]),
+        "n_with_pushdown": sum(1 for r in ok if r["pushed_filters"]),
+        "n_python_free": sum(1 for r in ok if r["n_python_stages"] == 0),
+        "max_exchanges": max((r["n_exchanges"] for r in ok), default=0),
+        "notes": [
+            "n_exchanges is the static plan's shuffle-boundary count; AQE "
+            "coalesces/eliminates some at runtime.",
+            "Python stages are the deliberate Arrow-batched slow path "
+            "(codecs, minhash signatures, stateful ops) — queries with 0 "
+            "run entirely JVM-side.",
+        ],
+    }
+    out = {"summary": summary, "queries": report}
+    Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
+    print(f"plan audit: {summary}", file=sys.stderr)
+    return 0 if summary["n_cartesian"] == 0 and summary["n_errors"] == 0 else 1
+
+
+if __name__ == "__main__":
+    main()
