@@ -705,3 +705,89 @@ def dq_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("salting_recommended"),
         )
     )
+
+
+# Benford expected first-digit shares, log10(1 + 1/d), computed ONCE in
+# Python and inlined as identical literals in BOTH engines — cross-libm
+# log10 ulp differences can never reach the gate hash.
+_BENFORD = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+@query(
+    "stats_benford_order_values",
+    oracle=f"""
+    WITH d AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+        SELECT CAST(digit AS INTEGER) AS digit, CAST(COUNT(*) AS BIGINT) AS n
+        FROM d GROUP BY digit
+    ),
+    e(digit, exp_share) AS (VALUES
+        {", ".join(f"({d}, {v!r}::DOUBLE)" for d, v in _BENFORD.items())}
+    )
+    SELECT e.digit, COALESCE(c.n, 0) AS n,
+           CAST(COALESCE(c.n, 0) AS DOUBLE)
+           / CAST((SELECT SUM(n) FROM c) AS DOUBLE) AS obs_share,
+           e.exp_share,
+           abs(CAST(COALESCE(c.n, 0) AS DOUBLE)
+               / CAST((SELECT SUM(n) FROM c) AS DOUBLE) - e.exp_share)
+               AS abs_dev
+    FROM e LEFT JOIN c ON c.digit = e.digit
+    """,
+)
+def stats_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order values — the
+    distributional forensics pass that flags synthetic, truncated, or
+    fabricated monetary columns before they poison downstream stats
+    (real transaction amounts track log10(1+1/d); uniform generators,
+    capped fields, and copy-paste fraud do not). First digit comes from
+    integer-exact arithmetic: floor the value (both engines floor
+    doubles identically), cast the long to its decimal string (exact,
+    dialect-identical), take the first character — never a
+    floating-point log10, whose cross-libm ulp wobble could misbucket
+    boundary values. Expected shares are Python-computed constants
+    inlined as identical literals in BOTH engines. Emits all nine
+    digits (absent ones as 0 via the expected-side left join) with
+    observed share and absolute deviation.
+
+    Scale: one map-side digit extraction + a 9-group aggregate; the
+    share division is one IEEE op per output row. (The synthetic TPC-H
+    price generator is roughly uniform on a range, NOT Benford — the
+    audit's point is to MEASURE that; `abs_dev` is the evidence.)"""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    c = (
+        orders.select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.max(F.lit(1)).alias("k0"),
+    ).withColumn("k", F.coalesce(F.col("k0"), F.lit(1))).drop("k0")
+    e = spark.createDataFrame(
+        [(d, v) for d, v in _BENFORD.items()], "digit int, exp_share double"
+    )
+    joined = (
+        e.join(c, "digit", "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))
+        .withColumn("k", F.least(F.lit(1), F.col("digit")))
+        .join(tot, "k")
+    )
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    return joined.select(
+        "digit", "n", obs.alias("obs_share"), "exp_share",
+        F.abs(obs - F.col("exp_share")).alias("abs_dev"),
+    )

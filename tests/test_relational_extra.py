@@ -441,3 +441,17 @@ def test_transition_matrix_rows_normalize(spark):
     n_events = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n"] for r in rows) == n_events - n_users
+
+
+def test_benford_audit_shares_conserve(spark):
+    """All nine digits present, observed shares sum to 1, counts
+    conserve the filtered row count, and expected shares are the exact
+    Benford constants (sum to 1 within float addition error)."""
+    rows = REGISTRY["stats_benford_order_values"].fn(spark, SF).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r["exp_share"] for r in rows) - 1.0) < 1e-12
+    n_rows = (
+        load(spark, SF, "orders").filter("o_totalprice >= 1").count()
+    )
+    assert sum(r["n"] for r in rows) == n_rows

@@ -117,6 +117,8 @@ SF1_QUERIES = [
     "graph_cluster_coefficient", "text_url_domain_stats",
     # r8: Markov transition matrix (one user-window shuffle)
     "journey_transition_matrix",
+    # r8: Benford digit audit (map-side extract + 9-group aggregate)
+    "stats_benford_order_values",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
