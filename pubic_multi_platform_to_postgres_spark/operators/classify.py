@@ -78,7 +78,10 @@ def hashed_token_counts(
 
 
 def smoothed_bucket_profile(
-    counts: DataFrame, group_col: str, n_buckets: int = 1024
+    counts: DataFrame,
+    group_col: str,
+    n_buckets: int = 1024,
+    groups: list[str] | None = None,
 ) -> DataFrame:
     """Add-one-smoothed integer bucket probabilities per group:
     ``(group, bkt, pm)`` with ``pm = (c+1)·10⁹ // (N_group + B)`` — the
@@ -92,18 +95,29 @@ def smoothed_bucket_profile(
     corpus data) and left-joining the observed counts; the unpartitioned
     window never sees more than the profile table itself.
 
+    ``groups`` optionally pins the EXPECTED group values: a group with
+    zero observed counts then still gets its full smoothed grid
+    (``pm = 1·10⁹ // B`` everywhere — the pure add-one prior) instead of
+    vanishing from the output. Consumers whose semantics require a side
+    to exist even when the corpus lacks it (e.g. DSIR's target profile)
+    must pass it; by default only observed groups materialize.
+
     ``(c+1)·10⁹`` must stay inside int64 — good to ~9·10⁹ tokens per
     (group, bucket) cell; past that drop ``PROB_SCALE`` a decade.
     """
     grouped = counts.groupBy(group_col, "bkt").agg(F.sum("c").alias("c"))
-    grid = (
-        grouped.groupBy(group_col)
-        .agg(F.sum("c").alias("n"))
-        .select(
-            group_col,
-            "n",
-            F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bkt"),
+    totals = grouped.groupBy(group_col).agg(F.sum("c").alias("n"))
+    if groups is not None:
+        expected = counts.sparkSession.createDataFrame(
+            [(g,) for g in groups], schema=f"{group_col} string"
         )
+        totals = expected.join(totals, group_col, "left").select(
+            group_col, F.coalesce("n", F.lit(0)).alias("n")
+        )
+    grid = totals.select(
+        group_col,
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bkt"),
     )
     return grid.join(grouped, [group_col, "bkt"], "left").select(
         group_col,

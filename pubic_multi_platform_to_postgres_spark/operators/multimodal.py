@@ -567,7 +567,10 @@ def decode_image_pixels(blob: bytes):
     if b[:2] in (b"P5", b"P6"):
         return decode_ppm_pixels(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif_frames(b)[0]
+        frames = decode_gif_frames(b)
+        if not frames:  # valid container, zero frames: ValueError (not
+            raise ValueError("gif: no frames")  # IndexError) so callers'
+        return frames[0]  # dead-letter clauses catch it
     raise ValueError("no pixel decoder for this format")
 
 
@@ -782,6 +785,15 @@ def sample_frames(
                     out["frame"].append(None)
                     out["frame_error"].append(str(exc))
                     continue
+                if not frames:  # zero-frame container: keep the id visible
+                    out["frame_id"].append(f"{rid}_err")
+                    out["id"].append(rid)
+                    out["frame_idx"].append(-1)
+                    out["src_frame_idx"].append(-1)
+                    out["n_frames"].append(0)
+                    out["frame"].append(None)
+                    out["frame_error"].append("no frames")
+                    continue
                 nf = len(frames)
                 k = min(max_frames, nf)
                 for i in range(k):
@@ -833,6 +845,14 @@ def extract_gif_frames(
                     out["n_frames"].append(0)
                     out["frame"].append(None)
                     out["frame_error"].append(str(exc))
+                    continue
+                if not frames:  # zero-frame container: keep the id visible
+                    out["frame_id"].append(f"{rid}_err")
+                    out["id"].append(rid)
+                    out["frame_idx"].append(-1)
+                    out["n_frames"].append(0)
+                    out["frame"].append(None)
+                    out["frame_error"].append("no frames")
                     continue
                 for fi, px in enumerate(frames[:max_frames]):
                     out["frame_id"].append(f"{rid}_{fi}")
@@ -1337,6 +1357,8 @@ def video_framehash64(df: DataFrame, blob_col: str, id_col: str) -> DataFrame:
                             px = px.astype(np.int64).sum(axis=2) // px.shape[2]
                         px = px.astype(np.int64)
                         acc = px if acc is None else acc + px
+                    if acc is None:  # structurally valid but zero frames
+                        raise ValueError("no frames")
                     h, w = acc.shape
                     if h % 8 or w % 8:
                         raise ValueError(f"dims {w}x{h} not divisible by 8")

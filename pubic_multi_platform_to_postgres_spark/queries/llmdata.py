@@ -3274,8 +3274,14 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", "source", n_buckets=_DSIR_B, token_hash="md5"
     ).localCheckpoint(eager=False)
     side = F.when(F.col("source") == "src0", "target").otherwise("raw")
+    # groups pinned explicitly: a fixture with no src0 docs still gets a
+    # full add-one-smoothed target profile (matching the oracle's dense
+    # generate_series grid) instead of an empty join side.
     prof = smoothed_bucket_profile(
-        counts.select(side.alias("side"), "bkt", "c"), "side", n_buckets=_DSIR_B
+        counts.select(side.alias("side"), "bkt", "c"),
+        "side",
+        n_buckets=_DSIR_B,
+        groups=["target", "raw"],
     ).localCheckpoint(eager=False)
     w = dsir_weights(
         prof.filter(F.col("side") == "target"), prof.filter(F.col("side") == "raw")
@@ -3663,9 +3669,9 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q.source, q.n_tokens,
            CAST(q.sq_q AS DOUBLE) / (SELECT sq_tot FROM t) AS weight,
-           CAST(q.sq_q * ((SELECT n_tot FROM t) // 2)
+           CAST(CAST(q.sq_q AS HUGEINT) * ((SELECT n_tot FROM t) // 2)
                 // (SELECT sq_tot FROM t) AS BIGINT) AS target_tokens,
-           CAST(q.sq_q * ((SELECT n_tot FROM t) // 2)
+           CAST(CAST(q.sq_q AS HUGEINT) * ((SELECT n_tot FROM t) // 2)
                 // (SELECT sq_tot FROM t) AS DOUBLE) / q.n_tokens
                AS repeat_factor
     FROM q
@@ -3684,9 +3690,11 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     every engine; it is quantized to micro-units and every downstream
     sum/allocation is exact integer arithmetic (``sq_q·B // Σsq_q``) —
     the only doubles in the output are single fixed-order divisions.
-    ``sq_q·budget`` stays inside int64 up to ~10¹¹ tokens per source
-    at this budget; for a larger corpus drop the sqrt quantization a
-    decade (the LM-family convention).
+    The ``sq_q·budget`` product is computed in DECIMAL(38,0) (DuckDB:
+    HUGEINT) — int64 alone would overflow once ``√n_s·10⁶ · n_tot/2``
+    passes 2⁶³, i.e. around ~7·10⁸ total tokens; the widened product is
+    exact to ~10³⁰-token corpora and the QUOTIENT (≤ budget < 2⁶³)
+    always fits the int64 output column.
     Plan: one map-side token-count aggregate (the ONLY corpus-sized
     work), then |sources|-row arithmetic with an unpartitioned window
     over the tiny aggregate."""
@@ -3694,6 +3702,13 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+"))).alias("n_tokens")
     )
+    return mixture_plan_from_counts(n)
+
+
+def mixture_plan_from_counts(n: DataFrame) -> DataFrame:
+    """The mixture arithmetic over a ``(source, n_tokens)`` counts table
+    (factored so the int64-overflow guard is testable against synthetic
+    100 TB-scale token counts without a 100 TB corpus)."""
     q = n.select(
         "source",
         "n_tokens",
@@ -3708,14 +3723,15 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(sq_q) over ()").alias("sq_tot"),
         F.expr("sum(n_tokens) over () div 2").alias("budget"),
     )
+    # DECIMAL(38,0)-widened product: sq_q·budget exceeds int64 past
+    # ~7e8 total tokens (ANSI mode would raise; non-ANSI would wrap).
+    target = "CAST(sq_q AS DECIMAL(38,0)) * budget div sq_tot"
     return q.select(
         "source",
         "n_tokens",
         (F.col("sq_q").cast("double") / F.col("sq_tot")).alias("weight"),
-        F.expr("sq_q * budget div sq_tot").alias("target_tokens"),
-        (
-            F.expr("sq_q * budget div sq_tot").cast("double") / F.col("n_tokens")
-        ).alias("repeat_factor"),
+        F.expr(target).alias("target_tokens"),
+        (F.expr(target).cast("double") / F.col("n_tokens")).alias("repeat_factor"),
     )
 
 

@@ -122,11 +122,12 @@ def transition_pairs(
     df: DataFrame,
     key_col: str = "user_id",
     type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
 ) -> DataFrame:
     """Per-key consecutive-event pairing — the stateful front half of
     the Markov transition matrix (``journey_transition_matrix``) in
     streaming form: state per user is the LAST event type seen; each
-    micro-batch sorts its own rows by (ts, event_id), stitches the
+    micro-batch sorts its own rows by ``order_cols``, stitches the
     stored last event onto the batch's first, emits one
     ``(src_event, dst_event)`` row per consecutive pair, and stores the
     batch's last event. Downstream, a plain streaming count aggregate
@@ -154,7 +155,7 @@ def transition_pairs(
         rows = pd.concat(list(pdfs), ignore_index=True)
         if len(rows) == 0:
             return
-        rows = rows.sort_values(["ts", "event_id"])
+        rows = rows.sort_values(list(order_cols))
         seq = rows[type_col].tolist()
         prev = state.get[0] if state.exists else None
         srcs, dsts = [], []

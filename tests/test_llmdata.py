@@ -808,6 +808,44 @@ def test_dsir_ranks_target_like_docs_highest(spark):
     assert w.count() == 64
 
 
+def test_smoothed_profile_pinned_groups_survive_empty_side(spark):
+    """``groups=`` pins the expected sides: a corpus with ZERO target
+    documents must still yield a full smoothed target profile (the pure
+    add-one prior, pm = 10⁹//B in every bucket) so DSIR weights — and
+    therefore ``corpus_dsir_select`` — keep matching the oracle's dense
+    generate_series grid instead of returning zero rows (round-8
+    advisory on the missing-src0 divergence)."""
+    from pubic_multi_platform_to_postgres_spark.operators.classify import (
+        PROB_SCALE,
+        dsir_weights,
+        hashed_token_counts,
+        smoothed_bucket_profile,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=3, source="raw", text="dog cat mouse horse"),
+            Row(doc_id=4, source="raw", text="dog cat mouse cow"),
+        ]
+    )
+    counts = hashed_token_counts(docs, "text", "doc_id", "source", n_buckets=64)
+    side = F.when(F.col("source") == "tgt", "target").otherwise("raw")
+    prof = smoothed_bucket_profile(
+        counts.select(side.alias("side"), "bkt", "c"),
+        "side",
+        n_buckets=64,
+        groups=["target", "raw"],
+    )
+    tgt = prof.filter(F.col("side") == "target").collect()
+    assert len(tgt) == 64
+    assert all(r["pm"] == PROB_SCALE // 64 for r in tgt)
+    w = dsir_weights(
+        prof.filter(F.col("side") == "target"),
+        prof.filter(F.col("side") == "raw"),
+    )
+    assert w.count() == 64  # full weight table despite the empty side
+
+
 def test_centroid_classifier_separable_and_tiebreak(spark):
     """Separable classes classify perfectly; an exact score tie (two
     identical class profiles) breaks to the lexicographically smaller
@@ -1025,6 +1063,35 @@ def test_mixture_plan_temperature_rebalances(spark):
         assert r["repeat_factor"] == pytest.approx(
             r["target_tokens"] / r["n_tokens"]
         )
+
+
+def test_mixture_plan_arithmetic_survives_100tb_token_counts(spark):
+    """The sq_q·budget product must not overflow int64 at claimed scale
+    (round-8 advisory: it wrapped/raised past ~7·10⁸ total tokens).
+    Feed the factored arithmetic a 2.5·10¹³-token synthetic corpus
+    (≈ 100 TB of text) and cross-check against exact Python bigints."""
+    from pubic_multi_platform_to_postgres_spark.queries.llmdata import (
+        mixture_plan_from_counts,
+    )
+
+    counts = {
+        "web": 20_000_000_000_000,
+        "code": 4_000_000_000_000,
+        "books": 900_000_000_000,
+        "wiki": 100_000_000_000,
+    }
+    n = spark.createDataFrame(
+        list(counts.items()), "source string, n_tokens long"
+    )
+    rows = {r["source"]: r for r in mixture_plan_from_counts(n).collect()}
+    import math
+
+    sq = {s: round(math.sqrt(v) * 1_000_000) for s, v in counts.items()}
+    sq_tot, budget = sum(sq.values()), sum(counts.values()) // 2
+    for s, v in counts.items():
+        want = sq[s] * budget // sq_tot  # exact Python bigint reference
+        assert rows[s]["target_tokens"] == want, s
+    assert sum(r["target_tokens"] for r in rows.values()) <= budget
 
 
 def test_incremental_ivf_assign_conserves_counts(spark):
@@ -1503,6 +1570,11 @@ def test_video_framehash_operator_contracts(spark):
     other = encode_gif([((np.arange(256) * (31 + f) + 99) % 256)
                         .astype(np.uint8).reshape(16, 16) for f in range(4)])
     odd = encode_gif([np.zeros((10, 10), dtype=np.uint8)])
+    import struct as _struct
+
+    # structurally valid container with ZERO frames: header + logical
+    # screen descriptor + trailer — must dead-letter, not crash the batch
+    empty = b"GIF89a" + _struct.pack("<HHBBB", 16, 16, 0, 0, 0) + b"\x3b"
     df = spark.createDataFrame([
         Row(doc_id=1, blob=bytearray(base)),
         Row(doc_id=2, blob=bytearray(base)),
@@ -1510,6 +1582,7 @@ def test_video_framehash_operator_contracts(spark):
         Row(doc_id=4, blob=bytearray(other)),
         Row(doc_id=5, blob=bytearray(base[:12])),   # truncated container
         Row(doc_id=6, blob=bytearray(odd)),         # dims not / by 8
+        Row(doc_id=7, blob=bytearray(empty)),       # zero-frame container
     ]).coalesce(1)
     out = {r["id"]: r for r in video_framehash64(df, "blob", "doc_id").collect()}
     assert out[1]["vhash64"] == out[2]["vhash64"] and out[1]["decode_ok"]
@@ -1519,6 +1592,7 @@ def test_video_framehash_operator_contracts(spark):
     assert out[1]["vhash64"] != out[4]["vhash64"]
     assert out[5]["vhash64"] is None and out[5]["decode_ok"] is False
     assert out[6]["vhash64"] is None and out[6]["decode_ok"] is False
+    assert out[7]["vhash64"] is None and out[7]["decode_ok"] is False
 
 
 def test_video_framehash_neardup_groups(spark):

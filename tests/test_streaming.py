@@ -555,3 +555,41 @@ def test_streaming_transition_pairs_match_batch(spark, tmp_path):
         for r in REGISTRY["journey_transition_matrix"].fn(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_transition_pairs_custom_order_cols(spark, tmp_path):
+    """``transition_pairs`` must honor its configurable schema end to
+    end: a frame whose key/type/ordering columns are all renamed (no
+    ``ts``/``event_id`` anywhere) pairs correctly when ``order_cols`` is
+    passed — the round-8 advisory was a KeyError from hardcoded batch
+    ordering columns despite the parameterized signature."""
+    src = tmp_path / "renamed_src"
+    spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "b", 20, 2), (1, "c", 20, 3), (2, "x", 5, 4),
+         (2, "y", 6, 5)],
+        "uid long, etype string, t long, seq long",
+    ).coalesce(1).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("uid long, etype string, t long, seq long")
+        .parquet(str(src))
+    )
+    from pubic_multi_platform_to_postgres_spark.streaming.stateful import (
+        transition_pairs,
+    )
+
+    q = (
+        transition_pairs(stream, key_col="uid", type_col="etype",
+                         order_cols=("t", "seq"))
+        .writeStream.format("memory")
+        .queryName("trans_renamed")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "renamed_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["src_event"], r["dst_event"])
+        for r in spark.table("trans_renamed").collect()
+    )
+    assert got == [("a", "b"), ("b", "c"), ("x", "y")]
