@@ -1724,3 +1724,80 @@ def test_keyframe_select_two_shots(spark):
             (r["shot_id"], r["keyframe"], r["shot_frames"]))
     for doc, shots in by_doc.items():
         assert sorted(shots) == [(0, 0, 2), (1, 2, 2)], (doc, shots)
+
+
+def test_block_dedup_first_wins_and_reassembles(spark, tmp_path):
+    """Hand corpus over 16-word blocks: a block shared with an earlier
+    doc drops (first occurrence wins globally, by (doc_id, block_idx)),
+    a fully duplicated doc reassembles to '', a within-doc repeated
+    block keeps only its first copy, and survivors rejoin in position
+    order."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    X = " ".join(f"x{i}" for i in range(16))
+    Y = " ".join(f"y{i}" for i in range(16))
+    Z = " ".join(f"z{i}" for i in range(16))
+    W = " ".join(f"w{i}" for i in range(16))
+    texts = {
+        1: f"{X} {Y}",   # both novel
+        2: f"{X} {Z}",   # first block stolen by doc 1
+        3: f"{X} {Y}",   # full duplicate of doc 1
+        4: f"{W} {W}",   # within-doc repeat: first copy wins
+    }
+    pd.DataFrame({
+        "doc_id": list(texts), "text": list(texts.values()),
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+        "n_chars": [len(t) for t in texts.values()],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["corpus_block_dedup"].fn(spark, str(tmp_path)).collect()}
+    assert rows[1]["n_kept"] == 2 and rows[1]["text_dedup"] == f"{X} {Y}"
+    assert rows[2]["n_kept"] == 1 and rows[2]["text_dedup"] == Z
+    assert rows[3]["n_kept"] == 0 and rows[3]["text_dedup"] == ""
+    assert rows[4]["n_kept"] == 1 and rows[4]["text_dedup"] == W
+    assert rows[2]["kept_frac"] == 0.5 and rows[3]["kept_frac"] == 0.0
+
+
+def test_ngram_novelty_hand_fixture(spark, tmp_path):
+    """Novelty against earlier docs only: the first doc is fully novel,
+    an exact copy scores 0, and a doc sharing one of four shingles with
+    doc 1 scores 0.75."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e", "a b c d e", "a b c q r s"],
+        "lang": ["en"] * 3, "source": ["t"] * 3, "n_chars": [9, 9, 11],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["corpus_ngram_novelty"].fn(spark, str(tmp_path)).collect()}
+    assert rows[1]["novelty"] == 1.0 and rows[1]["n_grams"] == 3
+    assert rows[2]["novelty"] == 0.0 and rows[2]["n_repeated"] == 3
+    assert rows[3]["n_grams"] == 4 and rows[3]["n_repeated"] == 1
+    assert rows[3]["novelty"] == 0.75
+
+
+def test_token_gini_uniform_zero_and_skewed(spark, tmp_path):
+    """Gini = 0 for a uniform vocabulary (every token once); the 9:1
+    two-token source lands exactly at the closed-form 0.4; values stay
+    in [0, 1)."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a b c d", "z z z z z z z z z y"],
+        "lang": ["en"] * 2, "source": ["uni", "skew"],
+        "n_chars": [7, 19],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["source"]: r for r in
+            REGISTRY["corpus_token_gini"].fn(spark, str(tmp_path)).collect()}
+    assert rows["uni"]["gini"] == 0.0 and rows["uni"]["n_vocab"] == 4
+    # ranks asc: y(r=1,c=1), z(r=2,c=9): (2*19 - 3*10) / (2*10) = 0.4
+    assert rows["skew"]["gini"] == 0.4
+    assert rows["skew"]["n_tokens"] == 10 and rows["skew"]["n_vocab"] == 2

@@ -225,7 +225,10 @@ def test_lm_self_perplexity_broadcasts_model_table(spark):
      "dedup_incremental_neardup",
      # r8: the |sources|x1024 profile and the scoring join are model
      # tables vs corpus data; AQE decides
-     "corpus_centroid_classifier", "corpus_source_divergence"],
+     "corpus_centroid_classifier", "corpus_source_divergence",
+     # r9: first-occurrence/winner tables are |distinct grams|- or
+     # |distinct blocks|-sized (corpus-scale); AQE decides
+     "corpus_ngram_novelty", "corpus_block_dedup"],
 )
 def test_composed_ops_no_forced_broadcast_no_product(spark, name):
     """The round-7/8 composed operators must carry NO explicit broadcast
