@@ -6367,3 +6367,192 @@ def corpus_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_dedup",
         )
     )
+
+
+@query(
+    "text_char_trigram_entropy",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lower(text) AS nm FROM documents
+        WHERE length(text) >= 3
+    ),
+    g AS (
+        SELECT doc_id, substr(nm, g.i, 3) AS gram
+        FROM norm, generate_series(1, 1024) g(i)
+        WHERE g.i <= length(nm) - 2
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+    a AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * CAST(round(ln(c) * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS s
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_grams,
+           CAST(round(ln(n) * 1000000, 0) AS BIGINT) - s // n AS h_micro_nats,
+           CAST(CAST(round(ln(n) * 1000000, 0) AS BIGINT) - s // n AS DOUBLE)
+               / 1000000.0 AS entropy
+    FROM a
+    """,
+)
+def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-trigram Shannon entropy — the model-free
+    quality signal that needs no trained weights at all: natural text
+    sits in a tight entropy band; base64/hex garble scores near the
+    uniform ceiling and template chrome (repeated trigrams) scores low.
+    ``H = ln n − (Σ c·ln c)/n`` over the doc's trigram counts, computed
+    in integer micro-nats: ``ln`` is quantized to ``round(ln(x)·10⁶)``
+    per distinct count value, products and sums are exact integers, and
+    the one integer division pins the result — the same 1e-6-grid
+    engine-``ln`` tolerance as ``dsir_weights`` (ulp differences absorb
+    except within ~1e-8 of a half). Docs under 3 chars are out of
+    domain on both engines.
+
+    Scale: trigram extraction is a map-side ``sequence``/``substring``
+    expression; counting shuffles on (doc, gram) — doc-keyed, so
+    partition-local after the first hash — and the rollup is one
+    shuffle on doc id. No model table, no join, no Python.
+
+    ORACLE FIXTURE CAP: generate_series(1, 1024) bounds trigram
+    positions (TESTDATA.md max doc 577 chars); the Spark side has no
+    cap."""
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    g = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(lower(text)) - 2),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("gram"),
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    lnq = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+    a = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr(f"c * {lnq.format(x='c')}")).alias("s"),
+    )
+    h = F.expr(f"{lnq.format(x='n')} - s div n")
+    return a.select(
+        "doc_id",
+        F.col("n").alias("n_grams"),
+        h.alias("h_micro_nats"),
+        (h.cast("double") / F.lit(1000000.0)).alias("entropy"),
+    )
+
+
+def _kneser_ney_oracle_sql() -> str:
+    """DuckDB replay of the interpolated Kneser-Ney scorer: the same
+    count tables, the same common-denominator integer probability
+    (HUGEINT for the widened products), the same two final divisions."""
+    return f"""
+    WITH t AS ({_TOKS_LOWER_CTE}),
+    bg AS (
+        SELECT doc_id, toks[g.i] AS w1, toks[g.i + 1] AS w2
+        FROM t, generate_series(1, 1024) g(i)
+        WHERE g.i <= len(toks) - 1
+    ),
+    dc AS (SELECT doc_id, w1, w2, COUNT(*) AS cd FROM bg GROUP BY doc_id, w1, w2),
+    m AS (SELECT w1, w2, CAST(SUM(cd) AS BIGINT) AS cb FROM dc GROUP BY w1, w2),
+    l AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS c1, COUNT(*) AS n1f
+          FROM m GROUP BY w1),
+    r AS (SELECT w2, COUNT(*) AS n1p FROM m GROUP BY w2),
+    tt AS (SELECT COUNT(*) AS nt FROM m),
+    p AS (
+        SELECT m.w1, m.w2,
+               CAST((CAST(greatest(4 * m.cb - 3, 0) AS HUGEINT)
+                         * (SELECT nt FROM tt)
+                     + 3 * CAST(l.n1f AS HUGEINT) * r.n1p) * 1000000000
+                    // (4 * CAST(l.c1 AS HUGEINT) * (SELECT nt FROM tt))
+                    AS BIGINT) AS pq
+        FROM m JOIN l USING (w1) JOIN r USING (w2)
+    )
+    SELECT dc.doc_id,
+           CAST(SUM(dc.cd) AS BIGINT) AS n_bigrams,
+           (CAST(SUM(dc.cd * p.pq) AS DOUBLE) / 1000000000.0)
+               / CAST(SUM(dc.cd) AS BIGINT) AS kn_mean_prob
+    FROM dc JOIN p USING (w1, w2)
+    GROUP BY dc.doc_id
+    """
+
+
+@query("text_lm_kneser_ney", oracle=_kneser_ney_oracle_sql())
+def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney word-bigram scoring, corpus-trained —
+    the LM-quality step up from the add-one char model
+    (``text_lm_self_perplexity``): absolute discounting D=3/4 moves
+    mass from observed bigrams to a CONTINUATION unigram (how many
+    distinct left-contexts a word follows — 'francisco' is frequent but
+    follows only 'san', so its continuation mass is tiny), the
+    Chen–Goodman fix for burstiness that add-one smoothing cannot see.
+    ``P(w2|w1) = (max(c₁₂−D,0) + D·N1+(w1,·)·N1+(·,w2)/T) / c₁``,
+    computed EXACTLY on the common denominator ``4·c₁·T`` (D=3/4 →
+    numerator ``max(4c₁₂−3,0)·T + 3·N1f·N1p``), widened to
+    DECIMAL(38,0)/HUGEINT (the products pass int64 at web scale), and
+    quantized to an integer 1e-9 grid — a document's score is an exact
+    integer sum, so the oracle matches bit-for-bit with no ln at all.
+    Self-scored like the add-one model: every doc bigram is in the
+    training counts by construction, so no unseen-event path is needed.
+
+    Scale: bigram extraction is map-side; the model tables (bigram
+    types, left-context totals, continuation counts) aggregate with
+    map-side combiners and join on their own keys — model-scale, not
+    corpus-scale; T is one 1-row driver fetch (the same class as the
+    corpus bigram total in ``_lm_trained_scores``); scoring is one
+    equi-join of per-doc counts against the probability table plus one
+    shuffle on doc id."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    dc = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cd"))
+        .localCheckpoint(eager=False)
+    )
+    m = (
+        dc.groupBy("w1", "w2")
+        .agg(F.sum("cd").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    # 1-row driver fetch of the bigram-type total (same class as the
+    # corpus bigram total in _lm_trained_scores)
+    nt = m.count()
+    left = m.groupBy("w1").agg(
+        F.sum("cb").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    right = m.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    p = (
+        m.join(left, "w1")
+        .join(right, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.expr(
+                f"CAST((CAST(greatest(4 * cb - 3, 0) AS DECIMAL(38,0)) * {nt}L"
+                f" + 3 * CAST(n1f AS DECIMAL(38,0)) * n1p) * 1000000000"
+                f" div (4 * CAST(c1 AS DECIMAL(38,0)) * {nt}L) AS BIGINT)"
+            ).alias("pq"),
+        )
+    )
+    return (
+        dc.join(p, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("cd * pq")).alias("sc"), F.sum("cd").alias("nb"))
+        .select(
+            "doc_id",
+            F.col("nb").alias("n_bigrams"),
+            (
+                (F.col("sc").cast("double") / F.lit(1000000000.0)) / F.col("nb")
+            ).alias("kn_mean_prob"),
+        )
+    )

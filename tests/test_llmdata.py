@@ -1801,3 +1801,74 @@ def test_token_gini_uniform_zero_and_skewed(spark, tmp_path):
     # ranks asc: y(r=1,c=1), z(r=2,c=9): (2*19 - 3*10) / (2*10) = 0.4
     assert rows["skew"]["gini"] == 0.4
     assert rows["skew"]["n_tokens"] == 10 and rows["skew"]["n_vocab"] == 2
+
+
+def test_char_trigram_entropy_closed_forms(spark, tmp_path):
+    """Closed-form entropies: a single repeated trigram scores exactly
+    0; two equiprobable trigrams score exactly the quantized ln 2; four
+    distinct trigrams the quantized ln 4; sub-3-char docs are out of
+    domain."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aaaa", "abcd", "abcdef", "xy"],
+        "lang": ["en"] * 4, "source": ["t"] * 4, "n_chars": [4, 4, 6, 2],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["text_char_trigram_entropy"].fn(spark, str(tmp_path))
+            .collect()}
+    import math
+
+    ln2 = round(math.log(2) * 1_000_000)
+    ln4 = round(math.log(4) * 1_000_000)
+    assert rows[1]["h_micro_nats"] == 0 and rows[1]["n_grams"] == 2
+    assert rows[2]["h_micro_nats"] == ln2
+    assert rows[3]["h_micro_nats"] == ln4 and rows[3]["n_grams"] == 4
+    assert 4 not in rows  # out of domain
+    assert rows[2]["entropy"] == ln2 / 1e6
+
+
+def test_kneser_ney_matches_python_reference(spark, tmp_path):
+    """The integer KN probability grid must equal an independent Python
+    bigint replay of the same formula (common denominator 4*c1*T,
+    micro-grid 1e-9), doc by doc."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    texts = {1: "a b a b c", 2: "b c d", 3: "a b c d d a"}
+    pd.DataFrame({
+        "doc_id": list(texts), "text": list(texts.values()),
+        "lang": ["en"] * 3, "source": ["t"] * 3,
+        "n_chars": [len(t) for t in texts.values()],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["text_lm_kneser_ney"].fn(spark, str(tmp_path)).collect()}
+
+    # independent reference: exact Python ints end to end
+    from collections import Counter
+
+    bg_per_doc = {d: list(zip(t.split(), t.split()[1:]))
+                  for d, t in texts.items()}
+    c12 = Counter(b for bgs in bg_per_doc.values() for b in bgs)
+    c1 = Counter()
+    n1f = Counter()
+    n1p = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1p[w2] += 1
+    T = len(c12)
+    pq = {
+        (w1, w2): (max(4 * c - 3, 0) * T + 3 * n1f[w1] * n1p[w2])
+        * 10**9 // (4 * c1[w1] * T)
+        for (w1, w2), c in c12.items()
+    }
+    for d, bgs in bg_per_doc.items():
+        sc = sum(pq[b] for b in bgs)
+        want = (sc / 1e9) / len(bgs)
+        assert rows[d]["n_bigrams"] == len(bgs)
+        assert rows[d]["kn_mean_prob"] == want, d

@@ -228,7 +228,9 @@ def test_lm_self_perplexity_broadcasts_model_table(spark):
      "corpus_centroid_classifier", "corpus_source_divergence",
      # r9: first-occurrence/winner tables are |distinct grams|- or
      # |distinct blocks|-sized (corpus-scale); AQE decides
-     "corpus_ngram_novelty", "corpus_block_dedup"],
+     "corpus_ngram_novelty", "corpus_block_dedup",
+     # r9: KN model tables are |bigram types|-sized; AQE decides
+     "text_lm_kneser_ney"],
 )
 def test_composed_ops_no_forced_broadcast_no_product(spark, name):
     """The round-7/8 composed operators must carry NO explicit broadcast
