@@ -5828,14 +5828,11 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 4
 
 
-def _bpe_merge_oracle_sql(merges: int = _BPE_MERGES) -> str:
-    """DuckDB replay of the full BPE training loop: vocabulary build,
-    then per merge step the weighted adjacent-pair count, the argmax
-    (tie-broken lexicographically), and the greedy left-to-right
-    non-overlapping rewrite of every vocab word as a recursive CTE over
-    symbol positions — all ``merges`` steps unrolled, so the gate proves
-    each distributed count→argmax→rewrite round, not just the final
-    merge table."""
+def _bpe_train_cte_prefix(merges: int = _BPE_MERGES) -> str:
+    """The shared WITH-RECURSIVE prefix of both BPE oracles: vocabulary
+    build plus all ``merges`` unrolled count→argmax→rewrite rounds,
+    ending with the fully merged vocab ``v{merges}`` available to the
+    caller's final SELECT."""
     parts = ["""WITH RECURSIVE words AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
         FROM documents
@@ -5887,6 +5884,17 @@ def _bpe_merge_oracle_sql(merges: int = _BPE_MERGES) -> str:
                (SELECT CAST(SUM(c * len(syms)) AS BIGINT) FROM v{t})
                    AS total_units_after
     )""")
+    return "".join(parts)
+
+
+def _bpe_merge_oracle_sql(merges: int = _BPE_MERGES) -> str:
+    """DuckDB replay of the full BPE training loop: vocabulary build,
+    then per merge step the weighted adjacent-pair count, the argmax
+    (tie-broken lexicographically), and the greedy left-to-right
+    non-overlapping rewrite of every vocab word as a recursive CTE over
+    symbol positions — all ``merges`` steps unrolled, so the gate proves
+    each distributed count→argmax→rewrite round, not just the final
+    merge table."""
     selects = [
         f"""SELECT {t} AS step, pa, pb, pc AS pair_count,
            CAST(n_symbols_after AS BIGINT) AS n_symbols_after,
@@ -5894,8 +5902,11 @@ def _bpe_merge_oracle_sql(merges: int = _BPE_MERGES) -> str:
     FROM b{t} CROSS JOIN s{t}"""
         for t in range(1, merges + 1)
     ]
-    parts.append("\n    " + "\n    UNION ALL\n    ".join(selects))
-    return "".join(parts)
+    return (
+        _bpe_train_cte_prefix(merges)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(selects)
+    )
 
 
 @query("text_bpe_merge_steps", oracle=_bpe_merge_oracle_sql())
@@ -5925,7 +5936,35 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite as a recursive CTE over symbol positions — so every round
     is hash-verified, not just the final table."""
     docs = load(spark, sf_dir, "documents")
-    vocab = (
+    out = []
+
+    def on_step(step, pa, pb, pc, v):
+        units = v.agg(
+            F.sum(F.col("c") * F.size("syms")).cast("long").alias("u")
+        ).collect()[0]["u"]
+        nsym = (
+            v.select(F.explode("syms").alias("s")).agg(
+                F.countDistinct("s").alias("n")
+            ).collect()[0]["n"]
+        )
+        out.append((step, pa, pb, pc, int(nsym), int(units)))
+
+    _bpe_train(docs, _BPE_MERGES, on_step)
+    return spark.createDataFrame(
+        out,
+        "step int, pa string, pb string, pair_count long,"
+        " n_symbols_after long, total_units_after long",
+    )
+
+
+def _bpe_train(docs: DataFrame, merges: int, on_step=None) -> DataFrame:
+    """The distributed BPE training loop shared by ``text_bpe_merge_steps``
+    (which audits every round via ``on_step``) and ``text_bpe_encode``
+    (which only needs the final merged vocabulary). Returns the vocab
+    frame ``(w, c, syms)`` after ``merges`` rounds; each round is one
+    |vocab|-sized pair aggregate, a 1-row argmax collect, and a map-side
+    greedy rewrite, with lineage cut per step."""
+    v = (
         docs.select(
             F.explode(
                 F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
@@ -5942,9 +5981,7 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    out = []
-    v = vocab
-    for step in range(1, _BPE_MERGES + 1):
+    for step in range(1, merges + 1):
         pairs = (
             v.filter(F.size("syms") >= 2)
             .select(
@@ -5977,19 +6014,77 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         v = v.select("w", "c", rewrite.alias("syms")).localCheckpoint(eager=False)
-        units = v.agg(
-            F.sum(F.col("c") * F.size("syms")).cast("long").alias("u")
-        ).collect()[0]["u"]
-        nsym = (
-            v.select(F.explode("syms").alias("s")).agg(
-                F.countDistinct("s").alias("n")
-            ).collect()[0]["n"]
+        if on_step is not None:
+            on_step(step, pa, pb, pc, v)
+    return v
+
+
+@query(
+    "text_bpe_encode",
+    oracle=_bpe_train_cte_prefix(_BPE_MERGES)
+    + f""",
+    dw AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+            AS w
+        FROM documents
+    )
+    SELECT dw.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(dw.w)) AS BIGINT) AS n_units0,
+           CAST(SUM(len(v.syms)) AS DOUBLE) / SUM(length(dw.w)) AS compression
+    FROM dw JOIN v{_BPE_MERGES} v ON v.w = dw.w
+    GROUP BY dw.doc_id
+    """,
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the other half of the tokenizer
+    (``text_bpe_merge_steps`` trains; this applies): run the trained
+    merge table over the corpus and report per document the REAL token
+    count under the learned vocabulary, the pre-merge unit count
+    (characters of word content), and the compression ratio — the
+    numbers a token-budget planner (``corpus_mixture_plan``,
+    ``corpus_pack_sequences``) actually needs, where whitespace proxies
+    under- or over-count.
+
+    The classic trick makes encode corpus-cheap: merges apply per WORD,
+    so the rewrite runs once over the |vocab| table (not the corpus) and
+    documents join their words against the encoded vocab — token counts
+    ride the join. Self-trained on the same corpus (the merge table is
+    the ``_BPE_MERGES``-round loop), so every doc word is in the vocab
+    by construction.
+
+    Scale: training is K linear vocab passes (measured family —
+    ``text_bpe_merge_steps``); doc scoring explodes words map-side,
+    joins the |vocab|-sized encoded table on the word (AQE decides the
+    strategy — no hint), and rolls up per doc — one shuffle each. The
+    oracle replays training via the shared unrolled recursive-CTE
+    prefix, then the same join/rollup."""
+    docs = load(spark, sf_dir, "documents")
+    v = _bpe_train(docs, _BPE_MERGES)
+    dw = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("w"),
+    )
+    return (
+        dw.join(v.select("w", F.size("syms").alias("nt")), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum(F.length("w")).alias("n_units0"),
         )
-        out.append((step, pa, pb, pc, int(nsym), int(units)))
-    return spark.createDataFrame(
-        out,
-        "step int, pa string, pb string, pair_count long,"
-        " n_symbols_after long, total_units_after long",
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_units0",
+            (F.col("n_tokens").cast("double") / F.col("n_units0")).alias(
+                "compression"
+            ),
+        )
     )
 
 
@@ -6554,5 +6649,88 @@ def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (F.col("sc").cast("double") / F.lit(1000000000.0)) / F.col("nb")
             ).alias("kn_mean_prob"),
+        )
+    )
+
+
+@query(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH t AS ({_TOKS_LOWER_CTE}),
+    g AS (
+        SELECT DISTINCT source, unnest(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(0, len(toks) - 2),
+                          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                 ELSE [array_to_string(toks, ' ')] END) AS gram
+        FROM t
+    ),
+    n AS (SELECT source, COUNT(*) AS ng FROM g GROUP BY source),
+    sh AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT sh.src_a, sh.src_b, sh.n_shared,
+           CAST(na.ng AS BIGINT) AS n_grams_a,
+           CAST(nb.ng AS BIGINT) AS n_grams_b,
+           CAST(sh.n_shared AS DOUBLE)
+               / (na.ng + nb.ng - sh.n_shared) AS jaccard
+    FROM sh
+    JOIN n na ON na.source = sh.src_a
+    JOIN n nb ON nb.source = sh.src_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-source CONTAMINATION MATRIX: 3-shingle overlap between
+    every pair of sources — the corpus-level generalization of the
+    per-benchmark ``corpus_contamination_check`` (which sources are
+    copying each other / sharing pipelines / mirroring the same crawl
+    is the first question when a mixture plan double-counts text).
+    Output: one row per unordered source pair that shares at least one
+    shingle, with the shared count, each side's distinct-shingle count,
+    and the Jaccard overlap (single fixed-order division).
+
+    Scale: per-source distinct shingles are one linear shuffle; the
+    pair join is keyed on the SHINGLE (each gram contributes at most
+    |sources|² pair rows — sources number dozens, so the fan-out is a
+    constant, never corpus-sized); totals join on the |sources|-row
+    table. A popular shingle shared by all sources produces
+    |sources|·(|sources|−1)/2 rows for that gram — bounded skew by
+    construction."""
+    docs = load(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(word_shingles(tokenize(F.col("text")), 3))
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = g.groupBy("source").agg(F.count(F.lit(1)).alias("ng"))
+    ga = g.select(F.col("source").alias("src_a"), "gram")
+    gb = g.select(F.col("source").alias("src_b"), "gram")
+    sh = (
+        ga.join(gb, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        sh.join(n.select(F.col("source").alias("src_a"), F.col("ng").alias("n_grams_a")), "src_a")
+        .join(n.select(F.col("source").alias("src_b"), F.col("ng").alias("n_grams_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared"))
+            ).alias("jaccard"),
         )
     )

@@ -1872,3 +1872,45 @@ def test_kneser_ney_matches_python_reference(spark, tmp_path):
         want = (sc / 1e9) / len(bgs)
         assert rows[d]["n_bigrams"] == len(bgs)
         assert rows[d]["kn_mean_prob"] == want, d
+
+
+def test_bpe_encode_hand_merges(spark, tmp_path):
+    """Hand corpus where the merge sequence is forced: (a,a) wins round
+    one (weight 7), (aa,aa) round two, then the loop runs dry — so
+    'aaaa' encodes to ONE token and 'aa' to one, and the per-doc counts,
+    pre-merge units, and compression follow exactly."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["aaaa aaaa", "aa"],
+        "lang": ["en"] * 2, "source": ["t"] * 2, "n_chars": [9, 2],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            REGISTRY["text_bpe_encode"].fn(spark, str(tmp_path)).collect()}
+    assert rows[1]["n_words"] == 2 and rows[1]["n_tokens"] == 2
+    assert rows[1]["n_units0"] == 8 and rows[1]["compression"] == 0.25
+    assert rows[2]["n_tokens"] == 1 and rows[2]["compression"] == 0.5
+
+
+def test_source_overlap_hand_matrix(spark, tmp_path):
+    """Only the source pair sharing a shingle appears; counts and
+    Jaccard are exact; disjoint sources produce no row."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d", "a b c x", "q w e r"],
+        "lang": ["en"] * 3, "source": ["A", "B", "C"],
+        "n_chars": [7, 7, 7],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = REGISTRY["corpus_source_overlap"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"]) == ("A", "B")
+    assert r["n_shared"] == 1 and r["n_grams_a"] == 2 and r["n_grams_b"] == 2
+    assert r["jaccard"] == 1 / 3

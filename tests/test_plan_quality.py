@@ -230,7 +230,9 @@ def test_lm_self_perplexity_broadcasts_model_table(spark):
      # |distinct blocks|-sized (corpus-scale); AQE decides
      "corpus_ngram_novelty", "corpus_block_dedup",
      # r9: KN model tables are |bigram types|-sized; AQE decides
-     "text_lm_kneser_ney"],
+     "text_lm_kneser_ney",
+     # r9: encoded vocab / per-source shingle sets are corpus-derived
+     "text_bpe_encode", "corpus_source_overlap"],
 )
 def test_composed_ops_no_forced_broadcast_no_product(spark, name):
     """The round-7/8 composed operators must carry NO explicit broadcast
