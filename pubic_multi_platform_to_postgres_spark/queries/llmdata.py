@@ -6734,3 +6734,220 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH t AS ({_TOKS_LOWER_CTE}),
+    mx AS (SELECT MAX(doc_id) AS m FROM t),
+    tok AS (
+        SELECT doc_id,
+               greatest(1, (doc_id * 10 + (SELECT m FROM mx) - 1)
+                           // (SELECT m FROM mx)) AS b,
+               unnest(toks) AS tok
+        FROM t
+    ),
+    per_b AS (
+        SELECT b, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd,
+               CAST(COUNT(*) AS BIGINT) AS ntk
+        FROM tok GROUP BY b
+    ),
+    fb AS (SELECT tok, MIN(b) AS b FROM tok GROUP BY tok),
+    nv AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nvb FROM fb GROUP BY b),
+    g AS (
+        SELECT p.b, p.nd, p.ntk, COALESCE(nv.nvb, 0) AS nvb
+        FROM per_b p LEFT JOIN nv USING (b)
+    )
+    SELECT b AS decile,
+           CAST(SUM(nd) OVER w AS BIGINT) AS n_docs,
+           CAST(SUM(ntk) OVER w AS BIGINT) AS n_tokens,
+           CAST(SUM(nvb) OVER w AS BIGINT) AS n_vocab,
+           CAST(SUM(nvb) OVER w AS DOUBLE) / SUM(ntk) OVER w
+               AS type_token_ratio
+    FROM g
+    WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Heaps'-law VOCABULARY GROWTH curve: cumulative distinct
+    tokens vs cumulative tokens processed, at ten ingest checkpoints
+    (doc-id deciles — ingest order) — the 'is this source saturating'
+    diagnostic every crawl review reads before paying for more of the
+    same data (a flattening curve means new data is mostly old words).
+    Checkpoint bucketing is pure integer arithmetic
+    (``ceil(doc_id·10 / max_id)`` clamped to [1,10]) so both engines
+    bucket identically; each token's FIRST bucket attributes it to the
+    checkpoint that introduced it, and cumulative sums run over the
+    10-row checkpoint table (the tiny-table unpartitioned-window
+    idiom, never corpus data).
+
+    Scale: tokenization is map-side; the first-bucket table is one
+    linear shuffle on the token with a map-side MIN combiner; per-bucket
+    doc/token counts are one aggregate keyed by 10 buckets (count-
+    distinct docs expands per-key — swap to HLL at 100 TB, the
+    ``agg_approx_distinct`` trade); one 1-row driver fetch (max doc id,
+    the documented scalar class)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    max_id = t.agg(F.max("doc_id")).first()[0] or 1  # id-0-only corpus: one bucket
+    tok = t.select(
+        "doc_id",
+        F.expr(
+            f"greatest(1L, (doc_id * 10 + {max_id}L - 1) div {max_id}L)"
+        ).alias("b"),
+        F.explode("toks").alias("tok"),
+    )
+    per_b = tok.groupBy("b").agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.count(F.lit(1)).alias("ntk"),
+    )
+    nv = (
+        tok.groupBy("tok")
+        .agg(F.min("b").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nvb"))
+    )
+    g = per_b.join(nv, "b", "left").select(
+        "b", "nd", "ntk", F.coalesce("nvb", F.lit(0)).alias("nvb")
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.col("b").alias("decile"),
+        F.sum("nd").over(w).alias("n_docs"),
+        F.sum("ntk").over(w).alias("n_tokens"),
+        F.sum("nvb").over(w).alias("n_vocab"),
+        (
+            F.sum("nvb").over(w).cast("double") / F.sum("ntk").over(w)
+        ).alias("type_token_ratio"),
+    )
+
+
+_PMI_WINDOW = 4  # forward co-occurrence offsets 1..4
+_PMI_MIN_PAIR = 5  # min pair support
+_PMI_TOP_K = 50
+
+
+def _pmi_oracle_sql() -> str:
+    """DuckDB replay of the PMI collocation extraction: forward-window
+    pair counts, unigram counts, the micro-nat quantized PMI
+    (per-value ln rounding — the ``dsir_weights`` tolerance), min
+    support, top-k by (pmi DESC, pair)."""
+    lnq = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+    return f"""
+    WITH t AS ({_TOKS_LOWER_CTE}),
+    pos AS (
+        SELECT doc_id, g.i AS i, toks[g.i] AS w, len(toks) AS n
+        FROM t, generate_series(1, 1024) g(i)
+        WHERE g.i <= len(toks)
+    ),
+    prs AS (
+        SELECT a.w AS wa, b.w AS wb
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id
+         AND b.i - a.i BETWEEN 1 AND {_PMI_WINDOW}
+    ),
+    cp AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS cab
+           FROM prs GROUP BY wa, wb),
+    cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM pos GROUP BY w),
+    tot AS (
+        SELECT (SELECT CAST(SUM(cw) AS BIGINT) FROM cu) AS n,
+               (SELECT CAST(SUM(cab) AS BIGINT) FROM cp) AS np
+    ),
+    scored AS (
+        SELECT cp.wa, cp.wb, cp.cab,
+               {lnq.format(x="cp.cab")} - {lnq.format(x="ca.cw")}
+                   - {lnq.format(x="cb.cw")} + 2 * {lnq.format(x="tot.n")}
+                   - {lnq.format(x="tot.np")} AS pmi_micro_nats
+        FROM cp JOIN cu ca ON ca.w = cp.wa
+                JOIN cu cb ON cb.w = cp.wb
+                CROSS JOIN tot
+        WHERE cp.cab >= {_PMI_MIN_PAIR}
+    )
+    SELECT wa, wb, cab AS pair_count, pmi_micro_nats,
+           CAST(pmi_micro_nats AS DOUBLE) / 1000000.0 AS pmi
+    FROM scored
+    ORDER BY pmi_micro_nats DESC, wa, wb
+    LIMIT {_PMI_TOP_K}
+    """
+
+
+@query("corpus_pmi_collocations", oracle=_pmi_oracle_sql())
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI COLLOCATION extraction — the classic corpus-linguistics pass
+    (Church & Hanks 1990) a tokenizer/vocab team runs to find multiword
+    units worth merging: count ordered co-occurrences within a forward
+    window of 4 tokens, score each pair by pointwise mutual
+    information ``ln(p(a,b) / (p(a)·p(b)))`` against the unigram model,
+    require min support, and keep the global top-50. PMI is computed
+    in integer micro-nats — per-value quantized ``round(ln·10⁶)`` then
+    pure integer add/subtract — the ``dsir_weights`` ln-tolerance
+    discipline, so the oracle matches on values, and ties break on the
+    pair text.
+
+    Scale: pair building is a map-side self-window inside each doc's
+    token array (offsets 1..4 — linear in corpus size, constant
+    fan-out 4); pair and unigram counts are linear shuffles with
+    map-side combiners; two corpus scalars (total tokens, total pairs)
+    are 1-row driver fetches (the documented class); top-k is a
+    TakeOrdered, never a global sort.
+
+    ORACLE FIXTURE CAP: generate_series(1, 1024) bounds token positions
+    (TESTDATA.md max doc ≈ 110 tokens); the Spark side has no cap."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # size >= 2 guard: sequence(a, b) runs DESCENDING when a > b, so a
+    # 1-token doc would fabricate out-of-range pairs instead of none
+    prs = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, size(toks) - 1),"
+                    f" i -> transform(sequence(i + 1, least(i + {_PMI_WINDOW},"
+                    f" size(toks))), j -> named_struct('wa', toks[i-1],"
+                    f" 'wb', toks[j-1]))))"
+                )
+            ).alias("p")
+        )
+        .select("p.wa", "p.wb")
+    )
+    cp = prs.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("cab"))
+    cu = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=False)
+    )
+    n = cu.agg(F.sum("cw")).first()[0]
+    np_ = cp.agg(F.sum("cab")).first()[0]
+    lnq = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+    const = (
+        2 * int(round(__import__("math").log(n) * 1_000_000))
+        - int(round(__import__("math").log(np_) * 1_000_000))
+    )
+    scored = (
+        cp.filter(F.col("cab") >= _PMI_MIN_PAIR)
+        .join(cu.select(F.col("w").alias("wa"), F.col("cw").alias("ca")), "wa")
+        .join(cu.select(F.col("w").alias("wb"), F.col("cw").alias("cb")), "wb")
+        .select(
+            "wa",
+            "wb",
+            F.col("cab").alias("pair_count"),
+            (
+                F.expr(lnq.format(x="cab"))
+                - F.expr(lnq.format(x="ca"))
+                - F.expr(lnq.format(x="cb"))
+                + F.lit(const)
+            ).alias("pmi_micro_nats"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro_nats"), "wa", "wb"
+    ).limit(_PMI_TOP_K).select(
+        "wa",
+        "wb",
+        "pair_count",
+        "pmi_micro_nats",
+        (F.col("pmi_micro_nats").cast("double") / F.lit(1000000.0)).alias("pmi"),
+    )

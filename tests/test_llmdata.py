@@ -1914,3 +1914,60 @@ def test_source_overlap_hand_matrix(spark, tmp_path):
     assert (r["src_a"], r["src_b"]) == ("A", "B")
     assert r["n_shared"] == 1 and r["n_grams_a"] == 2 and r["n_grams_b"] == 2
     assert r["jaccard"] == 1 / 3
+
+
+def test_vocab_growth_sparse_checkpoints(spark, tmp_path):
+    """Two docs landing in buckets 5 and 10: cumulative docs/tokens/
+    vocab are exact, the type-token ratio follows, and only checkpoints
+    with data materialize."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    pd.DataFrame({
+        "doc_id": [5, 10],
+        "text": ["a b", "a c"],
+        "lang": ["en"] * 2, "source": ["t"] * 2, "n_chars": [3, 3],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {r["decile"]: r for r in
+            REGISTRY["corpus_vocab_growth"].fn(spark, str(tmp_path)).collect()}
+    assert set(rows) == {5, 10}
+    assert rows[5]["n_docs"] == 1 and rows[5]["n_tokens"] == 2
+    assert rows[5]["n_vocab"] == 2 and rows[5]["type_token_ratio"] == 1.0
+    assert rows[10]["n_docs"] == 2 and rows[10]["n_tokens"] == 4
+    assert rows[10]["n_vocab"] == 3 and rows[10]["type_token_ratio"] == 0.75
+
+
+def test_pmi_collocations_python_reference(spark, tmp_path):
+    """'a b' repeated six times: all four ordered pairs clear the
+    support threshold and every PMI value equals an independent Python
+    replay of the quantized formula; (a,b) ranks first."""
+    import math
+
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    pd.DataFrame({
+        "doc_id": [1],
+        "text": [("a b " * 6).strip()],
+        "lang": ["en"], "source": ["t"], "n_chars": [23],
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = REGISTRY["corpus_pmi_collocations"].fn(spark, str(tmp_path)).collect()
+    toks = ("a b " * 6).split()
+    pairs = {}
+    for i, wa in enumerate(toks):
+        for j in range(i + 1, min(i + 5, len(toks))):
+            pairs[(wa, toks[j])] = pairs.get((wa, toks[j]), 0) + 1
+    assert pairs == {("a", "b"): 11, ("b", "a"): 9, ("a", "a"): 9,
+                     ("b", "b"): 9}
+    n, np_ = 12, sum(pairs.values())
+    lnq = lambda x: round(math.log(x) * 1_000_000)  # noqa: E731
+    want = {
+        p: lnq(c) - lnq(6) - lnq(6) + 2 * lnq(n) - lnq(np_)
+        for p, c in pairs.items()
+    }
+    got = {(r["wa"], r["wb"]): r["pmi_micro_nats"] for r in rows}
+    assert got == want
+    assert (rows[0]["wa"], rows[0]["wb"]) == ("a", "b")  # top by PMI
+    assert rows[0]["pmi"] == want[("a", "b")] / 1e6

@@ -232,7 +232,9 @@ def test_lm_self_perplexity_broadcasts_model_table(spark):
      # r9: KN model tables are |bigram types|-sized; AQE decides
      "text_lm_kneser_ney",
      # r9: encoded vocab / per-source shingle sets are corpus-derived
-     "text_bpe_encode", "corpus_source_overlap"],
+     "text_bpe_encode", "corpus_source_overlap",
+     # r9: unigram/first-bucket tables are vocab-sized; AQE decides
+     "corpus_vocab_growth", "corpus_pmi_collocations"],
 )
 def test_composed_ops_no_forced_broadcast_no_product(spark, name):
     """The round-7/8 composed operators must carry NO explicit broadcast
