@@ -6257,7 +6257,9 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shingle — ingest order); ``n_repeated`` counts shingles some
     earlier doc already contributed, and ``novelty`` is the fresh
     fraction ``(n_grams − n_repeated)/n_grams`` (single fixed-order
-    division, exact integers inside).
+    division, exact integers inside). PER-DOCUMENT granularity — the
+    curation filter signal; ``text_ngram_novelty_curve`` is the same
+    first-occurrence idea rolled up to the corpus decile curve.
 
     Scale: shingles build map-side (the ``word_shingles`` expression —
     no Python); the first-occurrence table is one linear shuffle on the
@@ -6775,6 +6777,10 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc-id deciles — ingest order) — the 'is this source saturating'
     diagnostic every crawl review reads before paying for more of the
     same data (a flattening curve means new data is mostly old words).
+    Companion of ``text_ngram_novelty_curve`` (which counts new
+    TRIGRAMS per decile): this one tracks the unigram VOCABULARY with
+    doc/token cumulatives and the type-token ratio, the pair a review
+    reads together — fresh words vs fresh phrasing.
     Checkpoint bucketing is pure integer arithmetic
     (``ceil(doc_id·10 / max_id)`` clamped to [1,10]) so both engines
     bucket identically; each token's FIRST bucket attributes it to the

@@ -119,6 +119,12 @@ SF1_QUERIES = [
     "journey_transition_matrix",
     # r8: Benford digit audit (map-side extract + 9-group aggregate)
     "stats_benford_order_values",
+    # r9: lexical-statistics family — first-occurrence / vocab / pair
+    # model tables, all linear shuffles
+    "corpus_ngram_novelty", "corpus_token_gini", "corpus_block_dedup",
+    "text_char_trigram_entropy", "text_lm_kneser_ney", "text_bpe_encode",
+    "corpus_source_overlap", "corpus_vocab_growth",
+    "corpus_pmi_collocations",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -168,6 +174,12 @@ SF10_QUERIES = [
     "multimodal_keyframe_select", "multimodal_content_addressed_dedup",
     "graph_pagerank_purchases", "er_fuzzy_customer_match",
     "dedup_minhash_eval", "sim_topk_pq", "text_bpe_merge_steps",
+    # r9: the map-side / single-bounded-shuffle tier of the new family
+    # (the PMI pair fan-out and the source-overlap gram self-join are
+    # 10×-verified above; their 100× cost is fan-out-dominated)
+    "corpus_ngram_novelty", "corpus_token_gini", "corpus_block_dedup",
+    "text_char_trigram_entropy", "text_lm_kneser_ney", "text_bpe_encode",
+    "corpus_vocab_growth",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
