@@ -6230,20 +6230,23 @@ _TOKS_LOWER_CTE = (
     oracle=f"""
     WITH t AS ({_TOKS_LOWER_CTE}),
     g AS (
-        SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(toks) >= 3
-                 THEN list_transform(range(0, len(toks) - 2),
-                          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-                 ELSE [array_to_string(toks, ' ')] END)) AS gram
-        FROM t
+        SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+        FROM (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(0, len(toks) - 2),
+                              i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                     ELSE [array_to_string(toks, ' ')] END)) AS gram
+            FROM t
+        )
     ),
-    fst AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+    fst AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
     SELECT g.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(SUM(CAST(f.first_doc < g.doc_id AS INT)) AS BIGINT) AS n_repeated,
            CAST(COUNT(*) - SUM(CAST(f.first_doc < g.doc_id AS INT)) AS DOUBLE)
                / COUNT(*) AS novelty
-    FROM g JOIN fst f USING (gram)
+    FROM g JOIN fst f USING (gh)
     GROUP BY g.doc_id
     """,
 )
@@ -6262,24 +6265,45 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence idea rolled up to the corpus decile curve.
 
     Scale: shingles build map-side (the ``word_shingles`` expression —
-    no Python); the first-occurrence table is one linear shuffle on the
-    gram with a map-side MIN combiner; the scoring join is gram-keyed
-    against that gram-distinct table (no fan-out blowup: left side is
-    per-doc DISTINCT shingles), and the per-doc rollup is one shuffle on
-    doc id. Nothing is quadratic; no broadcast hint — AQE sizes the
-    join. Incremental form at 100 TB: persist ``fst`` and anti-join new
-    batches, exactly like ``dedup_incremental_new_batch``."""
+    no Python) and are hashed to the 60-bit md5 integer BEFORE any
+    shuffle, so both gram-keyed exchanges carry 8-byte keys instead of
+    ~25-byte shingle strings (~3× less shuffle width; any hash
+    collision is IDENTICAL on both engines, so the oracle gate stays
+    exact); with the build checkpointed the query measures 6.5→4.0 s
+    at sf0.1 — the residual is the one-time shingle-string build
+    itself, the same HOF cost the whole jaccard family pays; the
+    first-occurrence table is one linear shuffle with a map-side MIN
+    combiner; the
+    scoring join is hash-keyed against that distinct table (no fan-out
+    blowup: left side is per-doc DISTINCT shingles), and the per-doc
+    rollup is one shuffle on doc id. Nothing is quadratic; no broadcast
+    hint — AQE sizes the join. Incremental form at 100 TB: persist
+    ``fst`` and anti-join new batches, exactly like
+    ``dedup_incremental_new_batch``."""
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(tokenize(F.col("text")), 3))
-        ).alias("gram"),
+    # the shingle build (string HOFs) is the expensive map-side stage and
+    # feeds BOTH the first-occurrence aggregate and the scoring join —
+    # checkpoint it lazily so it runs once (the dedup_minhash_eval
+    # shared-subtree lesson; measured ~2x at sf0.1)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(tokenize(F.col("text")), 3))
+            ).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
+        .localCheckpoint(eager=False)
     )
-    fst = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    fst = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     seen = (F.col("first_doc") < F.col("doc_id")).cast("long")
     return (
-        grams.join(fst, "gram")
+        grams.join(fst, "gh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -6660,18 +6684,22 @@ def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS ({_TOKS_LOWER_CTE}),
     g AS (
-        SELECT DISTINCT source, unnest(
-            CASE WHEN len(toks) >= 3
-                 THEN list_transform(range(0, len(toks) - 2),
-                          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
-                 ELSE [array_to_string(toks, ' ')] END) AS gram
-        FROM t
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+        FROM (
+            SELECT source, unnest(
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(0, len(toks) - 2),
+                              i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))
+                     ELSE [array_to_string(toks, ' ')] END) AS gram
+            FROM t
+        )
     ),
     n AS (SELECT source, COUNT(*) AS ng FROM g GROUP BY source),
     sh AS (
         SELECT a.source AS src_a, b.source AS src_b,
                CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
         GROUP BY a.source, b.source
     )
     SELECT sh.src_a, sh.src_b, sh.n_shared,
@@ -6694,13 +6722,16 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, with the shared count, each side's distinct-shingle count,
     and the Jaccard overlap (single fixed-order division).
 
-    Scale: per-source distinct shingles are one linear shuffle; the
-    pair join is keyed on the SHINGLE (each gram contributes at most
-    |sources|² pair rows — sources number dozens, so the fan-out is a
-    constant, never corpus-sized); totals join on the |sources|-row
-    table. A popular shingle shared by all sources produces
-    |sources|·(|sources|−1)/2 rows for that gram — bounded skew by
-    construction."""
+    Scale: shingles hash to the 60-bit md5 integer BEFORE any shuffle
+    (8-byte keys instead of shingle strings — the ``corpus_ngram_
+    novelty`` trade; collisions are identical on both engines, so the
+    gate stays exact); per-source distinct hashes are one linear
+    shuffle; the pair join is keyed on the HASH (each gram contributes
+    at most |sources|² pair rows — sources number dozens, so the
+    fan-out is a constant, never corpus-sized); totals join on the
+    |sources|-row table. A popular shingle shared by all sources
+    produces |sources|·(|sources|−1)/2 rows for that gram — bounded
+    skew by construction."""
     docs = load(spark, sf_dir, "documents")
     g = (
         docs.select(
@@ -6709,14 +6740,20 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(word_shingles(tokenize(F.col("text")), 3))
             ).alias("gram"),
         )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
         .distinct()
         .localCheckpoint(eager=False)
     )
     n = g.groupBy("source").agg(F.count(F.lit(1)).alias("ng"))
-    ga = g.select(F.col("source").alias("src_a"), "gram")
-    gb = g.select(F.col("source").alias("src_b"), "gram")
+    ga = g.select(F.col("source").alias("src_a"), "gh")
+    gb = g.select(F.col("source").alias("src_b"), "gh")
     sh = (
-        ga.join(gb, "gram")
+        ga.join(gb, "gh")
         .filter(F.col("src_a") < F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
