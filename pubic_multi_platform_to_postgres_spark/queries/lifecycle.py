@@ -791,3 +791,67 @@ def stats_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit", "n", obs.alias("obs_share"), "exp_share",
         F.abs(obs - F.col("exp_share")).alias("abs_dev"),
     )
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+
+def _column_profile_oracle_sql() -> str:
+    """DuckDB replay: one UNION ALL branch per column (the oracle pays
+    six scans; the Spark plan pays one expanded pass — same answer)."""
+    branches = [
+        f"""SELECT '{c}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT({c}) AS DOUBLE) / COUNT(*) AS null_frac
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\n    UNION ALL\n    ".join(branches)
+
+
+@query("dq_column_profile", oracle=_column_profile_oracle_sql())
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column PROFILING table over ``orders`` — the first artifact
+    any data-quality harness (Great-Expectations-style) materializes
+    for a landed table: row count, null count and fraction, and exact
+    distinct cardinality per column. Key columns showing nulls or a
+    distinct count that stopped tracking row count are the standard
+    early-warning signals for upstream extraction bugs (the reference's
+    keyed-upsert sinks would corrupt silently on a null key).
+
+    Plan: ONE pass over the table — Spark plans the six count-distincts
+    as a single Expand (each row fans out once per column) feeding one
+    partial/final aggregate, so the table is scanned once regardless of
+    column count; the long-form output unpivots the 1-row aggregate
+    with ``stack`` (6-row arithmetic). At 100 TB swap the exact
+    distincts for HLL sketches per column (the ``agg_approx_distinct``
+    trade) — the dataflow is unchanged. The oracle replays column by
+    column (six scans — oracle cost, not plan cost)."""
+    orders = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        ).alias("column_name", "nn", "nd"),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        (F.col("n_rows") - F.col("nn")).alias("n_null"),
+        F.col("nd").alias("n_distinct"),
+        (
+            (F.col("n_rows") - F.col("nn")).cast("double") / F.col("n_rows")
+        ).alias("null_frac"),
+    )

@@ -366,3 +366,13 @@ def test_pq_adc_single_shuffle_to_rank_window(spark):
     rank window."""
     plan = plan_of(spark, "sim_topk_pq")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_column_profile_single_scan(spark):
+    """The profiler must read the table ONCE: six count-distincts plan
+    as a single Expand over one parquet scan, never one scan per
+    column (the oracle's UNION ALL shape is oracle cost, not plan
+    cost)."""
+    plan = plan_of(spark, "dq_column_profile")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan

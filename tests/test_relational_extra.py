@@ -455,3 +455,35 @@ def test_benford_audit_shares_conserve(spark):
         load(spark, SF, "orders").filter("o_totalprice >= 1").count()
     )
     assert sum(r["n"] for r in rows) == n_rows
+
+
+def test_column_profile_planted_nulls_and_dups(spark, tmp_path):
+    """Hand orders table with planted nulls and duplicate values: the
+    per-column null counts, distinct cardinalities, and null fractions
+    come out exact; the key column profiles clean."""
+    import datetime
+
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    d = datetime.datetime(2024, 1, 1)
+    pd.DataFrame({
+        "o_orderkey": [1, 2, 3, 4],
+        "o_custkey": [10, 10, None, 11],
+        "o_orderstatus": ["F", "F", "F", "F"],
+        "o_totalprice": [5.0, None, None, 7.0],
+        "o_orderdate": [d, d, d, d],
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "1-URGENT", None],
+    }).to_parquet(tmp_path / "orders.parquet", coerce_timestamps="us",
+                  allow_truncated_timestamps=True)
+    rows = {r["column_name"]: r for r in
+            REGISTRY["dq_column_profile"].fn(spark, str(tmp_path)).collect()}
+    assert rows["o_orderkey"]["n_null"] == 0
+    assert rows["o_orderkey"]["n_distinct"] == 4
+    assert rows["o_custkey"]["n_null"] == 1 and rows["o_custkey"]["n_distinct"] == 2
+    assert rows["o_totalprice"]["n_null"] == 2
+    assert rows["o_totalprice"]["null_frac"] == 0.5
+    assert rows["o_orderstatus"]["n_distinct"] == 1
+    assert rows["o_orderpriority"]["n_null"] == 1
+    assert all(r["n_rows"] == 4 for r in rows.values())
