@@ -201,3 +201,64 @@ def stream_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFr
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("lag_us"),
         F.col("r_value").alias("purchase_value"),
     )
+
+
+@query(
+    "stream_unattributed_clicks",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id,
+           epoch_us(c.ts) AS click_ts_us
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase'
+            AND p.user_id = c.user_id
+            AND p.ts >= c.ts
+            AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of attribution — clicks that converted to NOTHING
+    within the 30-minute window (the funnel-leak feed a marketing
+    pipeline alerts on). Batch face of the stream-stream LEFT OUTER
+    interval join (:func:`streaming.windows.interval_join_stream` with
+    ``join_type='left_outer'``): in streaming, an unmatched click emits
+    with null purchase columns exactly when the purchase-side watermark
+    passes its join window — the state store can then PROVE no match
+    will arrive; the batch limit of that semantics is the null-filtered
+    left join this query runs (oracle: NOT EXISTS). Streaming parity —
+    including the watermark-driven emission — is asserted in
+    ``test_streaming.py``.
+
+    Operational caveat the parity test encodes: each side's watermark
+    tracks ITS OWN filtered stream's max event time, so a quiet click
+    stream holds the global watermark back and the LAST clicks' outer
+    results wait until new clicks (or an idle-timeout heartbeat)
+    advance it — the standard outer-join-emission latency trade.
+
+    Plan: the same single user-keyed equi-shuffle as the inner
+    attribution join with the time range as a residual; at 100 TB both
+    streams hash-partition by user and outer-state eviction follows
+    the watermark + interval horizon."""
+    from pubic_multi_platform_to_postgres_spark.streaming.windows import (
+        interval_join_stream,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = interval_join_stream(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        max_delay_s=1800, join_type="left_outer",
+    )
+    return joined.filter(F.col("r_event_id").isNull()).select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.unix_micros("l_ts").alias("click_ts_us"),
+    )

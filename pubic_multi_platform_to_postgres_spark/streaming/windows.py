@@ -133,8 +133,9 @@ def interval_join_stream(
     right_ts: str,
     max_delay_s: int,
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: right rows within
+    """Stream-stream interval join: right rows within
     ``[left_ts, left_ts + max_delay_s]`` per key (click→purchase
     attribution). Works identically on batch frames (watermark is a no-op
     there) — the batch-equivalence test relies on that.
@@ -172,4 +173,8 @@ def interval_join_stream(
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay_s} SECONDS"))
     )
-    return l.join(r, cond, "inner")
+    # left_outer: unmatched left rows emit with null right columns once
+    # the right watermark passes their join window — same bounded-state
+    # contract; Spark requires the watermark + time-range bound for outer
+    # interval joins precisely so it can DECIDE "no match will arrive".
+    return l.join(r, cond, join_type)

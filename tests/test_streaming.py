@@ -593,3 +593,79 @@ def test_streaming_transition_pairs_custom_order_cols(spark, tmp_path):
         for r in spark.table("trans_renamed").collect()
     )
     assert got == [("a", "b"), ("b", "c"), ("x", "y")]
+
+
+def test_stream_left_outer_interval_join_emits_unmatched(
+    spark, events_batch, tmp_path
+):
+    """The LEFT OUTER stream-stream interval join must emit every
+    unattributed click with null purchase columns once the purchase-side
+    watermark passes its join window — equal to the batch left join.
+    Far-future sentinel purchases (for a user with no clicks) push the
+    watermark past every real click's horizon so outer state fully
+    evicts before the comparison."""
+    import time as _time
+
+    from pubic_multi_platform_to_postgres_spark.streaming.windows import (
+        interval_join_stream,
+    )
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        buys = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        return clicks, buys
+
+    def unattributed(clicks, buys):
+        j = interval_join_stream(
+            clicks, buys, "user_id", "ts", "ts", max_delay_s=1800,
+            watermark="1 second", join_type="left_outer",
+        )
+        return j.filter(F.col("r_purchase_id").isNull()).select(
+            F.col("l_click_id").alias("click_id")
+        )
+
+    expected = _collect_sorted(unattributed(*split(events_batch)), ["click_id"])
+    assert expected, "fixture must produce at least one unattributed click"
+
+    # stream source: the real corpus first, then sentinel files that
+    # advance BOTH side watermarks (each side's watermark tracks ITS OWN
+    # filtered stream's max event time — purchase-only sentinels would
+    # leave the click watermark at the last real click, and the final
+    # click would never evict); a watermark update computed at the end
+    # of one batch applies in the NEXT, so two sentinel batches follow
+    # the jump
+    src = tmp_path / "src"
+    events_batch.coalesce(1).write.mode("append").parquet(str(src))
+    far = events_batch.agg(F.max("ts")).first()[0]
+    for k in (1, 2, 3):
+        _time.sleep(1.1)  # distinct mtimes: file source orders by mtime
+        spark.createDataFrame(
+            [(-(1000 + k), far, -999, "purchase", 0.0, "{}"),
+             (-(2000 + k), far, -999, "click", 0.0, "{}")],
+            events_batch.schema,
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {10 * k} DAYS")) \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = stream_from_directory(
+        spark, src, events_batch.schema, max_files_per_trigger=1
+    )
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        unattributed(*split(stream))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = _collect_sorted(
+        spark.read.parquet(str(out_dir)).filter(F.col("click_id") >= 0),
+        ["click_id"],
+    )  # sentinel clicks are themselves unattributed by construction
+    assert got == expected
