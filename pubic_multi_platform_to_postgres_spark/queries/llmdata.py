@@ -6994,3 +6994,32 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pmi_micro_nats",
         (F.col("pmi_micro_nats").cast("double") / F.lit(1000000.0)).alias("pmi"),
     )
+
+
+@query("sim_topk_ivfpq", oracle=_pq.ivfpq_oracle_sql())
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed — THE billion-scale ANN index (the FAISS
+    ``IVFPQ`` shape), completing the similarity family's scale story:
+    a frozen 16-cell coarse quantizer routes every vector to an
+    inverted list; PQ codes the RESIDUAL (vector − cell centroid —
+    residuals concentrate near zero, so the same 8×16 codebook budget
+    carries more precision than raw-vector PQ); a query probes only its
+    4 nearest cells and scores each probed cell's codes against a
+    per-(probe, cell) distance table built from the query's residual in
+    THAT cell. Codebook seeding skips the coarse-centroid ids (their
+    residuals are all-zero — seeding there would collapse every initial
+    codeword; ``train_codebooks(init_lo=NCELLS)``). Integer-exact end
+    to end: the oracle replays coarse assignment, residuals, both
+    k-means rounds, encoding, cell probing, the residual distance
+    tables, the cell-scoped ADC join, and the ranking.
+
+    Scale: everything ``sim_topk_pq`` measured, PLUS the probe filter —
+    the scan touches NPROBE/NCELLS of the corpus per query (at 100 TB
+    the corpus is PARTITIONED BY CELL, so unprobed cells are never
+    read; here the cell rides as a column and the filter happens in the
+    scan kernel). Output: (probe_id, rank, vec_id, adc_dist)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qsub = _pq.quantized_subvectors(emb, "embedding", "vec_id").localCheckpoint(
+        eager=False
+    )
+    return _pq.ivfpq_topk(qsub)

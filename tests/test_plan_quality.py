@@ -376,3 +376,12 @@ def test_column_profile_single_scan(spark):
     plan = plan_of(spark, "dq_column_profile")
     assert plan.count("FileScan parquet") == 1, plan
     assert "Expand" in plan
+
+
+def test_ivfpq_single_shuffle_to_rank_window(spark):
+    """IVF+PQ keeps PQ's shape: coarse assignment, residuals, encoding,
+    per-cell table lookups, and per-partition heads are all map-side;
+    the ONLY exchange is the bounded head-rows shuffle into the
+    per-probe rank window."""
+    plan = plan_of(spark, "sim_topk_ivfpq")
+    assert plan.count("Exchange") == 1, plan

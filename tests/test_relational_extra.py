@@ -487,3 +487,47 @@ def test_column_profile_planted_nulls_and_dups(spark, tmp_path):
     assert rows["o_orderstatus"]["n_distinct"] == 1
     assert rows["o_orderpriority"]["n_null"] == 1
     assert all(r["n_rows"] == 4 for r in rows.values())
+
+
+def test_ivfpq_invariants_and_recall(spark):
+    """IVF+PQ contract: per-probe ranks are 1..k with non-decreasing
+    distances and never the probe itself; every returned vec_id lives in
+    one of the probe's NPROBE nearest coarse cells (the inverted-list
+    guarantee); and the probed-cell ADC ranking still tracks the exact
+    quantized-L2 ranking well above chance (chance is 10/500 = 0.02)."""
+    import numpy as np
+
+    from pubic_multi_platform_to_postgres_spark.operators import pq as P
+
+    rows = REGISTRY["sim_topk_ivfpq"].fn(spark, SF).collect()
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert len(by_probe) == P.N_PROBES
+
+    emb = load(spark, SF, "embeddings").orderBy("vec_id").collect()
+    X = np.floor(
+        np.array([r["embedding"] for r in emb], dtype=np.float64) * P.QSCALE
+    ).astype(np.int64)
+    ids = np.array([r["vec_id"] for r in emb])
+    coarse = X[np.argsort(ids)[: P.NCELLS]]
+    cell_of = ((X[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+    recalls = []
+    for pid, rs in by_probe.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert dists == sorted(dists)
+        assert all(r["vec_id"] != pid for r in rs)
+        q = X[ids == pid][0]
+        pd_ = ((coarse - q) ** 2).sum(axis=1)
+        probed = set(np.argsort(pd_, kind="stable")[: P.NPROBE].tolist())
+        for r in rs:  # inverted-list guarantee
+            assert int(cell_of[ids == r["vec_id"]][0]) in probed
+        d = ((X - q) ** 2).sum(axis=1)
+        mask = ids != pid
+        order = np.lexsort((ids[mask], d[mask]))[: P.TOPK]
+        exact = set(ids[mask][order].tolist())
+        recalls.append(len(exact & {r["vec_id"] for r in rs}) / P.TOPK)
+    assert sum(recalls) / len(recalls) >= 0.1  # probing loses some recall
