@@ -385,3 +385,11 @@ def test_ivfpq_single_shuffle_to_rank_window(spark):
     per-probe rank window."""
     plan = plan_of(spark, "sim_topk_ivfpq")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_golden_record_single_exchange(spark):
+    """Survivorship must be ONE entity-keyed aggregate (scalar-encoded
+    min_by orderings), never the three-window formulation that
+    exchanged the same multi-source feed three times."""
+    plan = plan_of(spark, "er_golden_record")
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -531,3 +531,34 @@ def test_ivfpq_invariants_and_recall(spark):
         exact = set(ids[mask][order].tolist())
         recalls.append(len(exact & {r["vec_id"] for r in rs}) / P.TOPK)
     assert sum(recalls) / len(recalls) >= 0.1  # probing loses some recall
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Attribute-level survivorship, rule by rule: name falls through
+    priority order (crm unless its id-derived gap, then erp — never web
+    while erp holds a value); segment survives by recency with the
+    priority tie-break; provenance names the winning system; and every
+    entity reports all three contributing sources."""
+    rows = {r["c_custkey"]: r for r in
+            REGISTRY["er_golden_record"].fn(spark, SF).collect()}
+    cust = {r["c_custkey"]: r for r in
+            load(spark, SF, "customer").collect()}
+    assert len(rows) == len(cust)
+    for k, r in rows.items():
+        assert r["n_sources"] == 3
+        base = cust[k]["c_name"]
+        if k % 6 == 0:  # crm gap: priority falls through to erp
+            assert r["name_src"] == "erp" and r["golden_name"] == base.upper()
+        else:
+            assert r["name_src"] == "crm" and r["golden_name"] == base
+        # segment recency: erp (k%5) always non-null; crm non-null unless
+        # k%4==0; web non-null unless k%2==0 — winner = max recency among
+        # non-null, tie -> lowest priority number
+        cands = [("crm", k % 7, 1), ("erp", k % 5, 2)]
+        if k % 4 == 0:
+            cands.pop(0)
+        if k % 2 != 0:
+            cands.append(("web", k % 9, 3))
+        cands.sort(key=lambda t: (-t[1], t[2]))
+        assert r["segment_src"] == cands[0][0], (k, cands, r)
+        assert r["latest_update"] == max(k % 7, k % 5, k % 9)
