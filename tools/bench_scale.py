@@ -125,8 +125,10 @@ SF1_QUERIES = [
     "text_char_trigram_entropy", "text_lm_kneser_ney", "text_bpe_encode",
     "corpus_source_overlap", "corpus_vocab_growth",
     "corpus_pmi_collocations",
-    # r9 second half: composed ANN index, DQ profiler, outer interval join
+    # r9 second half: composed ANN index, DQ profiler, outer interval
+    # join, MDM survivorship
     "sim_topk_ivfpq", "dq_column_profile", "stream_unattributed_clicks",
+    "er_golden_record",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -183,8 +185,9 @@ SF10_QUERIES = [
     "text_char_trigram_entropy", "text_lm_kneser_ney", "text_bpe_encode",
     "corpus_vocab_growth",
     # r9 second half: codes-only probed scan / one-scan profiler /
-    # user-keyed join — all bounded-shuffle shapes
+    # user-keyed join / single-aggregate survivorship — bounded shuffles
     "sim_topk_ivfpq", "dq_column_profile", "stream_unattributed_clicks",
+    "er_golden_record",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
