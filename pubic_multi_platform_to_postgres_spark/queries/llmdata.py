@@ -6965,6 +6965,11 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = cu.agg(F.sum("cw")).first()[0]
     np_ = cp.agg(F.sum("cab")).first()[0]
     lnq = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+    if not n or not np_:  # empty / pairless corpus: nothing to score
+        return spark.createDataFrame(
+            [], "wa string, wb string, pair_count long,"
+            " pmi_micro_nats long, pmi double",
+        )
     const = (
         2 * int(round(__import__("math").log(n) * 1_000_000))
         - int(round(__import__("math").log(np_) * 1_000_000))
