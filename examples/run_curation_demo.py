@@ -17,6 +17,10 @@ standalone on the bundled fixture:
    and repeat factors for the final mixture (`corpus_mixture_plan`).
 5. **Training order** — deterministic per-epoch shuffle positions +
    writer shards (`corpus_epoch_shuffle`).
+6. **Lexical audits** — sub-document retention after block dedup
+   (`corpus_block_dedup`), mean shingle novelty
+   (`corpus_ngram_novelty`), and the real token bill under the
+   corpus-trained BPE vocabulary (`text_bpe_encode`).
 
 Every stage is the exact oracle-gated query the correctness gate runs;
 this demo only wires their outputs together (keep-joins are doc_id
@@ -81,6 +85,33 @@ def main() -> int:
     head = order.orderBy("pos").limit(3).collect()
     print("epoch-0 order head:",
           [(r["doc_id"], r["shard"]) for r in head])
+
+    # 6. round-9 lexical audits over the selected pool: sub-document
+    # retention after block dedup, per-doc novelty, and the REAL token
+    # bill under the corpus-trained BPE vocabulary
+    blocks = q["corpus_block_dedup"](spark, sf_dir).join(
+        selected.select("doc_id"), "doc_id", "semi"
+    )
+    ret = blocks.agg(
+        F.sum("n_blocks").alias("nb"), F.sum("n_kept").alias("nk")
+    ).first()
+    print(f"block dedup over the selection: kept {ret['nk']}/{ret['nb']} "
+          f"16-word blocks")
+    nov = (
+        q["corpus_ngram_novelty"](spark, sf_dir)
+        .join(selected.select("doc_id"), "doc_id", "semi")
+        .agg(F.avg("novelty").alias("m"))
+        .first()["m"]
+    )
+    print(f"mean shingle novelty of the selection: {nov:.3f}")
+    toks = (
+        q["text_bpe_encode"](spark, sf_dir)
+        .join(selected.select("doc_id"), "doc_id", "semi")
+        .agg(F.sum("n_tokens").alias("t"), F.sum("n_units0").alias("u"))
+        .first()
+    )
+    print(f"BPE token bill: {toks['t']} tokens "
+          f"({toks['t'] / toks['u']:.3f} of raw units)")
     print("curation demo complete.")
     return 0
 
