@@ -855,3 +855,88 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_rows") - F.col("nn")).cast("double") / F.col("n_rows")
         ).alias("null_frac"),
     )
+
+
+@query(
+    "stats_chisq_source_lang",
+    oracle="""
+    WITH obs AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY source, lang
+    ),
+    rs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rn FROM obs GROUP BY source),
+    cs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS cn FROM obs GROUP BY lang),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS tot FROM obs),
+    grid AS (
+        SELECT rs.source, cs.lang, rs.rn, cs.cn FROM rs CROSS JOIN cs
+    ),
+    cells AS (
+        SELECT g.source, g.lang,
+               COALESCE(obs.o, 0) AS n_obs,
+               CAST(g.rn AS DOUBLE) * g.cn / (SELECT tot FROM n) AS expected
+        FROM grid g LEFT JOIN obs USING (source, lang)
+    )
+    SELECT source, lang, n_obs, expected,
+           CAST(round((n_obs - expected) * (n_obs - expected) / expected
+                      * 1000000, 0) AS BIGINT) AS chi_term_micro
+    FROM cells
+    """,
+)
+def stats_chisq_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared INDEPENDENCE audit over the source × lang
+    contingency table — the DQ forensics companion of the Benford
+    digit test: if language is independent of source, every cell's
+    observed count tracks ``row·col/N``; a cell whose term spikes is a
+    source whose language mix drifted (a crawler pointed at the wrong
+    domain, a mislabeled feed). Output is the full DENSE grid — one row
+    per (source, lang) INCLUDING zero-observed cells, which carry term
+    = E·10⁶ and are exactly the cells a sparse join silently drops —
+    with the observed count, the expected count, and the per-cell
+    statistic term quantized to integer micro-units (one fixed-order
+    double expression per cell, no cross-cell summation — consumers sum
+    the exact integers, the order-independence discipline every LM-
+    family op uses).
+
+    Plan: one shuffle for the observed counts; the dense grid comes
+    from exploding the DRIVER-FETCHED lang list (|langs| literals — the
+    IVF-centroid collect class) over the |sources|-row totals — never a
+    cartesian join; expected/term arithmetic is map-side over the
+    |sources|·|langs| model table."""
+    docs = load(spark, sf_dir, "documents")
+    obs = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    rs = obs.groupBy("source").agg(F.sum("o").alias("rn"))
+    cs = [(r["lang"], int(r["cn"])) for r in
+          obs.groupBy("lang").agg(F.sum("o").alias("cn")).collect()]
+    tot = sum(cn for _, cn in cs)
+    grid = rs.select(
+        "source",
+        "rn",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(lang).alias("lang"), F.lit(cn).alias("cn"))
+                for lang, cn in cs
+            ])
+        ).alias("c"),
+    ).select("source", "rn", "c.lang", "c.cn")
+    cells = grid.join(obs, ["source", "lang"], "left").select(
+        "source",
+        "lang",
+        F.coalesce("o", F.lit(0)).alias("n_obs"),
+        (F.col("rn").cast("double") * F.col("cn") / F.lit(float(tot))).alias(
+            "expected"
+        ),
+    )
+    term = (
+        (F.col("n_obs") - F.col("expected"))
+        * (F.col("n_obs") - F.col("expected"))
+        / F.col("expected")
+        * F.lit(1000000.0)
+    )
+    return cells.select(
+        "source", "lang", "n_obs", "expected",
+        F.round(term, 0).cast("long").alias("chi_term_micro"),
+    )

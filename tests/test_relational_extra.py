@@ -562,3 +562,30 @@ def test_golden_record_survivorship_rules(spark):
         cands.sort(key=lambda t: (-t[1], t[2]))
         assert r["segment_src"] == cands[0][0], (k, cands, r)
         assert r["latest_update"] == max(k % 7, k % 5, k % 9)
+
+
+def test_chisq_dense_grid_hand_values(spark, tmp_path):
+    """Hand contingency table: per-cell terms match the closed forms,
+    and the ZERO-observed cell (B, fr) is present carrying term = E·10⁶
+    — the cell a sparse join would silently drop."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["x"] * 4,
+        "lang": ["en", "en", "fr", "en"],
+        "source": ["A", "A", "A", "B"],
+        "n_chars": [1] * 4,
+    }).to_parquet(tmp_path / "documents.parquet")
+    rows = {(r["source"], r["lang"]): r for r in
+            REGISTRY["stats_chisq_source_lang"].fn(spark, str(tmp_path))
+            .collect()}
+    assert set(rows) == {("A", "en"), ("A", "fr"), ("B", "en"), ("B", "fr")}
+    assert rows[("A", "en")]["n_obs"] == 2
+    assert rows[("A", "en")]["expected"] == 2.25
+    assert rows[("A", "en")]["chi_term_micro"] == round(0.25**2 / 2.25 * 1e6)
+    assert rows[("B", "fr")]["n_obs"] == 0
+    assert rows[("B", "fr")]["expected"] == 0.25
+    assert rows[("B", "fr")]["chi_term_micro"] == 250000
