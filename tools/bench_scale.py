@@ -128,7 +128,7 @@ SF1_QUERIES = [
     # r9 second half: composed ANN index, DQ profiler, outer interval
     # join, MDM survivorship
     "sim_topk_ivfpq", "dq_column_profile", "stream_unattributed_clicks",
-    "er_golden_record",
+    "er_golden_record", "stats_chisq_source_lang",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -187,7 +187,7 @@ SF10_QUERIES = [
     # r9 second half: codes-only probed scan / one-scan profiler /
     # user-keyed join / single-aggregate survivorship — bounded shuffles
     "sim_topk_ivfpq", "dq_column_profile", "stream_unattributed_clicks",
-    "er_golden_record",
+    "er_golden_record", "stats_chisq_source_lang",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
