@@ -768,3 +768,77 @@ def test_pagerank_matches_python_model(spark):
     assert got == ranks
     assert got[6] == TELEPORT  # isolated: teleport-only, still present
     assert got[3] == max(got.values())  # the hub every edge feeds
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(0, 6), min_size=1, max_size=60),
+    st.integers(2, 10),
+    st.booleans(),
+)
+def test_ntile_tuple_device_matches_ntile_property(spark, vals, tiles, heavy):
+    """The boundary-bucket tuple device + map-side assignment must
+    reproduce ``ntile(t) over (order by value, key)`` EXACTLY — same
+    remainder-fill, same value-tie split by key — for any tie structure
+    (0..6 values force massive ties), any tile count (including
+    t > n), in BOTH shapes: heavy-ties (exact-value bucket + tie-bucket
+    stage) and crossing-cell rank (coarse monotone bucket)."""
+    from pyspark.sql import Row, Window
+
+    from pubic_multi_platform_to_postgres_spark.operators.selection import (
+        nearest_rank_multi_tuple,
+        ntile_assign,
+        ntile_boundary_ks,
+    )
+
+    df = spark.createDataFrame(
+        [Row(v=v, k=i * 7 % 61) for i, v in enumerate(vals)]
+    ).localCheckpoint(eager=False)
+    expect = {
+        (r["v"], r["k"]): r["b"]
+        for r in df.select(
+            "v", "k", F.ntile(tiles).over(Window.orderBy("v", "k")).alias("b")
+        ).collect()
+    }
+    ks = ntile_boundary_ks(tiles)
+    if heavy:
+        bnds = nearest_rank_multi_tuple(
+            df, "v", "k", F.col("v"), ks, tie_bucket=F.expr("k div 5")
+        )
+    else:
+        bnds = nearest_rank_multi_tuple(
+            df, "v", "k", (F.col("v") / 3).cast("long"), ks
+        )
+    boundaries = [bnds[label] for label in ks if label in bnds]
+    got = {
+        (r["v"], r["k"]): r["b"]
+        for r in df.select(
+            "v", "k", ntile_assign("v", "k", boundaries).alias("b")
+        ).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.integers(1, 25), min_size=1, max_size=50),
+       st.sampled_from([0.5, 0.99]))
+def test_nearest_rank_exact_matches_rank_row(spark, ns, q):
+    """nearest_rank_exact must equal the value at row_number rank
+    ceil(q*n) under ORDER BY (value, tie) for any tie structure — the
+    p50/p99 selection dq_join_skew_audit replaced its |keys|-sized
+    unpartitioned window with."""
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.selection import (
+        nearest_rank_exact,
+    )
+
+    df = spark.createDataFrame(
+        [Row(n=n, key=i) for i, n in enumerate(ns)]
+    ).localCheckpoint(eager=False)
+    rank = int(math.ceil(q * len(ns)))
+    expect = sorted(ns)[rank - 1]
+    got = nearest_rank_exact(
+        df, "n", {"x": f"cast(ceil({q} * sum(c) over ()) as bigint)"}
+    )["x"]
+    assert got == expect
