@@ -61,7 +61,9 @@ def weighted_pagerank(
     edges: DataFrame,
     iters: int = 10,
     checkpoint_every: int | None = None,
-) -> DataFrame:
+    tol_q: int | None = None,
+    check_every: int = 2,
+):
     """Integer-exact damped PageRank: ``nodes(node)``, directed
     ``edges(src, dst, w)`` → ``(node, rank_q)``.
 
@@ -85,6 +87,18 @@ def weighted_pagerank(
     LARGE ``iters`` where lineage depth would otherwise grow unbounded;
     at the default K=10 the plan is 10 join+agg levels, well inside
     Catalyst's comfort zone.
+
+    ``tol_q`` (VERDICT r9 Next #7) adds an optional convergence
+    early-exit: every ``check_every`` rounds the rank vector is
+    materialized and the exact integer L1 delta ``Σ|r_new − r_old|``
+    (quantized units) against the previously checked vector is fetched
+    (1-row aggregate); the loop stops once it is ≤ ``tol_q``. Checks
+    cost an eager checkpoint each (the +2.4 s/10-round overhead the
+    docstring's variant table measured — hence sparse ``check_every``),
+    and buy back whole join+agg rounds once ranks settle. With ``tol_q``
+    the function returns ``(ranks, rounds_executed)``; with the default
+    ``None`` the behavior and return type are unchanged — the gate
+    query keeps fixed rounds so the DuckDB oracle replays bit-faithful.
     """
     from pyspark import StorageLevel
 
@@ -113,6 +127,8 @@ def weighted_pagerank(
         .localCheckpoint(eager=True, storageLevel=level)
     )
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("r"))
+    prev_checked = ranks
+    rounds_executed = iters
     for i in range(iters):
         contrib = e.join(ranks, e.src == ranks.node).select(
             "dst",
@@ -125,9 +141,26 @@ def weighted_pagerank(
             .cast("long")
             .alias("r"),
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+        if tol_q is not None and (i + 1) % check_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True, storageLevel=level)
+            delta = (
+                ranks.join(
+                    prev_checked.select("node", F.col("r").alias("r_prev")),
+                    "node",
+                )
+                .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("d"))
+                .first()["d"]
+            )
+            prev_checked = ranks
+            if delta is not None and delta <= tol_q:
+                rounds_executed = i + 1
+                break
+        elif checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint()
-    return ranks.select("node", F.col("r").alias("rank_q"))
+    out = ranks.select("node", F.col("r").alias("rank_q"))
+    if tol_q is not None:
+        return out, rounds_executed
+    return out
 
 
 def purchase_pagerank_oracle_sql(iters: int = 10) -> str:

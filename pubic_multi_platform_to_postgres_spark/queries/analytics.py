@@ -648,21 +648,11 @@ def window_rolling_5_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pubic_multi_platform_to_postgres_spark.operators import graph as _graph  # noqa: E402
 
 
-@query("graph_pagerank_purchases", oracle=_graph.purchase_pagerank_oracle_sql(iters=10))
-def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank over the customer↔supplier purchase graph —
-    the iterative join+aggregate family behind link-graph corpus
-    weighting (PageRank, Brin & Page 1998; Common Crawl ranks pages the
-    same way before corpus builders sample them). Nodes are all
-    customers and suppliers (isolated customers keep their
-    teleport-only rank); edges are undirected purchase relations
-    weighted by lineitem count; ranks are integer-quantized and every
-    one of the 10 fixed iterations is replayed CTE-by-CTE by the DuckDB
-    oracle, so the gate proves each distributed rank round bit-exact —
-    see ``operators/graph.py`` for the arithmetic, damping, overflow
-    bound, and the 100 TB shuffle shape (edge and node tables built and
-    partitioned ONCE, per-round shuffles bounded by |nodes| + |edges|,
-    rank-vector broadcast kicking in automatically on small graphs)."""
+def purchase_graph(spark: SparkSession, sf_dir: str):
+    """The customer↔supplier purchase graph: undirected edges weighted
+    by lineitem count (node encoding 2·custkey / 2·suppkey+1), nodes =
+    all customers and suppliers. Shared by the gate query below and by
+    ``tools/bench_scale.py``'s convergence-early-exit measurement."""
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     customer = load(spark, sf_dir, "customer")
@@ -685,6 +675,28 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select((F.col("c_custkey") * 2).alias("node"))
         .unionAll(supplier.select((F.col("s_suppkey") * 2 + 1).alias("node")))
     )
+    return nodes, edges
+
+
+@query(
+    "graph_pagerank_purchases",
+    oracle=_graph.purchase_pagerank_oracle_sql(iters=10),
+)
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the customer↔supplier purchase graph —
+    the iterative join+aggregate family behind link-graph corpus
+    weighting (PageRank, Brin & Page 1998; Common Crawl ranks pages the
+    same way before corpus builders sample them). Nodes are all
+    customers and suppliers (isolated customers keep their
+    teleport-only rank); edges are undirected purchase relations
+    weighted by lineitem count; ranks are integer-quantized and every
+    one of the 10 fixed iterations is replayed CTE-by-CTE by the DuckDB
+    oracle, so the gate proves each distributed rank round bit-exact —
+    see ``operators/graph.py`` for the arithmetic, damping, overflow
+    bound, and the 100 TB shuffle shape (edge and node tables built and
+    partitioned ONCE, per-round shuffles bounded by |nodes| + |edges|,
+    rank-vector broadcast kicking in automatically on small graphs)."""
+    nodes, edges = purchase_graph(spark, sf_dir)
     ranks = _graph.weighted_pagerank(nodes, edges, iters=10)
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))

@@ -842,3 +842,55 @@ def test_nearest_rank_exact_matches_rank_row(spark, ns, q):
         df, "n", {"x": f"cast(ceil({q} * sum(c) over ()) as bigint)"}
     )["x"]
     assert got == expect
+
+
+def test_pagerank_early_exit_matches_model_at_exit_round(spark):
+    """``tol_q`` early-exit (VERDICT r9 Next #7): a Python replay of the
+    integer recurrence AND of the check rule (every ``check_every``
+    rounds, exact L1 against the previously CHECKED vector, stop at
+    ≤ tol) predicts both the exit round and the exact rank vector; the
+    distributed implementation must match both, exit before the round
+    cap, and the default ``tol_q=None`` path must keep returning a bare
+    DataFrame."""
+    from pyspark.sql import DataFrame
+
+    from pubic_multi_platform_to_postgres_spark.operators.graph import (
+        D_DEN,
+        D_NUM,
+        SCALE,
+        TELEPORT,
+        weighted_pagerank,
+    )
+
+    edge_list = [(1, 2, 1), (2, 1, 1), (3, 1, 2), (1, 3, 2)]
+    node_ids = [1, 2, 3, 4]
+    iters, tol_q, check_every = 40, 10**8, 2
+
+    wdeg: dict = {}
+    for s, _, w in edge_list:
+        wdeg[s] = wdeg.get(s, 0) + w
+    ranks = {n: SCALE for n in node_ids}
+    prev_checked = dict(ranks)
+    want_rounds = iters
+    for i in range(iters):
+        nxt = {n: TELEPORT for n in node_ids}
+        for s, d, w in edge_list:
+            nxt[d] += (D_NUM * ranks[s] * w) // (D_DEN * wdeg[s])
+        ranks = nxt
+        if (i + 1) % check_every == 0 and i + 1 < iters:
+            delta = sum(abs(ranks[n] - prev_checked[n]) for n in node_ids)
+            prev_checked = dict(ranks)
+            if delta <= tol_q:
+                want_rounds = i + 1
+                break
+    assert want_rounds < iters  # the fixture must actually converge
+
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "node long")
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
+    assert isinstance(weighted_pagerank(nodes, edges, iters=3), DataFrame)
+    early, rounds = weighted_pagerank(
+        nodes, edges, iters=iters, tol_q=tol_q, check_every=check_every
+    )
+    got = {r["node"]: r["rank_q"] for r in early.collect()}
+    assert rounds == want_rounds
+    assert got == ranks

@@ -129,6 +129,10 @@ SF1_QUERIES = [
     # join, MDM survivorship
     "sim_topk_ivfpq", "dq_column_profile", "stream_unattributed_clicks",
     "er_golden_record", "stats_chisq_source_lang",
+    # r10: the three re-planned boundary-bucket queries (VERDICT r9
+    # What's-wrong #1) — new plans need fresh scale evidence
+    "histogram_equidepth_order_values", "rfm_customer_segments",
+    "dq_join_skew_audit",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -188,6 +192,13 @@ SF10_QUERIES = [
     # user-keyed join / single-aggregate survivorship — bounded shuffles
     "sim_topk_ivfpq", "dq_column_profile", "stream_unattributed_clicks",
     "er_golden_record", "stats_chisq_source_lang",
+    # r10 (VERDICT r9 Next #5): the two pair-fan-out generators whose
+    # curves stopped at 10× — now measured through 100× (they also take
+    # sf3 below so the curve has >= 3 points, the jaccard-quadratic rule)
+    "corpus_pmi_collocations", "corpus_source_overlap",
+    # r10: the re-planned boundary-bucket queries at the 100× point
+    "histogram_equidepth_order_values", "rfm_customer_segments",
+    "dq_join_skew_audit",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
@@ -205,6 +216,9 @@ SF3_QUERIES = [
     # text dedup families
     "multimodal_image_ahash_neardup", "multimodal_audio_fingerprint_neardup",
     "multimodal_video_framehash_neardup",
+    # r10 (VERDICT r9 Next #5): pair-fan-out generators need the 30×
+    # curve point between the measured 10× and the new 100×
+    "corpus_pmi_collocations", "corpus_source_overlap",
 ]
 
 
@@ -408,8 +422,14 @@ def main() -> int:
             counts[name][label] = fn(spark, sf_dir).count()
         print(f"  rows   {name}: {counts[name]}", file=sys.stderr)
     # the sorted-neighborhood queries also ran (and are output-counted)
-    # at 100x — their output is W-bounded, so the count is affordable
-    for name in ("dedup_levenshtein_prefix", "dedup_levenshtein_snm2"):
+    # at 100x — their output is W-bounded, so the count is affordable;
+    # r10: same for the PMI collocation table (vocab-pair bounded) and
+    # the source-overlap matrix (|sources|² rows), so their 100× growth
+    # ratios read against answer size like the rest of the pair family
+    for name in (
+        "dedup_levenshtein_prefix", "dedup_levenshtein_snm2",
+        "corpus_pmi_collocations", "corpus_source_overlap",
+    ):
         counts[name]["sf10"] = entry.queries()[name](spark, SF10).count()
     report["pair_output_rows"] = counts
 
@@ -483,6 +503,55 @@ def main() -> int:
         }
         print(f"  jcand  {label}: {jstats[label]}", file=sys.stderr)
     report["jaccard_candidate_counts"] = jstats
+
+    # r10 (VERDICT r9 Next #7): convergence early-exit for the PageRank
+    # loop. The gate query keeps 10 fixed rounds (oracle contract); this
+    # measures what the optional tol_q exit buys on a LONG run: fixed 30
+    # rounds vs tol-exited, with the executed round count recorded. The
+    # tolerance is 10% of total initial mass moved across a 5-round
+    # check window (tol_q = |nodes|·SCALE/10, ~2%/round average) — the
+    # measured window delta decays ×0.44 per check (0.85⁵, the damping
+    # geometry: 1.16 → 0.52 → 0.23 → 0.10 → 0.045 of n·SCALE at rounds
+    # 5..25 on the sf0.1 graph), so this tolerance exits at round ~20 of
+    # 30: a genuine mid-run exit, not either degenerate endpoint. The
+    # saving is whole join+agg rounds minus the sparse check overhead
+    # (an eager checkpoint every 5 rounds).
+    from pubic_multi_platform_to_postgres_spark.operators.graph import (
+        SCALE as PR_SCALE,
+    )
+    from pubic_multi_platform_to_postgres_spark.operators.graph import (
+        weighted_pagerank,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries.analytics import (
+        purchase_graph,
+    )
+
+    prstats: dict = {}
+    for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1), ("sf10", SF10)):
+        nodes, edges = purchase_graph(spark, sf_dir)
+        n_nodes = nodes.count()
+        tol_q = n_nodes * PR_SCALE // 10
+        t0 = time.perf_counter()
+        weighted_pagerank(nodes, edges, iters=30).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_fixed = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        early, rounds = weighted_pagerank(
+            nodes, edges, iters=30, tol_q=tol_q, check_every=5
+        )
+        early.write.format("noop").mode("overwrite").save()
+        t_early = time.perf_counter() - t0
+        prstats[label] = {
+            "n_nodes": int(n_nodes),
+            "tol_q": int(tol_q),
+            "t_fixed_30_s": round(t_fixed, 3),
+            "t_early_exit_s": round(t_early, 3),
+            "rounds_executed": int(rounds),
+            "saving_pct": round(100 * (1 - t_early / t_fixed), 1),
+        }
+        print(f"  pr     {label}: {prstats[label]}", file=sys.stderr)
+    report["pagerank_early_exit"] = prstats
 
     summarize(report)
     Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
