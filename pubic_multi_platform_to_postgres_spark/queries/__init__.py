@@ -31,5 +31,9 @@ for _tail_rotated in (
     "stats_benford_order_values",
     "dq_column_profile",
     "stats_chisq_source_lang",
+    # round-10 additions register mid-catalog (lifecycle.py) — seat them
+    # at the tail too so the same round-10 window samples them
+    "stats_zipf_exponent",
+    "stats_ks_source_chars",
 ):
     REGISTRY[_tail_rotated] = REGISTRY.pop(_tail_rotated)

@@ -1047,3 +1047,236 @@ def stats_chisq_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "lang", "n_obs", "expected",
         F.round(term, 0).cast("long").alias("chi_term_micro"),
     )
+
+
+_ZIPF_TOP_K = 256
+
+
+@query(
+    "stats_zipf_exponent",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tc AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    top AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+        FROM tc ORDER BY n DESC, tok LIMIT {_ZIPF_TOP_K}
+    ),
+    q AS (
+        SELECT CAST(round(ln(rk) * 1000000, 0) AS BIGINT) AS x,
+               CAST(round(ln(n) * 1000000, 0) AS BIGINT) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(x * y) AS HUGEINT) AS sxy,
+               CAST(SUM(x * x) AS HUGEINT) AS sxx
+        FROM q
+    ),
+    fit AS (
+        SELECT k, k * sxy - sx * sy AS num, k * sxx - sx * sx AS den, sx, sy
+        FROM s WHERE k >= 2
+    )
+    SELECT CAST(k AS BIGINT) AS n_ranks,
+           CAST(CASE WHEN num <= 0
+                     THEN -(((-num) * 1000000) // den)
+                     ELSE (num * 1000000) // den END AS BIGINT)
+               AS slope_micro,
+           CAST(CASE WHEN sy * den - num * sx >= 0
+                     THEN (sy * den - num * sx) // (k * den)
+                     ELSE -((-(sy * den - num * sx)) // (k * den)) END
+                AS BIGINT) AS intercept_micro
+    FROM fit
+    """,
+)
+def stats_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-exponent fit over the corpus token frequencies — the
+    lexical-statistics health check next to Heaps' law and token Gini:
+    natural language sits near slope −1 in log(freq)-vs-log(rank); a
+    corpus that drifts flat (templated boilerplate flooding mid-ranks)
+    or too steep (tiny effective vocabulary) fails the audit before
+    tokenizer budgeting (``text_vocab_coverage``) is even meaningful.
+
+    Exact OLS over the top-K=256 (frequency, rank) points: top-K is a
+    ``TakeOrdered`` orderBy().limit() (never a global sort of the
+    vocabulary), ranks number a 256-row frame (bounded-window class,
+    pinned in the plan-audit allowlist), ln is quantized to integer
+    micro-nats per value (the trigram-entropy 1e-6-grid tolerance), and
+    the normal-equation combine runs in DECIMAL(38,0)/HUGEINT (sx·sy
+    peaks ~1e19, past int64). Quotients keep both operands non-negative
+    via an explicit sign CASE — Spark ``div`` truncates while DuckDB
+    ``//`` floors, and they only agree on non-negatives. Slope and
+    intercept are integer micro-units; consumers divide by 1e6.
+
+    Scale: one linear token-count shuffle (the vocab table), a top-256
+    selection, and constant-size arithmetic — flat at any corpus."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        tokenize,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = cnt.orderBy(F.desc("n"), "tok").limit(_ZIPF_TOP_K)
+    w = Window.orderBy(F.desc("n"), "tok")
+    lnq = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
+    q = top.select(
+        F.row_number().over(w).alias("rk"), "n"
+    ).select(
+        F.expr(lnq.format(x="rk")).alias("x"),
+        F.expr(lnq.format(x="n")).alias("y"),
+    )
+    dec = "cast({c} as decimal(38,0))"
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.expr(f"sum({dec.format(c='x')})").alias("sx"),
+        F.expr(f"sum({dec.format(c='y')})").alias("sy"),
+        F.expr(f"sum({dec.format(c='x')} * {dec.format(c='y')})").alias("sxy"),
+        F.expr(f"sum({dec.format(c='x')} * {dec.format(c='x')})").alias("sxx"),
+    ).filter(F.col("k") >= 2)
+    fit = s.select(
+        "k",
+        "sx",
+        "sy",
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    return fit.select(
+        F.col("k").alias("n_ranks"),
+        F.expr(
+            "CAST(CASE WHEN num <= 0"
+            " THEN -(((-num) * 1000000) div den)"
+            " ELSE (num * 1000000) div den END AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST(CASE WHEN sy * den - num * sx >= 0"
+            " THEN (sy * den - num * sx) div (k * den)"
+            " ELSE -((-(sy * den - num * sx)) div (k * den)) END AS BIGINT)"
+        ).alias("intercept_micro"),
+    )
+
+
+@query(
+    "stats_ks_source_chars",
+    oracle="""
+    WITH h AS (
+        SELECT source, n_chars AS v, COUNT(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    grid AS (
+        SELECT s.source, vv.v, COALESCE(h.c, 0) AS c
+        FROM (SELECT DISTINCT source FROM h) s
+        CROSS JOIN (SELECT DISTINCT v FROM h) vv
+        LEFT JOIN h ON h.source = s.source AND h.v = vv.v
+    ),
+    e AS (
+        SELECT source, v,
+               CAST(SUM(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT)
+                   AS cum
+        FROM grid
+    ),
+    n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY source),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               na.n AS n_a, nb.n AS n_b,
+               MAX(abs(CAST(a.cum AS HUGEINT) * nb.n
+                       - CAST(b.cum AS HUGEINT) * na.n)) AS md
+        FROM e a
+        JOIN e b ON a.v = b.v AND a.source < b.source
+        JOIN n na ON na.source = a.source
+        JOIN n nb ON nb.source = b.source
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT source_a, source_b, n_a, n_b,
+           CAST((md * 1000000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+               AS ks_micro,
+           CAST(CAST((md * 1000000) // (CAST(n_a AS HUGEINT) * n_b)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS ks_stat
+    FROM pairs
+    """,
+)
+def stats_ks_source_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between every source
+    pair's document-length distributions — the distribution-drift audit
+    next to the chi-squared mix test: χ² sees a source whose LANGUAGE
+    mix drifted; KS sees one whose length PROFILE drifted (truncated
+    crawls, chopped boilerplate, concatenated shards) even when the
+    label mix is identical. One row per unordered source pair with the
+    exact KS statistic quantized to 1e-6.
+
+    Exactness: D = max_v |cumA(v)·nB − cumB(v)·nA| / (nA·nB) evaluated
+    on the dense (source × distinct length) grid, so the max runs over
+    exact integers (the cross products go through DECIMAL(38,0)/HUGEINT
+    — at 10⁹-doc sources cum·n passes int64) and the one floor-division
+    pins the result on both engines.
+
+    Plan: one (source, n_chars) histogram shuffle; the dense grid is
+    the distinct-length frame exploded over the DRIVER-FETCHED source
+    list (the chi-squared grid idiom — |sources| literals, never a
+    cartesian join); ECDFs are per-source PARTITIONED cumulative
+    windows; the pair join is value-aligned equi-join with
+    |values|·|sources|² bounded output. Distinct lengths are bounded by
+    the length domain (structural), sources by the catalog — nothing
+    corpus-sized sorts in one task."""
+    docs = load(spark, sf_dir, "documents")
+    h = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    srcs = sorted(r["source"] for r in h.select("source").distinct().collect())
+    if not srcs:
+        return spark.createDataFrame(
+            [],
+            "source_a string, source_b string, n_a long, n_b long, "
+            "ks_micro long, ks_stat double",
+        )
+    grid = h.select("v").distinct().select(
+        "v",
+        F.explode(F.array(*[F.lit(s) for s in srcs])).alias("source"),
+    )
+    e = grid.join(h, ["source", "v"], "left").select(
+        "source", "v", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wcum = Window.partitionBy("source").orderBy("v")
+    e = e.select("source", "v", F.sum("c").over(wcum).alias("cum"))
+    n = h.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    e = e.join(F.broadcast(n), "source")
+    a = e.select(
+        F.col("source").alias("source_a"),
+        "v",
+        F.col("cum").alias("cum_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = e.select(
+        F.col("source").alias("source_b"),
+        "v",
+        F.col("cum").alias("cum_b"),
+        F.col("n").alias("n_b"),
+    )
+    diff = F.expr(
+        "abs(cast(cum_a as decimal(38,0)) * n_b"
+        " - cast(cum_b as decimal(38,0)) * n_a)"
+    )
+    pairs = (
+        a.join(b, (a.v == b.v) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.max(diff).alias("md"))
+    )
+    ks_micro = F.expr(
+        "CAST((md * 1000000) div (cast(n_a as decimal(38,0)) * n_b) AS BIGINT)"
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        ks_micro.alias("ks_micro"),
+        (ks_micro.cast("double") / F.lit(1000000.0)).alias("ks_stat"),
+    )

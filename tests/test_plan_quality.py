@@ -419,6 +419,9 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "corpus_temperature_mix": 4,
     # order-less global-total frame on the |sources×langs| mixture grid
     "corpus_mixture_plan": 1,
+    # rank numbering of the top-256 token frame (TakeOrdered output —
+    # 256 rows at any corpus size)
+    "stats_zipf_exponent": 1,
 }
 
 

@@ -133,6 +133,9 @@ SF1_QUERIES = [
     # What's-wrong #1) — new plans need fresh scale evidence
     "histogram_equidepth_order_values", "rfm_customer_segments",
     "dq_join_skew_audit",
+    # r10: lexical/drift audits — one token-count shuffle + constant
+    # arithmetic (zipf), bounded dense-grid ECDF pair join (ks)
+    "stats_zipf_exponent", "stats_ks_source_chars",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -199,6 +202,8 @@ SF10_QUERIES = [
     # r10: the re-planned boundary-bucket queries at the 100× point
     "histogram_equidepth_order_values", "rfm_customer_segments",
     "dq_join_skew_audit",
+    # r10: lexical/drift audits at the 100× point
+    "stats_zipf_exponent", "stats_ks_source_chars",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
