@@ -610,19 +610,31 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie_bucket = F.expr(f"o_custkey div {key_div}")
     m_step = max((mm["mx"] - mm["mn"]) / 65536.0, 1e-9)
     ks = ntile_boundary_ks(5)
-    r_b = nearest_rank_multi_tuple(
-        agg, "rmicros", "o_custkey", F.col("rmicros"), ks, tie_bucket=tie_bucket
-    )
-    f_b = nearest_rank_multi_tuple(
-        agg, "frequency", "o_custkey", F.col("frequency"), ks, tie_bucket=tie_bucket
-    )
-    m_b = nearest_rank_multi_tuple(
-        agg,
-        "monetary",
-        "o_custkey",
-        F.floor((F.col("monetary") - F.lit(mm["mn"])) / F.lit(m_step)),
-        ks,
-    )
+    # The three dimensions select over the SAME checkpointed aggregate
+    # with independent histograms — run their (bounded-collect) device
+    # jobs concurrently so the wall cost is one device pass, not three
+    # (Spark's scheduler interleaves the tiny stages; at sf0.1 the jobs
+    # are pure scheduling latency, at scale they share the cached agg).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        r_f = pool.submit(
+            nearest_rank_multi_tuple,
+            agg, "rmicros", "o_custkey", F.col("rmicros"), ks,
+            tie_bucket=tie_bucket,
+        )
+        f_f = pool.submit(
+            nearest_rank_multi_tuple,
+            agg, "frequency", "o_custkey", F.col("frequency"), ks,
+            tie_bucket=tie_bucket,
+        )
+        m_f = pool.submit(
+            nearest_rank_multi_tuple,
+            agg, "monetary", "o_custkey",
+            F.floor((F.col("monetary") - F.lit(mm["mn"])) / F.lit(m_step)),
+            ks,
+        )
+        r_b, f_b, m_b = r_f.result(), f_f.result(), m_f.result()
     labels = list(ks)
     return agg.select(
         "o_custkey",
