@@ -405,6 +405,10 @@ def main() -> int:
                 else f"{r['median_s']}s"
             )
             print(f"  {label:6s} {name}: {msg}", file=sys.stderr)
+            # incremental checkpoint: a late-section failure (the r10
+            # full run OOM'd on the final pagerank sf10 point) must
+            # never lose the measured rows
+            Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
     if only:
         # merge mode: the pair/cluster/candidate evidence sections cover
@@ -437,6 +441,7 @@ def main() -> int:
     ):
         counts[name]["sf10"] = entry.queries()[name](spark, SF10).count()
     report["pair_output_rows"] = counts
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
     # r7 (VERDICT r6 #5): end-to-end curve for the cluster-collapse
     # consumer of the re-planned candidate generator — wall-clock,
@@ -487,6 +492,7 @@ def main() -> int:
         }
         print(f"  cc     {label}: {cstats[label]}", file=sys.stderr)
     report["cluster_stats"] = cstats
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
     # r7 (VERDICT r6 #6): jaccard CANDIDATE counts through 100x — the
     # prefix filter's probe volume, measured without the verify join's
@@ -508,6 +514,7 @@ def main() -> int:
         }
         print(f"  jcand  {label}: {jstats[label]}", file=sys.stderr)
     report["jaccard_candidate_counts"] = jstats
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
     # r10 (VERDICT r9 Next #7): convergence early-exit for the PageRank
     # loop. The gate query keeps 10 fixed rounds (oracle contract); this
@@ -531,32 +538,43 @@ def main() -> int:
         purchase_graph,
     )
 
+    # the 30-round sf10 graph (240M directed edge rows, eager serialized
+    # checkpoints every 5 rounds on the early path) needs a session NOT
+    # carrying the whole sweep's accumulated block-manager state — the
+    # r10 full run OOM'd exactly here; a fresh session fits comfortably
+    spark.stop()
+    spark = get_session(app_name="spark_graft_bench_scale_pr")
+    spark.sparkContext.setLogLevel("ERROR")
     prstats: dict = {}
     for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1), ("sf10", SF10)):
-        nodes, edges = purchase_graph(spark, sf_dir)
-        n_nodes = nodes.count()
-        tol_q = n_nodes * PR_SCALE // 10
-        t0 = time.perf_counter()
-        weighted_pagerank(nodes, edges, iters=30).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        t_fixed = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        early, rounds = weighted_pagerank(
-            nodes, edges, iters=30, tol_q=tol_q, check_every=5
-        )
-        early.write.format("noop").mode("overwrite").save()
-        t_early = time.perf_counter() - t0
-        prstats[label] = {
-            "n_nodes": int(n_nodes),
-            "tol_q": int(tol_q),
-            "t_fixed_30_s": round(t_fixed, 3),
-            "t_early_exit_s": round(t_early, 3),
-            "rounds_executed": int(rounds),
-            "saving_pct": round(100 * (1 - t_early / t_fixed), 1),
-        }
+        try:
+            nodes, edges = purchase_graph(spark, sf_dir)
+            n_nodes = nodes.count()
+            tol_q = n_nodes * PR_SCALE // 10
+            t0 = time.perf_counter()
+            weighted_pagerank(nodes, edges, iters=30).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            t_fixed = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            early, rounds = weighted_pagerank(
+                nodes, edges, iters=30, tol_q=tol_q, check_every=5
+            )
+            early.write.format("noop").mode("overwrite").save()
+            t_early = time.perf_counter() - t0
+            prstats[label] = {
+                "n_nodes": int(n_nodes),
+                "tol_q": int(tol_q),
+                "t_fixed_30_s": round(t_fixed, 3),
+                "t_early_exit_s": round(t_early, 3),
+                "rounds_executed": int(rounds),
+                "saving_pct": round(100 * (1 - t_early / t_fixed), 1),
+            }
+        except Exception as exc:  # noqa: BLE001 — record, keep the rest
+            prstats[label] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
         print(f"  pr     {label}: {prstats[label]}", file=sys.stderr)
-    report["pagerank_early_exit"] = prstats
+        report["pagerank_early_exit"] = prstats
+        Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
     summarize(report)
     Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
