@@ -39,13 +39,26 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--out", default=str(REPO / "BENCH_PINNED_r04.json"))
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: re-pin just these rows and merge "
+        "into an existing --out artifact — the pin protocol's remedy for a "
+        "mid-run ambient window (re-run until repeats agree, never keep a "
+        "contaminated row)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     spark = get_session(app_name="spark_graft_bench_pinned")
     sf = float(os.path.basename(args.sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
     queries: dict[str, dict] = {}
+    if only and Path(args.out).exists():
+        queries = json.loads(Path(args.out).read_text())["queries"]
     for name in sorted(REGISTRY):
+        if only and name not in only:
+            continue
         fn = REGISTRY[name].fn
         try:
             fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
