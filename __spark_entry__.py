@@ -27,13 +27,14 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # state — so two runs of the same tree always see the same order
 # (round-8 advisory: ordering must not depend on driver artifacts).
 # History: rounds 1–7 sampled [0:50), round 8 sampled [50:100), round 9
-# sampled [100:150) — this round starts at 146 so the window
-# [146:174)+[0:22) covers the full never-yet-sampled set: the 24-query
-# relational/streaming tail, the four mid-index rows re-seated at the
-# registry tail (``queries/__init__.py``), and the graph/journey trio at
-# [17:20) via the wrap-around. ``SPARK_GRAFT_REGISTRY_ROT`` overrides
-# for local testing.
-REGISTRY_OFFSET = 146
+# sampled [100:150) — this round starts at 143 so the window
+# [143:177)+[0:16) covers the full never-yet-sampled set in one round:
+# the 24-query relational/streaming tail plus the ten rows re-seated at
+# the registry tail (``queries/__init__.py``: the four mid-index rows
+# that registered after their window was sampled, the graph/journey
+# trio, and the three round-10 additions). ``SPARK_GRAFT_REGISTRY_ROT``
+# overrides for local testing.
+REGISTRY_OFFSET = 143
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -797,3 +797,120 @@ def embedding_neardup_pairs(
     return base.groupBy(*[F.col(c) for c in block_cols]).applyInPandas(
         block_pairs, out_schema
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact ASYMMETRIC containment pairs: ordered ``(id_a, id_b,
+    containment)`` with ``C(A,B) = |A∩B| / |A| ≥ threshold`` over
+    distinct token n-gram sets, within a blocking key — the
+    quote/repost/subset detector Jaccard misses by construction (a
+    short document fully quoted inside a long one has high containment
+    but low Jaccard, because the union is dominated by the container).
+
+    Candidates come from a ONE-SIDED prefix filter (the containment
+    corollary of SSJoin/AllPairs): order tokens globally rarest-first;
+    with π(A) = the first |A| − ⌈t·|A|⌉ + 1 tokens of A, any B with
+    C(A,B) ≥ t shares a token with π(A) — if A∩B missed π(A) then
+    |A∩B| ≤ |A| − |π(A)| = ⌈t·|A|⌉ − 1 < t·|A|, a contradiction.
+    Containment has NO symmetric prefix (the container side's bound
+    depends on |A|), so candidate generation equi-joins the contained
+    side's prefix tokens against the container side's FULL posting
+    list within the block. Lossless: exact verification
+    (``array_intersect`` over the checkpointed gram arrays) makes the
+    output identical to the blocked all-pairs scorer whatever the
+    candidate order, so the engine-side 64-bit gram hashing never has
+    to match an oracle's hash — only its set-equality classes.
+
+    Scale: every stage is a linear shuffle (explode / groupBy /
+    equi-join); candidate volume is Σ_token prefix-df(token) ·
+    df(token) within the block — the rarest-first prefix keeps hot
+    stopword grams out of the probe side, and the full-side fan-out is
+    the price of exact asymmetric semantics (measured on the
+    30×-replica curve like the other pair generators). The reported
+    ``containment`` is one IEEE division of two exact small integers.
+    """
+    reserved = {"id_a", "id_b", "containment"}
+    bad = [c for c in (id_col, *block_cols)
+           if c in reserved or c.startswith("__ctp_")]
+    if bad:
+        raise ValueError(
+            f"containment_pairs: column names {bad} are reserved "
+            "(output names id_a/id_b/containment and the __ctp_ prefix)"
+        )
+    tokens = tokenize(F.col(text_col))
+    grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
+    hashed = df.select(
+        F.col(id_col).alias("__ctp_id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(
+            F.transform(grams, lambda g: F.xxhash64(g))
+        ).alias("__ctp_g"),
+    ).localCheckpoint(eager=False)
+    tok = hashed.select(
+        "__ctp_id", *block_cols, F.explode("__ctp_g").alias("__ctp_tok")
+    )
+    gdf = tok.groupBy("__ctp_tok").agg(F.count(F.lit(1)).alias("__ctp_df"))
+    ordered = (
+        tok.join(gdf, "__ctp_tok")
+        .groupBy("__ctp_id", *block_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__ctp_df", "__ctp_tok"))
+            ).alias("__ctp_sg")
+        )
+    )
+    # p = |X| - ceil(t|X|) + 1 (1e-9 nudge: an over-long prefix is safe,
+    # a short one loses pairs — same guard as the jaccard device)
+    pref = ordered.select(
+        "__ctp_id",
+        *block_cols,
+        F.explode(
+            F.expr(
+                "transform(slice(__ctp_sg, 1, size(__ctp_sg) - "
+                f"cast(ceil({threshold!r} * size(__ctp_sg) - 1e-9) as int) + 1), "
+                "s -> s.__ctp_tok)"
+            )
+        ).alias("__ctp_tok"),
+    )
+    a = pref.select(
+        F.col("__ctp_id").alias("id_a"),
+        *[F.col(c).alias(f"__ctp_ba_{c}") for c in block_cols],
+        "__ctp_tok",
+    )
+    b = tok.select(
+        F.col("__ctp_id").alias("id_b"),
+        *[F.col(c).alias(f"__ctp_bb_{c}") for c in block_cols],
+        "__ctp_tok",
+    )
+    cond = [a["__ctp_tok"] == b["__ctp_tok"]] + [
+        F.col(f"__ctp_ba_{c}") == F.col(f"__ctp_bb_{c}") for c in block_cols
+    ]
+    cand = (
+        a.join(b, cond)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = hashed.select(
+        F.col("__ctp_id").alias("id_a"), F.col("__ctp_g").alias("__ctp_ga")
+    )
+    gb = hashed.select(
+        F.col("__ctp_id").alias("id_b"), F.col("__ctp_g").alias("__ctp_gb")
+    )
+    c = (
+        F.size(F.array_intersect("__ctp_ga", "__ctp_gb")).cast("double")
+        / F.size("__ctp_ga").cast("double")
+    )
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(c >= threshold)
+        .select("id_a", "id_b", c.alias("containment"))
+    )

@@ -31,9 +31,17 @@ for _tail_rotated in (
     "stats_benford_order_values",
     "dq_column_profile",
     "stats_chisq_source_lang",
-    # round-10 additions register mid-catalog (lifecycle.py) — seat them
-    # at the tail too so the same round-10 window samples them
+    # round-10 additions register mid-catalog — seat them at the tail
+    # too so the same round-10 window samples them
     "stats_zipf_exponent",
     "stats_ks_source_chars",
+    "dedup_containment_pairs",
+    # the graph/journey trio also registered after its window was
+    # sampled (rounds 1-7 sampled [0:50) before these existed at
+    # [17:20)); with the round-10 additions the 50-row window can no
+    # longer reach them by wrap-around, so they complete the tail block
+    "graph_pagerank_purchases",
+    "graph_cluster_coefficient",
+    "journey_transition_matrix",
 ):
     REGISTRY[_tail_rotated] = REGISTRY.pop(_tail_rotated)

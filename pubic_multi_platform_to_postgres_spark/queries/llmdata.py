@@ -7028,3 +7028,51 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     return _pq.ivfpq_topk(qsub)
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, lang,
+               list_distinct(
+                   CASE WHEN len(w) >= 3
+                        THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]
+                        ELSE [array_to_string(w, ' ')] END
+               ) AS grams
+        FROM toks
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / CAST(len(a.grams) AS DOUBLE) AS containment
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    ) WHERE containment >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs over 3-gram shingle sets,
+    same-language blocks: every ordered pair where ≥50% of document
+    A's shingles appear in B — the quote/repost/subset relation that
+    symmetric Jaccard structurally under-scores (the container's bulk
+    inflates the union). Candidates via the one-sided rarest-first
+    prefix filter, exact ``array_intersect`` verification — lossless,
+    so the DuckDB oracle is the blocked all-pairs scorer over the SAME
+    shingle construction (space-joined word 3-grams, whole-text
+    fallback under 3 tokens — ``word_shingles``' contract). See
+    ``operators/dedup.py containment_pairs`` for the prefix theorem
+    and the Σ prefix-df·df candidate bound."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3
+    )

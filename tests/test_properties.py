@@ -894,3 +894,54 @@ def test_pagerank_early_exit_matches_model_at_exit_round(spark):
     got = {r["node"]: r["rank_q"] for r in early.collect()}
     assert rounds == want_rounds
     assert got == ranks
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.4, 0.6, 0.9]),
+)
+def test_containment_pairs_matches_python_model(spark, texts, thr):
+    """containment_pairs must equal the brute-force all-pairs scorer
+    (|A∩B|/|A| over distinct 3-gram shingle sets, ordered pairs within
+    one block) for ANY text shape — short docs (single whole-text
+    shingle fallback), empty-ish strings, heavy overlap — proving the
+    one-sided prefix filter lossless, not just fixture-green."""
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    def model_set(t):
+        # tokenize() splits trimmed lowercase text on \s+; an all-space
+        # string yields the single empty token, like split() on ""
+        w = t.strip().lower().split() or [""]
+        if len(w) >= 3:
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        return {" ".join(w)}
+
+    sets = [model_set(t) for t in texts]
+    want = {}
+    for i, a in enumerate(sets):
+        for j, b in enumerate(sets):
+            if i != j and a:
+                c = len(a & b) / len(a)
+                if c >= thr:
+                    want[(i, j)] = c
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="x", text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", ["lang"], threshold=thr, ngram=3
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-12

@@ -136,6 +136,9 @@ SF1_QUERIES = [
     # r10: lexical/drift audits — one token-count shuffle + constant
     # arithmetic (zipf), bounded dense-grid ECDF pair join (ks)
     "stats_zipf_exponent", "stats_ks_source_chars",
+    # r10: asymmetric containment (one-sided prefix filter; the pair
+    # family — also takes an sf3 point + output counts below)
+    "dedup_containment_pairs",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -224,6 +227,9 @@ SF3_QUERIES = [
     # r10 (VERDICT r9 Next #5): pair-fan-out generators need the 30×
     # curve point between the measured 10× and the new 100×
     "corpus_pmi_collocations", "corpus_source_overlap",
+    # r10: containment joins the pair-generator curve (its verify join
+    # is output-sized like jaccard's, so 100× stays candidate-policy)
+    "dedup_containment_pairs",
 ]
 
 
