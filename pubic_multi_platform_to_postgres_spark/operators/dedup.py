@@ -799,14 +799,14 @@ def embedding_neardup_pairs(
     )
 
 
-def containment_pairs(
+def _containment_candidates(
     df: DataFrame,
     text_col: str,
     id_col: str,
     block_cols: list[str],
-    threshold: float = 0.5,
-    ngram: int = 3,
-) -> DataFrame:
+    threshold: float,
+    ngram: int,
+) -> tuple[DataFrame, DataFrame]:
     """Exact ASYMMETRIC containment pairs: ordered ``(id_a, id_b,
     containment)`` with ``C(A,B) = |A∩B| / |A| ≥ threshold`` over
     distinct token n-gram sets, within a blocking key — the
@@ -898,6 +898,24 @@ def containment_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    return hashed, cand
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    ngram: int = 3,
+) -> DataFrame:
+    """Verified containment pairs — see :func:`_containment_candidates`
+    (the module docstring above it carries the theorem and the scale
+    argument): exact ``array_intersect`` verification over the
+    checkpointed gram arrays makes the prefix filter lossless."""
+    hashed, cand = _containment_candidates(
+        df, text_col, id_col, block_cols, threshold, ngram
+    )
     ga = hashed.select(
         F.col("__ctp_id").alias("id_a"), F.col("__ctp_g").alias("__ctp_ga")
     )
@@ -914,3 +932,22 @@ def containment_pairs(
         .filter(c >= threshold)
         .select("id_a", "id_b", c.alias("containment"))
     )
+
+
+def containment_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    ngram: int = 3,
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs from the one-sided prefix
+    filter ONLY — no verification join. Lossless superset of
+    :func:`containment_pairs`; ``tools/bench_scale.py`` counts it at
+    100× to close the extrapolation gap without the verify join's
+    output-sized shuffle (the same candidate-policy as
+    ``ngram_jaccard_candidates``)."""
+    return _containment_candidates(
+        df, text_col, id_col, block_cols, threshold, ngram
+    )[1]

@@ -1971,3 +1971,29 @@ def test_pmi_collocations_python_reference(spark, tmp_path):
     assert got == want
     assert (rows[0]["wa"], rows[0]["wb"]) == ("a", "b")  # top by PMI
     assert rows[0]["pmi"] == want[("a", "b")] / 1e6
+
+
+def test_containment_candidates_superset_of_pairs(spark):
+    """The one-sided prefix filter must be LOSSLESS: every verified
+    containment pair appears among the candidates (the theorem's
+    guarantee), and candidates only ever add pairs, never drop them."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_candidates,
+        containment_pairs,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in containment_candidates(
+            docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3
+        ).collect()
+    }
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(
+            docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3
+        ).collect()
+    }
+    assert pairs and pairs <= cand

@@ -522,6 +522,31 @@ def main() -> int:
     report["jaccard_candidate_counts"] = jstats
     Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
+    # r10: the containment generator's candidate face through 100× —
+    # same candidate-policy as jaccard (the verify join is output-sized;
+    # the quantity that must stay linear is the prefix×posting-list
+    # probe volume)
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_candidates,
+    )
+
+    ctstats: dict = {}
+    for label, sf_dir in (
+        ("sf0.1", SF01), ("sf1", SF1), ("sf3", SF3), ("sf10", SF10),
+    ):
+        t0 = time.perf_counter()
+        n_cand = containment_candidates(
+            load_table(spark, sf_dir, "documents"), "text", "doc_id",
+            ["lang"], threshold=0.5, ngram=3,
+        ).count()
+        ctstats[label] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "candidate_pairs": int(n_cand),
+        }
+        print(f"  ctcand {label}: {ctstats[label]}", file=sys.stderr)
+    report["containment_candidate_counts"] = ctstats
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+
     # r10 (VERDICT r9 Next #7): convergence early-exit for the PageRank
     # loop. The gate query keeps 10 fixed rounds (oracle contract); this
     # measures what the optional tol_q exit buys on a LONG run: fixed 30
