@@ -27,14 +27,13 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # state — so two runs of the same tree always see the same order
 # (round-8 advisory: ordering must not depend on driver artifacts).
 # History: rounds 1–7 sampled [0:50), round 8 sampled [50:100), round 9
-# sampled [100:150) — this round starts at 143 so the window
-# [143:177)+[0:16) covers the full never-yet-sampled set in one round:
-# the 24-query relational/streaming tail plus the ten rows re-seated at
-# the registry tail (``queries/__init__.py``: the four mid-index rows
-# that registered after their window was sampled, the graph/journey
-# trio, and the three round-10 additions). ``SPARK_GRAFT_REGISTRY_ROT``
-# overrides for local testing.
-REGISTRY_OFFSET = 143
+# sampled [100:150), round 10 sampled [143:177)+[0:16) — completing the
+# ledger (every row driver-sampled at least once). Round 11 starts at 16
+# so the window [16:66) re-verifies the stalest rows — [16:50) last
+# sampled round 7, [50:66) round 8 — and picks up the round-11 additions
+# seated at index 16 by ``queries/__init__.py``.
+# ``SPARK_GRAFT_REGISTRY_ROT`` overrides for local testing.
+REGISTRY_OFFSET = 16
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -844,6 +844,14 @@ def _containment_candidates(
             f"containment_pairs: column names {bad} are reserved "
             "(output names id_a/id_b/containment and the __ctp_ prefix)"
         )
+    # threshold must live in (0, 1]: above 1 the prefix slice length
+    # |X| − ⌈t|X|⌉ + 1 goes non-positive (an opaque slice() failure deep
+    # inside Spark); at or below 0 the prefix covers the whole set and
+    # the filter silently degenerates to all-pairs within the block.
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"containment threshold must be in (0, 1], got {threshold!r}"
+        )
     tokens = tokenize(F.col(text_col))
     grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
     hashed = df.select(

@@ -56,16 +56,18 @@ D_NUM, D_DEN = 17, 20
 TELEPORT = SCALE * (D_DEN - D_NUM) // D_DEN
 
 
-def weighted_pagerank(
+def _pagerank_loop(
     nodes: DataFrame,
     edges: DataFrame,
-    iters: int = 10,
-    checkpoint_every: int | None = None,
-    tol_q: int | None = None,
-    check_every: int = 2,
-):
-    """Integer-exact damped PageRank: ``nodes(node)``, directed
-    ``edges(src, dst, w)`` → ``(node, rank_q)``.
+    iters: int,
+    checkpoint_every: int | None,
+    tol_q: int | None,
+    check_every: int,
+) -> tuple[DataFrame, int]:
+    """Shared iteration engine for :func:`weighted_pagerank` (fixed
+    rounds) and :func:`weighted_pagerank_converged` (tol_q early-exit).
+    Always returns ``(ranks, rounds_executed)``; the public wrappers fix
+    the return shape so callers never see an argument-dependent type.
 
     Undirected graphs pass both edge directions. The out-degree
     enrichment and edge partitioning happen once; each iteration is the
@@ -95,10 +97,7 @@ def weighted_pagerank(
     (1-row aggregate); the loop stops once it is ≤ ``tol_q``. Checks
     cost an eager checkpoint each (the +2.4 s/10-round overhead the
     docstring's variant table measured — hence sparse ``check_every``),
-    and buy back whole join+agg rounds once ranks settle. With ``tol_q``
-    the function returns ``(ranks, rounds_executed)``; with the default
-    ``None`` the behavior and return type are unchanged — the gate
-    query keeps fixed rounds so the DuckDB oracle replays bit-faithful.
+    and buy back whole join+agg rounds once ranks settle.
     """
     from pyspark import StorageLevel
 
@@ -157,10 +156,40 @@ def weighted_pagerank(
                 break
         elif checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint()
-    out = ranks.select("node", F.col("r").alias("rank_q"))
-    if tol_q is not None:
-        return out, rounds_executed
+    return ranks.select("node", F.col("r").alias("rank_q")), rounds_executed
+
+
+def weighted_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 10,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Fixed-round integer-exact PageRank → ``(node, rank_q)``.
+
+    This is the gate face: K rounds always execute so the DuckDB oracle
+    (:func:`purchase_pagerank_oracle_sql`) replays every round
+    bit-faithful. For the convergence early-exit use
+    :func:`weighted_pagerank_converged` (split out per round-10 advice:
+    the return type must not depend on an argument)."""
+    out, _ = _pagerank_loop(nodes, edges, iters, checkpoint_every, None, 2)
     return out
+
+
+def weighted_pagerank_converged(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 10,
+    tol_q: int = 0,
+    check_every: int = 2,
+) -> tuple[DataFrame, int]:
+    """PageRank with the integer-L1 convergence early-exit → always
+    ``(ranks, rounds_executed)``. ``iters`` is the hard cap; the loop
+    stops as soon as a check round's exact delta ``Σ|r_new − r_old|``
+    falls to ≤ ``tol_q`` quantized units (see :func:`_pagerank_loop`'s
+    docstring for the check-cost/round-savings trade measured at
+    1×/10×/100×)."""
+    return _pagerank_loop(nodes, edges, iters, None, tol_q, check_every)
 
 
 def purchase_pagerank_oracle_sql(iters: int = 10) -> str:

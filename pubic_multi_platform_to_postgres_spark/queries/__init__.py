@@ -21,7 +21,7 @@ from pubic_multi_platform_to_postgres_spark.queries.registry import (  # noqa: F
 # already been covered by the external driver's fixed-size rotating sample
 # (rounds 1-9 sampled [0:50), [50:100), [100:150)), so they were the only
 # rows their windows ever skipped. Re-seating them at the registry TAIL
-# puts them inside the round-10 window ([146:174)+[0:22), see
+# puts them inside the round-10 window ([143:177)+[0:16), see
 # ``__spark_entry__.REGISTRY_OFFSET``) together with the never-sampled
 # relational/streaming tail, completing driver-grade evidence for every
 # catalog row (VERDICT r9 Next #3). Registration order elsewhere is
@@ -45,3 +45,19 @@ for _tail_rotated in (
     "journey_transition_matrix",
 ):
     REGISTRY[_tail_rotated] = REGISTRY.pop(_tail_rotated)
+
+# Round-11 additions register mid-catalog (llmdata module order), which
+# the round-11 driver window [16:66) (``__spark_entry__.REGISTRY_OFFSET
+# = 16``) would never reach — seat them at index 16 so each addition is
+# driver-sampled in its debut round (the r10 ledger-completeness rule).
+# Deterministic and committed like the tail block above; the gate sweep
+# itself is order-insensitive.
+_R11_SEAT_AT = 16
+_R11_ADDED = ("dedup_minhash_eval_sampled",)
+_names = [n for n in REGISTRY if n not in _R11_ADDED]
+_order = (
+    _names[:_R11_SEAT_AT] + list(_R11_ADDED) + _names[_R11_SEAT_AT:]
+)
+_reseated = {n: REGISTRY[n] for n in _order}
+REGISTRY.clear()
+REGISTRY.update(_reseated)

@@ -594,7 +594,12 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("timestamp")
             ),
         )
-        .localCheckpoint(eager=False)
+        # eager: the three quintile devices below fan out on threads and
+        # would otherwise race the FIRST materialization of a lazy
+        # checkpoint (historically flaky in Spark; at best computed
+        # redundantly). One up-front job here, and the mm aggregate plus
+        # all three device passes read the materialized blocks.
+        .localCheckpoint(eager=True)
     )
     mm = agg.agg(
         F.max("o_custkey").alias("maxk"),

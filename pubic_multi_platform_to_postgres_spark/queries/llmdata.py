@@ -151,20 +151,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic runs in numpy uint64 on the Spark side and HUGEINT on the
 # DuckDB side — identical by modular arithmetic.
 
-_TOKS_CTE = (
-    "SELECT doc_id, list_transform(string_split_regex(trim(lower(text)), '\\s+'),"
-    " t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS th FROM documents"
-)
+def _toks_cte(table: str = "documents") -> str:
+    return (
+        "SELECT doc_id, list_transform(string_split_regex(trim(lower(text)),"
+        " '\\s+'), t -> ('0x' || substr(md5(t),1,15))::BIGINT) AS th "
+        f"FROM {table}"
+    )
+
+
+_TOKS_CTE = _toks_cte()
 _M64 = "18446744073709551616::HUGEINT"
 
 
 def _minhash_sig_fragments(
     num_hashes: int = 64, shingle_size: int = 3, bands: int = 16,
+    table: str = "documents", lead_ctes: str = "",
 ) -> tuple[str, str, str]:
     """Shared DuckDB fragments of the MinHash+LSH replay: the
     ``toks→sh→mins→sigs`` CTE prefix, the OR-of-exact-band-tuples join
     condition over aliases ``a``/``b``, and the matching-position count
-    expression (``est_jaccard`` numerator)."""
+    expression (``est_jaccard`` numerator). ``table`` re-points the
+    token source (e.g. at a sampled-subcorpus CTE supplied via
+    ``lead_ctes``, which is spliced in front of ``toks``)."""
     A, B, C = minhash_constants(num_hashes, shingle_size)
     rpb = num_hashes // bands
     full = " + ".join(
@@ -193,8 +201,9 @@ def _minhash_sig_fragments(
         for b in range(bands)
     )
     est = " + ".join(f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
+    lead = f"{lead_ctes},\n    " if lead_ctes else ""
     cte = f"""
-    WITH toks AS ({_TOKS_CTE}),
+    WITH {lead}toks AS ({_toks_cte(table)}),
     sh AS (
         SELECT doc_id,
                CASE WHEN len(th) >= {shingle_size}
@@ -5523,7 +5532,8 @@ def multimodal_content_addressed_dedup(
     ).select("doc_id", "n_copies")
 
 
-_EVAL_GRAMS_CTE = """
+def _eval_grams_cte(table: str = "documents") -> str:
+    return f"""
     g AS (
         SELECT doc_id, lang, n_chars // 50 AS b1, (n_chars + 25) // 50 AS b2,
                list_distinct(
@@ -5535,8 +5545,11 @@ _EVAL_GRAMS_CTE = """
                    END) AS grams
         FROM (SELECT doc_id, lang, n_chars,
                      string_split_regex(trim(lower(text)), '\\s+') AS toks
-              FROM documents)
+              FROM {table})
     )"""
+
+
+_EVAL_GRAMS_CTE = _eval_grams_cte()
 
 _EVAL_JAC = (
     "CAST(len(list_intersect({a}.grams, {b}.grams)) AS DOUBLE)"
@@ -5545,14 +5558,35 @@ _EVAL_JAC = (
 )
 
 
-def _minhash_eval_oracle_sql() -> str:
+# deterministic subcorpus sample for the sampled audit face: Knuth
+# multiplicative scramble mod a prime, smallest-N by scrambled key.
+# (doc_id % M) < 2^20 and (A % M) < 2^20, so the product stays < 2^40 —
+# exact in BIGINT on both engines at any corpus size.
+_EVAL_SAMPLE_N = 256
+_EVAL_SAMPLE_M = 1_048_573
+_EVAL_SAMPLE_A = 2_654_435_761 % _EVAL_SAMPLE_M  # 497498
+
+
+def _minhash_eval_oracle_sql(sample_n: int | None = None) -> str:
     """Compose the full MinHash replay (predictions) with the exact
     3-shingle Jaccard truth set (two-grid blocking) into the confusion
-    metrics row."""
-    cte, band_conds, est = _minhash_sig_fragments(64, 3, 16)
+    metrics row. With ``sample_n`` both sides run on the deterministic
+    scrambled-key smallest-N subcorpus instead of the full table."""
+    table, lead = "documents", ""
+    if sample_n is not None:
+        table = "sdocs"
+        lead = f"""sdocs AS (
+        SELECT doc_id, lang, n_chars, text FROM documents
+        ORDER BY ((doc_id % {_EVAL_SAMPLE_M}) * {_EVAL_SAMPLE_A})
+                     % {_EVAL_SAMPLE_M}, doc_id
+        LIMIT {sample_n}
+    )"""
+    cte, band_conds, est = _minhash_sig_fragments(
+        64, 3, 16, table=table, lead_ctes=lead
+    )
     jac_ab = _EVAL_JAC.format(a="a", b="b")
     return f"""{cte},
-    {_EVAL_GRAMS_CTE.strip()},
+    {_eval_grams_cte(table).strip()},
     pred AS (
         SELECT id_a, id_b FROM (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -5628,7 +5662,13 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the metrics are three one-row aggregates cross-joined — nothing
     new shuffles at corpus scale. The oracle replays BOTH pipelines and
     the confusion arithmetic in one statement."""
-    docs = load(spark, sf_dir, "documents")
+    return _minhash_eval_metrics(load(spark, sf_dir, "documents"))
+
+
+def _minhash_eval_metrics(docs: DataFrame) -> DataFrame:
+    """Shared audit body: MinHash predictions vs exact 3-shingle
+    Jaccard truth over ``docs``, folded into the one-row confusion
+    metrics frame (see :func:`dedup_minhash_eval` for the contract)."""
     pred = minhash_dedup_pairs(
         docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.4,
         token_hash="md5",
@@ -5700,6 +5740,48 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "dedup_minhash_eval_sampled",
+    oracle=_minhash_eval_oracle_sql(sample_n=_EVAL_SAMPLE_N),
+)
+def dedup_minhash_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-quality audit a 100-TB operator actually runs
+    (VERDICT r10 Next #5): :func:`dedup_minhash_eval` on a FIXED-SIZE
+    deterministic subcorpus sample instead of the whole corpus, making
+    the audit's cost constant in corpus size. BASELINE.md's attribution
+    showed the full audit's cost IS its exact ground-truth pipelines —
+    un-shaveable by design — so the at-scale face bounds the input
+    instead: the smallest ``_EVAL_SAMPLE_N`` documents by a Knuth
+    multiplicative scramble of ``doc_id`` (mod the prime
+    ``_EVAL_SAMPLE_M``, tie-broken by ``doc_id`` so the order is total)
+    — a content-independent pseudo-random draw that both engines replay
+    exactly in 64-bit integer arithmetic. The selection is one TopK
+    (``TakeOrderedAndProject``: linear scan, 256-row heap, no shuffle);
+    everything downstream — signature build, banded candidate join,
+    exact-Jaccard truth join, per-prediction verification, confusion
+    metrics — touches only the 256 sampled documents, so the audit
+    costs the same at sf0.01 and at 100 TB (plus the one linear scan).
+    Statistically this estimates the corpus-level precision/recall from
+    the within-sample pair population; both-endpoint sampling thins
+    pairs quadratically, which is the standard price of a subcorpus
+    audit — the full row stays registered as the exhaustive gate.
+
+    The sampled subcorpus is lazily checkpointed so the TopK (the only
+    corpus-sized stage) runs once and feeds predictions, truth, and the
+    verification grams."""
+    docs = load(spark, sf_dir, "documents")
+    scr = (
+        (F.col("doc_id") % _EVAL_SAMPLE_M) * _EVAL_SAMPLE_A
+    ) % _EVAL_SAMPLE_M
+    sdocs = (
+        docs.select("doc_id", "lang", "n_chars", "text")
+        .orderBy(scr.asc(), F.col("doc_id").asc())
+        .limit(_EVAL_SAMPLE_N)
+        .localCheckpoint(eager=False)
+    )
+    return _minhash_eval_metrics(sdocs)
 
 
 _COMPACT_TARGET = 200_000  # chars per compaction bin

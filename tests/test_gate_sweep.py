@@ -56,6 +56,25 @@ def test_mixed_registry_headline_count_excludes_rows_only(spark):
     assert results["no_oracle"]["rows_only"] is True
 
 
+def test_readme_counts_current():
+    """README's architecture-tree query counts are effectively
+    generated: this pin fails the suite the moment the registry grows
+    without the doc line following (VERDICT r10 Next #6)."""
+    import re
+    from pathlib import Path
+
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    readme = (Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(
+        r"(\d+) named queries, (\d+) with DuckDB oracles", readme
+    )
+    assert m, "README architecture tree lost its catalog-count line"
+    n_oracles = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    assert int(m.group(1)) == len(REGISTRY)
+    assert int(m.group(2)) == n_oracles
+
+
 def test_erroring_query_is_a_failure(spark):
     def boom(sp, sf):
         raise RuntimeError("synthetic failure")

@@ -1997,3 +1997,29 @@ def test_containment_candidates_superset_of_pairs(spark):
         ).collect()
     }
     assert pairs and pairs <= cand
+
+
+def test_containment_threshold_validated(spark):
+    """Round-10 advice: a threshold outside (0, 1] must fail FAST with a
+    ValueError next to the reserved-name check — >1 would otherwise die
+    later inside Spark with an opaque slice() error, and ≤0 would
+    silently degenerate the prefix filter to all-pairs in a block."""
+    import pytest
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_candidates,
+        containment_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c d")], "doc_id long, lang string, text string"
+    )
+    for bad in (0.0, -0.2, 1.0001, 7.0):
+        with pytest.raises(ValueError, match="threshold"):
+            containment_pairs(docs, "text", "doc_id", ["lang"], threshold=bad)
+        with pytest.raises(ValueError, match="threshold"):
+            containment_candidates(
+                docs, "text", "doc_id", ["lang"], threshold=bad
+            )
+    # the boundary t=1 (exact-subset detection) stays legal
+    containment_pairs(docs, "text", "doc_id", ["lang"], threshold=1.0)

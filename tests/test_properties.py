@@ -739,6 +739,7 @@ def test_pagerank_matches_python_model(spark):
         SCALE,
         TELEPORT,
         weighted_pagerank,
+        weighted_pagerank_converged,
     )
 
     edge_list = [
@@ -850,8 +851,8 @@ def test_pagerank_early_exit_matches_model_at_exit_round(spark):
     rounds, exact L1 against the previously CHECKED vector, stop at
     ≤ tol) predicts both the exit round and the exact rank vector; the
     distributed implementation must match both, exit before the round
-    cap, and the default ``tol_q=None`` path must keep returning a bare
-    DataFrame."""
+    cap, and the fixed-round face must keep returning a bare DataFrame
+    (the converged face is its own function per round-10 advice)."""
     from pyspark.sql import DataFrame
 
     from pubic_multi_platform_to_postgres_spark.operators.graph import (
@@ -860,6 +861,7 @@ def test_pagerank_early_exit_matches_model_at_exit_round(spark):
         SCALE,
         TELEPORT,
         weighted_pagerank,
+        weighted_pagerank_converged,
     )
 
     edge_list = [(1, 2, 1), (2, 1, 1), (3, 1, 2), (1, 3, 2)]
@@ -888,7 +890,7 @@ def test_pagerank_early_exit_matches_model_at_exit_round(spark):
     nodes = spark.createDataFrame([(n,) for n in node_ids], "node long")
     edges = spark.createDataFrame(edge_list, "src long, dst long, w long")
     assert isinstance(weighted_pagerank(nodes, edges, iters=3), DataFrame)
-    early, rounds = weighted_pagerank(
+    early, rounds = weighted_pagerank_converged(
         nodes, edges, iters=iters, tol_q=tol_q, check_every=check_every
     )
     got = {r["node"]: r["rank_q"] for r in early.collect()}

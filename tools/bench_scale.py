@@ -564,6 +564,7 @@ def main() -> int:
     )
     from pubic_multi_platform_to_postgres_spark.operators.graph import (
         weighted_pagerank,
+        weighted_pagerank_converged,
     )
     from pubic_multi_platform_to_postgres_spark.queries.analytics import (
         purchase_graph,
@@ -588,7 +589,7 @@ def main() -> int:
             ).mode("overwrite").save()
             t_fixed = time.perf_counter() - t0
             t0 = time.perf_counter()
-            early, rounds = weighted_pagerank(
+            early, rounds = weighted_pagerank_converged(
                 nodes, edges, iters=30, tol_q=tol_q, check_every=5
             )
             early.write.format("noop").mode("overwrite").save()

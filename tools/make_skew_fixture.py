@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Generate the ADVERSARIAL-SKEW documents fixture (VERDICT r10 Next #1).
+
+``make_scaled_sf.py``'s replica corpora are deliberately benign: replicas
+are token-disjoint, languages keep the base mix, and no key is hot — so
+every committed growth curve measures the pair generators on a corpus
+with NO cross-document boilerplate. A real web crawl is the opposite:
+Zipfian language mix, massive shared boilerplate, mass-duplicated pages,
+and short quotes of hot passages. This tool builds that corpus,
+deterministically (pure ``doc_id`` arithmetic, no RNG), at 1×/10×/30×
+the sf0.1 document count, as four strata interleaved by ``doc_id %
+1000`` so every replica file carries the same mix:
+
+- **body** (84.6%): the base sf0.1 documents with ``make_scaled_sf``'s
+  replica-disjoint token mutation, but with the language remapped so
+  ~70% of the corpus lands in ``en`` — one dominant language block
+  (Zipf head) instead of the base's uniform mix.
+- **boiler** (15%): every document shares the same 30-token boilerplate
+  passage (nav/disclaimer analog) followed by 60 per-document-unique
+  tokens. Each boilerplate 3-gram's posting list is ~15% of the corpus
+  (the hot-shingle worst case), pairwise Jaccard ≈ 0.19 stays BELOW the
+  0.4/0.5 pair thresholds (these docs are NOT near-dups — the fan-out a
+  generator pays for them is pure skew overhead), and they all share
+  one (lang='en', length-bucket) blocking cell.
+- **quote** (0.1%): a 16-token verbatim slice of the boilerplate plus
+  ONE unique token — fully contained (containment ≈ 0.88) in every
+  boiler document, so the TRUE asymmetric-containment output is
+  quote_count × boiler_count: the posting-list worst case for the
+  contained-side prefix probe.
+- **clone** (0.3%): byte-identical copies of one 41-token page — the
+  mass-duplicated-page case; every pair generator sees a clique whose
+  candidate AND output volume is quadratic in the clone count.
+
+Usage::
+
+    python tools/make_skew_fixture.py --factor 10 --out /tmp/spark_graft_skew10
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import duckdb
+
+BASE = "/root/testdata/sf0.1"
+
+BOILER_TOKENS = [f"bp{i}" for i in range(30)]
+BOILER = " ".join(BOILER_TOKENS)
+QUOTE = " ".join(BOILER_TOKENS[5:21])  # 16-token verbatim slice
+CLONE = " ".join(f"cl{i}" for i in range(41))
+
+# strata by doc_id % 1000 (per-mille): [0,3) clone, [3,4) quote,
+# [4,154) boiler, rest body
+_CLONE_MOD, _QUOTE_MOD, _BOILER_MOD = 3, 4, 154
+
+
+def build(base: str, factor: int, out: str) -> None:
+    con = duckdb.connect()
+    outp = Path(out) / "documents.parquet"
+    outp.mkdir(parents=True, exist_ok=True)
+
+    n_docs, = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{base}/documents.parquet')"
+    ).fetchone()
+
+    for k in range(factor):
+        mut = "text" if k == 0 else f"'r{k}q' || replace(text, ' ', ' r{k}q')"
+        shifted = f"doc_id + {k * n_docs}"
+        con.execute(
+            f"""
+            COPY (
+                WITH s AS (
+                    SELECT {shifted} AS doc_id,
+                           {mut} AS body_text,
+                           lang AS base_lang, source
+                    FROM read_parquet('{base}/documents.parquet')
+                )
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 1000 < {_CLONE_MOD} THEN '{CLONE}'
+                         WHEN doc_id % 1000 < {_QUOTE_MOD}
+                           THEN '{QUOTE} uq' || doc_id
+                         WHEN doc_id % 1000 < {_BOILER_MOD}
+                           THEN '{BOILER} ' || array_to_string(
+                                    list_transform(range(60),
+                                        j -> 'u' || doc_id || 'w' || j), ' ')
+                         ELSE body_text
+                       END AS text,
+                       CASE
+                         WHEN doc_id % 1000 < {_BOILER_MOD} THEN 'en'
+                         WHEN doc_id % 10 < 7 THEN 'en'
+                         ELSE base_lang
+                       END AS lang,
+                       source,
+                       CAST(length(CASE
+                         WHEN doc_id % 1000 < {_CLONE_MOD} THEN '{CLONE}'
+                         WHEN doc_id % 1000 < {_QUOTE_MOD}
+                           THEN '{QUOTE} uq' || doc_id
+                         WHEN doc_id % 1000 < {_BOILER_MOD}
+                           THEN '{BOILER} ' || array_to_string(
+                                    list_transform(range(60),
+                                        j -> 'u' || doc_id || 'w' || j), ' ')
+                         ELSE body_text
+                       END) AS BIGINT) AS n_chars
+                FROM s
+            ) TO '{outp}/part-{k:05d}.parquet' (FORMAT PARQUET)
+            """
+        )
+    total, n_en, n_boiler, n_clone, n_quote = con.execute(
+        f"""
+        SELECT COUNT(*),
+               COUNT(*) FILTER (lang = 'en'),
+               COUNT(*) FILTER (doc_id % 1000 >= {_QUOTE_MOD}
+                                AND doc_id % 1000 < {_BOILER_MOD}),
+               COUNT(*) FILTER (doc_id % 1000 < {_CLONE_MOD}),
+               COUNT(*) FILTER (doc_id % 1000 >= {_CLONE_MOD}
+                                AND doc_id % 1000 < {_QUOTE_MOD})
+        FROM read_parquet('{outp}/*.parquet')
+        """
+    ).fetchone()
+    assert total == factor * n_docs, (total, factor, n_docs)
+    print(
+        f"built {out}: {total} docs ({n_en} en, {n_boiler} boiler, "
+        f"{n_clone} clone, {n_quote} quote)"
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=BASE)
+    ap.add_argument("--factor", type=int, required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+    build(args.base, args.factor, args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    main()
