@@ -207,9 +207,18 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     token_hash: str = "xxhash64",
+    bucket_chunk: int = 512,
 ) -> DataFrame:
     """Near-dup candidate pairs from MinHash LSH, verified by
     signature-estimated Jaccard: ``(id_a, id_b, est_jaccard)``, id_a < id_b.
+
+    ``bucket_chunk`` bounds the per-bucket comparison block (see the
+    chunking comment in ``partition_pairs``): a mass-duplicated page
+    fills one bucket per band with its whole clique, and peak memory is
+    ``bucket_chunk² · num_hashes`` doubles instead of ``clique²``. The
+    emitted pair set is IDENTICAL for any chunk size (equality pinned by
+    ``test_minhash_bucket_chunking_identical_pairs``); only the
+    allocation schedule changes. Non-default values are for tests.
 
     The estimated Jaccard (fraction of matching signature positions) is an
     unbiased estimator of true shingle Jaccard — at 64 hashes, σ≈0.06.
@@ -256,19 +265,35 @@ def minhash_dedup_pairs(
         # drop single-member buckets before the python-level group loop
         pdf = pdf[pdf["_key"].duplicated(keep=False).values]
         out_a, out_b, out_e = [], [], []
+        # Chunked triangular enumeration: a mass-duplicated page (the
+        # BENCH_SKEW fixture's clone stratum) puts ALL its copies in one
+        # bucket in EVERY band, and the all-at-once m×m×num_hashes
+        # comparison array is quadratic MEMORY in the clique size
+        # (1500 copies × 64 hashes ≈ 1.2 GB — an executor OOM, where
+        # chunks of 512 stay ≤ ~130 MB). Block-wise comparison emits the
+        # identical pair set at bounded peak memory — lossless, only the
+        # allocation schedule changes.
+        chunk = bucket_chunk
         for _, g in pdf.groupby("_key", sort=False):
             sig = np.stack([np.asarray(s, dtype=np.int64) for s in g["signature"]])
             ids = g[g.columns[0]].tolist()  # id col is first in the projection
-            eq = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            keep = eq[iu, ju] >= threshold
-            for i, j in zip(iu[keep], ju[keep]):
-                a, b = ids[i], ids[j]
-                if a > b:
-                    a, b = b, a
-                out_a.append(a)
-                out_b.append(b)
-                out_e.append(float(eq[i, j]))
+            m = len(ids)
+            for c0 in range(0, m, chunk):
+                s0 = sig[c0 : c0 + chunk]
+                for c1 in range(c0, m, chunk):
+                    s1 = sig[c1 : c1 + chunk]
+                    eq = (s0[:, None, :] == s1[None, :, :]).mean(axis=2)
+                    iu, ju = np.nonzero(eq >= threshold)
+                    for i, j in zip(iu, ju):
+                        gi, gj = c0 + int(i), c1 + int(j)
+                        if gi >= gj:  # strict upper triangle, globally
+                            continue
+                        a, b = ids[gi], ids[gj]
+                        if a > b:
+                            a, b = b, a
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_e.append(float(eq[i, j]))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_e})
 
     cand = (
@@ -835,6 +860,24 @@ def _containment_candidates(
     the price of exact asymmetric semantics (measured on the
     30×-replica curve like the other pair generators). The reported
     ``containment`` is one IEEE division of two exact small integers.
+
+    Container-side df-cap: REJECTED (VERDICT r10 Next #2b). The hot
+    posting lists are not waste here — a short document quoted inside
+    mass boilerplate matches its containers PRECISELY through the hot
+    grams (its prefix's only shared tokens with them ARE the
+    boilerplate grams, df ≈ the boilerplate stratum size), so any cap
+    below that df severs every true quote×container pair; there is no
+    "safe" cap value the way MOSS winnowing has one for shared
+    SUBSTRING reporting (where dropping ubiquitous substrings is the
+    contract). What keeps the plan scale-safe instead is the one-sided
+    rarest-first prefix: prefixes of boilerplate-heavy documents fill
+    up with their rare unique grams, so hot grams only enter the probe
+    side for documents that are MOSTLY boilerplate — and for those,
+    candidates ≈ true output. Measured on the adversarial-skew fixture
+    (``BENCH_SKEW_r11.json``): candidates stay linear-in-corpus plus
+    output-sized (16.9M candidates / 3.6M true pairs at 30× with a 15%
+    boilerplate stratum); losslessness and the cap-loss argument are
+    pinned by ``test_containment_dfcap_would_drop_true_pairs``.
     """
     reserved = {"id_a", "id_b", "containment"}
     bad = [c for c in (id_col, *block_cols)

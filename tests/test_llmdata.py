@@ -2023,3 +2023,96 @@ def test_containment_threshold_validated(spark):
             )
     # the boundary t=1 (exact-subset detection) stays legal
     containment_pairs(docs, "text", "doc_id", ["lang"], threshold=1.0)
+
+
+def _boilerplate_corpus(spark, n_boiler=12, n_quote=2):
+    """Miniature of the BENCH_SKEW fixture: boiler docs share a hot
+    10-token passage + unique tails; quote docs are a verbatim slice of
+    the passage + one unique token (contained in every boiler doc)."""
+    bp = " ".join(f"bp{i}" for i in range(10))
+    rows = []
+    for i in range(n_boiler):
+        tail = " ".join(f"u{i}w{j}" for j in range(20))
+        rows.append((i, "en", f"{bp} {tail}"))
+    quote = " ".join(f"bp{i}" for i in range(2, 8))  # 6-token slice
+    for q in range(n_quote):
+        rows.append((100 + q, "en", f"{quote} uq{q}"))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_containment_dfcap_would_drop_true_pairs(spark):
+    """The container-side df-cap DECISION (VERDICT r10 Next #2b),
+    executable: on a boilerplate corpus (a) the prefix filter is
+    lossless — every true quote-in-boiler containment pair is found —
+    and (b) every candidate-generating gram those pairs share is HOT
+    (document frequency ≥ the boiler stratum size), so ANY df-cap below
+    that would sever ALL of them: the cap is rejected, not omitted."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_pairs,
+        tokenize,
+        word_shingles,
+    )
+
+    n_boiler, n_quote = 12, 2
+    docs = _boilerplate_corpus(spark, n_boiler, n_quote)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in containment_pairs(
+            docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3
+        ).collect()
+    }
+    # (a) lossless under hot posting lists: all quote-in-boiler pairs found
+    want = {(100 + q, b) for q in range(n_quote) for b in range(n_boiler)}
+    assert want <= pairs
+    # (b) the grams a quote shares with its containers are exactly the
+    # boilerplate grams — df ≥ n_boiler + n_quote for every one of them,
+    # so a df-cap below the boilerplate stratum removes every shared
+    # gram and with it every true pair above.
+    grams = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokenize(F.col("text")), 3)).alias("g"),
+    ).collect()
+    gsets = {r["doc_id"]: set(r["g"]) for r in grams}
+    df_of = {}
+    for gs in gsets.values():
+        for g in gs:
+            df_of[g] = df_of.get(g, 0) + 1
+    for q in range(n_quote):
+        for b in range(n_boiler):
+            shared = gsets[100 + q] & gsets[b]
+            assert shared, (q, b)
+            assert min(df_of[g] for g in shared) >= n_boiler
+
+
+def test_minhash_bucket_chunking_identical_pairs(spark):
+    """The clone-clique memory re-plan (BENCH_SKEW): chunked triangular
+    bucket enumeration must emit the IDENTICAL pair set as the
+    all-at-once comparison, including a clique larger than the chunk —
+    only the allocation schedule may differ."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    clone = " ".join(f"cl{i}" for i in range(12))
+    rows = [(i, clone) for i in range(10)]  # 10-clone clique
+    rows += [(50, "alpha beta gamma delta epsilon zeta eta theta")]
+    rows += [(51, "alpha beta gamma delta epsilon zeta eta iota")]  # near-dup
+    rows += [(60 + i, f"lone{i} " + " ".join(f"x{i}y{j}" for j in range(8)))
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(chunk):
+        return {
+            (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+            for r in minhash_dedup_pairs(
+                docs, "text", "doc_id", num_hashes=16, bands=4,
+                threshold=0.4, bucket_chunk=chunk,
+            ).collect()
+        }
+
+    unchunked = run(10**6)
+    assert {(a, b) for a, b, _ in unchunked} >= {
+        (i, j) for i in range(10) for j in range(i + 1, 10)
+    }  # the clique is all-pairs at est 1.0
+    for chunk in (1, 3, 4, 7):
+        assert run(chunk) == unchunked, f"chunk={chunk}"

@@ -447,3 +447,32 @@ def test_no_unpartitioned_ordered_windows_over_unbounded_inputs(spark):
     assert not offenders, (
         f"unpartitioned ordered windows off the pinned allowlist: {offenders}"
     )
+
+
+def test_scale_census_has_no_undispositioned_rows():
+    """Every registry row must be scale-adjudicated (VERDICT r10 Next
+    #3): either in one of ``tools/bench_scale.py``'s measured lists or
+    in its EXEMPT dict with a stated reason. A new registration that is
+    neither fails here — silent absence from the scale evidence is the
+    failure mode this pin exists to prevent."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_scale_census",
+        Path(__file__).resolve().parent.parent / "tools" / "bench_scale.py",
+    )
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
+    report = {"queries": {}}
+    undispositioned = bs.emit_census(report)
+    assert undispositioned == [], (
+        "registry rows with no scale disposition (add to a measured list "
+        f"or EXEMPT with a reason): {undispositioned}"
+    )
+    c = report["census"]
+    assert c["n_measured"] + c["n_exempt"] == len(REGISTRY)
+    # exemption reasons must be real sentences, not empty placeholders
+    for name, row in c["rows"].items():
+        if row["disposition"] == "exempt":
+            assert len(row["reason"]) > 40, (name, row["reason"])

@@ -139,6 +139,10 @@ SF1_QUERIES = [
     # r10: asymmetric containment (one-sided prefix filter; the pair
     # family — also takes an sf3 point + output counts below)
     "dedup_containment_pairs",
+    # r11: the sampled sketch audit — its claim is CONSTANT cost at any
+    # corpus (256-doc scrambled-key sample + one linear TopK scan), so
+    # the flat curve is the evidence
+    "dedup_minhash_eval_sampled",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -207,6 +211,13 @@ SF10_QUERIES = [
     "dq_join_skew_audit",
     # r10: lexical/drift audits at the 100× point
     "stats_zipf_exponent", "stats_ks_source_chars",
+    # r11: the constant-cost claim holds through 100× or it is false
+    "dedup_minhash_eval_sampled",
+    # r11 (VERDICT r10 Next #2a): the containment VERIFY join at 100× —
+    # r10 measured only the candidate face there; the verify join is
+    # output-sized, and the 100× replica corpus keeps output linear
+    # (replicas are token-disjoint), so the full row is affordable
+    "dedup_containment_pairs",
 ]
 # 30× point for the banded/blocked PAIR generators (VERDICT r5 #4): the
 # claim that band fan-out is linear needs a curve (>= 3 scale points),
@@ -231,6 +242,148 @@ SF3_QUERIES = [
     # is output-sized like jaccard's, so 100× stays candidate-policy)
     "dedup_containment_pairs",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Scale-evidence census (VERDICT r10 Next #3): every registry row is either
+# MEASURED above (its sf points land in this report) or EXEMPT with a stated
+# reason — no row is silently absent. The census is emitted into the report
+# and `tests/test_plan_quality.py::test_scale_census_has_no_undispositioned_rows`
+# fails the suite the moment a new registration ships without a disposition.
+_R = {
+    "elt": "ELT interop face over the fixed mock-REST fixture: map-side "
+           "flatten/explode/projection per record, no data-volume knob — the "
+           "per-record map tier's scaling is measured by the documents "
+           "map-side family (text_fingerprint, text_pii_scrub)",
+    "rel": "textbook single-shuffle relational plan (scan→[broadcast-]join→"
+           "agg/sort); Catalyst's standard shape, pushdown/broadcast pinned "
+           "by tests/test_plan_quality.py — no novel scale face to measure",
+    "win": "single keyed-window shuffle partitioned on a bounded-cardinality "
+           "key (user/customer/day); the window tier's 10×/100× behavior is "
+           "measured via rfm/histogram/dq_join_skew boundary-bucket rows",
+    "strm": "Structured Streaming face run AvailableNow over the driver "
+            "fixture; state is watermark-bounded (SCALE.md §Streaming) and "
+            "the batch equivalent of the same join/window shape is in the "
+            "measured set (stream_unattributed_clicks carries the family's "
+            "scale row)",
+    "txt": "single token-explode + groupBy linear shuffle — same shape and "
+           "constants as the measured corpus_token_gini/text_vocab_coverage",
+    "mm": "map-side codec tier (decode/feature per blob, no shuffle); the "
+          "measured multimodal rows (resize/frames/audio) carry the tier's "
+          "curve",
+    "bounded": "output and state bounded by construction (fixed expectation "
+               "/ bucket / percentile count) on top of one measured-shape "
+               "aggregate",
+    "device": "nearest-rank boundary-bucket device — the device itself is "
+              "measured at 10×/100× via histogram_equidepth_order_values "
+              "and rfm_customer_segments",
+    "meta": "metadata/manifest-only query (parquet footer statistics, "
+            "O(#files) not O(rows))",
+    "sink": "keyed upsert/merge face: one pk-window dedup shuffle + "
+            "staging-swap write — the same single-shuffle shape as the "
+            "measured dedup_exact_keep_min",
+}
+EXEMPT = {
+    # ELT/interop faces
+    **{n: _R["elt"] for n in (
+        "elt_analytics_explode", "elt_association_unnest",
+        "elt_budget_lines_unnest", "elt_dotnet_date_roundtrip",
+        "elt_end_to_end_land", "elt_epoch_ms_to_iso", "elt_flatten_struct",
+        "elt_prefix_rename", "elt_properties_merge", "elt_schema_projection",
+        "elt_substream_split", "incremental_bookmark_filter",
+    )},
+    "catalog_table_manifest": _R["meta"],
+    # textbook relational plans
+    **{n: _R["rel"] for n in (
+        "q01_pricing_summary", "q02_order_durations", "join_anti_idle_customers",
+        "join_asof_latest_event", "join_bloom_prefiltered",
+        "join_full_outer_daily_activity", "join_left_order_items",
+        "join_range_followup_events", "join_region_revenue",
+        "join_salted_order_items", "join_semi_active_customers",
+        "join_topk_revenue", "setop_except_nations", "setop_intersect_nations",
+        "setop_union_nations", "sort_limit_expensive_items",
+        "sql_exists_customers_with_urgent", "sql_scalar_subquery_parts",
+        "agg_approx_distinct", "agg_distinct_counts", "cube_flag_status",
+        "rollup_status_priority", "grouping_sets_mixed", "dates_monthly_orders",
+        "histogram_order_values", "filter_pattern_documents",
+        "pivot_user_event_matrix", "unpivot_part_metrics",
+        "json_extract_events", "stats_discount_price_corr",
+    )},
+    # keyed-window / sequence family
+    **{n: _R["win"] for n in (
+        "window_distinct_priorities_7d", "window_lag_gap",
+        "window_rank_family_orders", "window_ratio_to_report",
+        "window_rolling_5_purchases", "window_running_value",
+        "window_topk_per_customer", "window_trailing_7d_spend",
+        "cohort_weekly_retention", "sessionize_events",
+        "scd2_user_event_state", "funnel_signup_click_purchase",
+        "user_event_journey", "journey_pattern_match", "ts_gapfill_hourly",
+        "stats_zscore_outlier_orders",
+    )},
+    # streaming faces
+    **{n: _R["strm"] for n in (
+        "stream_dedup_redelivery", "stream_interval_join_attribution",
+        "stream_session_30m", "stream_sliding_30m_15m",
+        "stream_tumbling_hourly",
+    )},
+    # text map-side/linear-shuffle tier
+    **{n: _R["txt"] for n in (
+        "text_langid", "text_quality_scores", "text_token_stats",
+        "text_top_tokens", "corpus_tfidf_top_terms", "corpus_topk_per_stratum",
+    )},
+    # multimodal metadata tier
+    **{n: _R["mm"] for n in (
+        "multimodal_decode_meta", "multimodal_image_meta",
+        "multimodal_pixel_histogram",
+    )},
+    # bounded-output audits / devices
+    "dq_expectations_summary": _R["bounded"],
+    "percentiles_approx_order_value": _R["bounded"],
+    "percentiles_disc_order_value": _R["device"],
+    "percentiles_order_value": _R["device"],
+    "udaf_mad_order_value": _R["device"],
+    "udtf_doc_windows": _R["txt"],
+    "layout_zorder_clustering": "manifest aggregate + bounded interleave "
+                                "sort — same shape as the measured "
+                                "layout_compaction_plan",
+    # sinks
+    "merge_cdc_orders": _R["sink"],
+    "upsert_redelivery_dedup": _R["sink"],
+}
+
+
+def emit_census(report: dict) -> list[str]:
+    """Attach the per-registry-row disposition; return undispositioned."""
+    measured = set(SF1_QUERIES) | set(SF3_QUERIES) | set(SF10_QUERIES)
+    census, undisp = {}, []
+    for name in entry.queries():
+        if name in measured:
+            pts = report.get("queries", {}).get(name, {})
+            census[name] = {
+                "disposition": "measured",
+                "sf_points": sorted(pts) if pts else sorted(
+                    lbl for lbl, qs in (
+                        ("sf1", SF1_QUERIES), ("sf3", SF3_QUERIES),
+                        ("sf10", SF10_QUERIES),
+                    ) if name in qs
+                ),
+            }
+        elif name in EXEMPT:
+            census[name] = {"disposition": "exempt", "reason": EXEMPT[name]}
+        else:
+            census[name] = {"disposition": "UNDISPOSITIONED"}
+            undisp.append(name)
+    report["census"] = {
+        "n_measured": sum(
+            1 for c in census.values() if c["disposition"] == "measured"
+        ),
+        "n_exempt": sum(
+            1 for c in census.values() if c["disposition"] == "exempt"
+        ),
+        "n_undispositioned": len(undisp),
+        "rows": census,
+    }
+    return undisp
 
 
 def _stages(app_id: str) -> list[dict]:
@@ -419,6 +572,9 @@ def main() -> int:
     if only:
         # merge mode: the pair/cluster/candidate evidence sections cover
         # fixed query families measured in the full sweep — leave them.
+        undisp = emit_census(report)
+        if undisp:
+            print(f"  census: UNDISPOSITIONED rows: {undisp}", file=sys.stderr)
         summarize(report)
         Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
         print(f"-> {args.out} (merged {sorted(only)})", file=sys.stderr)
@@ -608,6 +764,9 @@ def main() -> int:
         report["pagerank_early_exit"] = prstats
         Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
+    undisp = emit_census(report)
+    if undisp:
+        print(f"  census: UNDISPOSITIONED rows: {undisp}", file=sys.stderr)
     summarize(report)
     Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
     print(f"-> {args.out}", file=sys.stderr)

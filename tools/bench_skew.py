@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Adversarial-skew curves for the pair-generator family (VERDICT r10
+Next #1).
+
+``BENCH_SF1_*.json``'s growth curves run on the benign replica corpora
+(`make_scaled_sf.py`: token-disjoint replicas, no hot keys). This bench
+re-measures the five pair generators the r10 verdict named on the
+Zipfian boilerplate fixture from ``make_skew_fixture.py`` (one dominant
+language, a 15% stratum sharing a 30-token boilerplate passage, exact
+clones, verbatim quotes) at 1×/10×/30× — recording, per query per scale
+point: wall clock, OUTPUT rows, and for the prefix-filter generators the
+CANDIDATE volume (the quantity that must stay output-bounded for the
+100-TB story to hold under skew).
+
+Usage::
+
+    python tools/bench_skew.py --out BENCH_SKEW_r11.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+import __spark_entry__ as entry  # noqa: E402
+from make_skew_fixture import build  # noqa: E402
+
+from pubic_multi_platform_to_postgres_spark.session import get_session  # noqa: E402
+
+SKEW1 = "/tmp/spark_graft_skew1"
+SKEW10 = "/tmp/spark_graft_skew10"
+SKEW30 = "/tmp/spark_graft_skew30"
+POINTS = (("skew1", SKEW1, 1), ("skew10", SKEW10, 10), ("skew30", SKEW30, 30))
+
+# The five faces the r10 verdict named. All read only `documents`.
+QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
+    "dedup_shared_substrings",
+    "corpus_leakage_safe_split",
+    "dedup_minhash_pairs",
+]
+
+
+def _run_guarded(spark, fn, timeout_s: float):
+    """(wall_s, row_count | None, timed_out) for one .count() action."""
+    group = f"skew-{time.monotonic_ns()}"
+    sc = spark.sparkContext
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            sc.cancelJobGroup(group)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    sc.setJobGroup(group, "bench_skew", interruptOnCancel=True)
+    t.start()
+    t0 = time.perf_counter()
+    try:
+        n = fn().count()
+        return time.perf_counter() - t0, int(n), False
+    except Exception:  # noqa: BLE001
+        el = time.perf_counter() - t0
+        if el < timeout_s:
+            raise
+        return el, None, True
+    finally:
+        done.set()
+        sc.setJobGroup("", "")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO / "BENCH_SKEW_r11.json"))
+    ap.add_argument("--timeout", type=float, default=600.0)
+    args = ap.parse_args()
+
+    for out, factor in ((SKEW1, 1), (SKEW10, 10), (SKEW30, 30)):
+        if not Path(out, "documents.parquet").exists():
+            build("/root/testdata/sf0.1", factor, out)
+
+    spark = get_session(app_name="spark_graft_bench_skew")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report: dict = {
+        "fixture": {
+            "generator": "tools/make_skew_fixture.py",
+            "strata_per_mille": {"clone": 3, "quote": 1, "boiler": 150,
+                                 "body": 846},
+            "points": {lbl: f for lbl, _, f in POINTS},
+        },
+        "queries": {},
+    }
+    out_path = Path(args.out)
+    qs = entry.queries()
+    for name in QUERIES:
+        report["queries"][name] = {}
+        for label, sf_dir, _ in POINTS:
+            wall, rows, to = _run_guarded(
+                spark, lambda: qs[name](spark, sf_dir), args.timeout
+            )
+            row = (
+                {"timed_out": True, "timeout_s": args.timeout}
+                if to
+                else {"wall_s": round(wall, 3), "output_rows": rows}
+            )
+            report["queries"][name][label] = row
+            print(f"  {label:7s} {name}: {row}", file=sys.stderr)
+            out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # Candidate volume for the two prefix-filter generators — the
+    # pre-verification probe size that must stay output-bounded under
+    # boilerplate for the rarest-first ordering argument to survive.
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_candidates,
+        ngram_jaccard_candidates,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    cand: dict = {"jaccard": {}, "containment": {}}
+    for label, sf_dir, _ in POINTS:
+        docs = load(spark, sf_dir, "documents")
+        blocked = docs.withColumn("len_bucket", F.floor(F.col("n_chars") / 50))
+        t0 = time.perf_counter()
+        nj = ngram_jaccard_candidates(
+            blocked, "text", "doc_id",
+            block_cols=["lang", "len_bucket"], threshold=0.5, ngram=1,
+        ).count()
+        cand["jaccard"][label] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "candidate_pairs": int(nj),
+        }
+        t0 = time.perf_counter()
+        nc = containment_candidates(
+            docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3
+        ).count()
+        cand["containment"][label] = {
+            "wall_s": round(time.perf_counter() - t0, 3),
+            "candidate_pairs": int(nc),
+        }
+        print(f"  cand    {label}: {cand['jaccard'][label]} / "
+              f"{cand['containment'][label]}", file=sys.stderr)
+        report["candidate_counts"] = cand
+        out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # Growth ratios vs skew1, normalized per 10× of data.
+    for section in ("queries",):
+        for pts in report[section].values():
+            base = pts.get("skew1", {}).get("wall_s")
+            for label, mult in (("skew10", 10), ("skew30", 30)):
+                cur = pts.get(label, {})
+                if base and cur.get("wall_s") is not None:
+                    cur["growth_vs_skew1"] = round(cur["wall_s"] / base, 2)
+    out_path.write_text(json.dumps(report, indent=2) + "\n")
+    print(f"-> {args.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    main()
