@@ -314,6 +314,23 @@ def _validate_njp_names(id_col: str, block_cols: list[str]) -> None:
         )
 
 
+def _hash_grams(
+    df: DataFrame, text_col: str, id_col: str, block_cols: list[str], ngram: int
+) -> DataFrame:
+    """Per-doc distinct 64-bit gram hashes: ``(__njp_id, *block_cols,
+    __njp_g)``, lazily checkpointed (feeds candidates AND both verify
+    branches)."""
+    tokens = tokenize(F.col(text_col))
+    grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
+    return df.select(
+        F.col(id_col).alias("__njp_id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(
+            F.transform(grams, lambda g: F.xxhash64(g))
+        ).alias("__njp_g"),
+    ).localCheckpoint(eager=False)
+
+
 def _jaccard_prefix_candidates(
     df: DataFrame,
     text_col: str,
@@ -322,6 +339,7 @@ def _jaccard_prefix_candidates(
     threshold: float,
     ngram: int,
     block_grids: list[list[Column]] | None = None,
+    hashed: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared candidate generator for the SSJoin/AllPairs prefix filter:
     returns ``(hashed, cand)`` — the checkpointed per-doc distinct-gram
@@ -343,19 +361,13 @@ def _jaccard_prefix_candidates(
     re-tokenizes and re-shuffles the corpus per grid) or than exploding
     the input rows (which doubles the gram arrays through every stage
     and multiplies the verify join). Requires one row per ``id_col``.
+
+    ``hashed`` (pre-built by :func:`_hash_grams`, possibly filtered to
+    class representatives) skips the gram build — the exact-collapse
+    path runs the filter over one doc per content class.
     """
-    tokens = tokenize(F.col(text_col))
-    grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
-    hashed = df.select(
-        F.col(id_col).alias("__njp_id"),
-        *[F.col(c) for c in block_cols],
-        F.array_distinct(
-            F.transform(grams, lambda g: F.xxhash64(g))
-        ).alias("__njp_g"),
-    )
-    # materialize once: the subtree feeds candidate generation AND both
-    # verification branches (same pattern as the simhash pairs join)
-    hashed = hashed.localCheckpoint(eager=False)
+    if hashed is None:
+        hashed = _hash_grams(df, text_col, id_col, block_cols, ngram)
 
     tok = hashed.select("__njp_id", *block_cols, F.explode("__njp_g").alias("__njp_g_tok"))
     # global document frequency = the canonical rarest-first token order
@@ -431,6 +443,24 @@ def ngram_jaccard_candidates(
     )[1]
 
 
+def _verify_jaccard(
+    hashed: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact verification of candidate pairs against the checkpointed
+    gram arrays: ``(id_a, id_b, jaccard)`` with jaccard ≥ threshold."""
+    ga = hashed.select(F.col("__njp_id").alias("id_a"), F.col("__njp_g").alias("__njp_ga"))
+    gb = hashed.select(F.col("__njp_id").alias("id_b"), F.col("__njp_g").alias("__njp_gb"))
+    inter = F.size(F.array_intersect("__njp_ga", "__njp_gb"))
+    den = F.size("__njp_ga") + F.size("__njp_gb") - inter
+    jac = inter.cast("double") / den.cast("double")
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -439,6 +469,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     ngram: int = 1,
     block_grids: list[list[Column]] | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs within a blocking key, by PREFIX
     FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs —
@@ -477,22 +508,85 @@ def ngram_jaccard_pairs(
     under SEVERAL keys at once — offset length-bucket grids — in one
     pass; a pair qualifies when it meets the threshold and shares at
     least one grid key (see ``_jaccard_prefix_candidates``).
+
+    ``collapse_exact`` (BENCH_SKEW re-plan for mass-duplicated pages):
+    documents with IDENTICAL (distinct-gram set, block key) collapse to
+    one representative BEFORE the prefix filter; verified rep pairs
+    expand back to member cross products and within-class cliques emit
+    directly with jaccard 1.0. The output is IDENTICAL to the direct
+    path (members of a class have the same gram set, so every member
+    pair scores exactly what its rep pair scores — equality pinned by
+    ``test_jaccard_collapse_exact_identical_pairs``), but a clique of
+    ``m`` copies costs the candidate join ONE row instead of m² gram-
+    join rows and m² verify probes; the only m²-sized stage left is the
+    within-class emission, which IS the answer. On a clone-free corpus
+    the collapse adds one map-side class hash + one groupBy on the
+    class key — linear. Not combinable with ``block_grids`` (a class
+    would need the full grid-key vector in its identity; use the
+    direct path there).
     """
     _validate_njp_names(id_col, block_cols)
-    hashed, cand = _jaccard_prefix_candidates(
-        df, text_col, id_col, block_cols, threshold, ngram, block_grids
+    if not collapse_exact:
+        hashed, cand = _jaccard_prefix_candidates(
+            df, text_col, id_col, block_cols, threshold, ngram, block_grids
+        )
+        return _verify_jaccard(hashed, cand, threshold)
+    if block_grids is not None:
+        raise ValueError("collapse_exact does not support block_grids")
+    hashed = _hash_grams(df, text_col, id_col, block_cols, ngram)
+    # content-class identity: 64-bit hash of the SORTED gram array plus
+    # the block key, with the set size alongside (same collision stance
+    # as the gram hashing itself: a set-altering collision is ~2⁻⁴⁰
+    # improbable and would need to collide size too)
+    mem = hashed.select(
+        "__njp_id",
+        F.xxhash64(F.array_sort("__njp_g"), *[F.col(c) for c in block_cols])
+        .alias("__njp_cls"),
+        F.size("__njp_g").alias("__njp_sz"),
+    ).localCheckpoint(eager=False)
+    reps = mem.groupBy("__njp_cls", "__njp_sz").agg(
+        F.min("__njp_id").alias("__njp_rep")
     )
-    ga = hashed.select(F.col("__njp_id").alias("id_a"), F.col("__njp_g").alias("__njp_ga"))
-    gb = hashed.select(F.col("__njp_id").alias("id_b"), F.col("__njp_g").alias("__njp_gb"))
-    inter = F.size(F.array_intersect("__njp_ga", "__njp_gb"))
-    den = F.size("__njp_ga") + F.size("__njp_gb") - inter
-    jac = inter.cast("double") / den.cast("double")
-    return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", jac.alias("jaccard"))
+    mem = mem.join(reps, ["__njp_cls", "__njp_sz"]).select(
+        "__njp_rep", "__njp_id"
     )
+    rep_hashed = hashed.join(
+        reps.select(F.col("__njp_rep").alias("__njp_id")), "__njp_id"
+    ).localCheckpoint(eager=False)
+    _, cand = _jaccard_prefix_candidates(
+        None, text_col, "__njp_id", block_cols, threshold, ngram,
+        hashed=rep_hashed,
+    )
+    rep_pairs = _verify_jaccard(rep_hashed, cand, threshold)
+    ma = mem.select(
+        F.col("__njp_rep").alias("id_a"), F.col("__njp_id").alias("__njp_ma")
+    )
+    mb = mem.select(
+        F.col("__njp_rep").alias("id_b"), F.col("__njp_id").alias("__njp_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__njp_ma", "__njp_mb").alias("id_a"),
+            F.greatest("__njp_ma", "__njp_mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        mem.alias("x")
+        .join(mem.alias("y"), "__njp_rep")
+        .filter(F.col("x.__njp_id") < F.col("y.__njp_id"))
+        # identical sets score exactly 1.0; the guard keeps parity with
+        # the direct path for a (degenerate) threshold above 1
+        .filter(F.lit(1.0) >= F.lit(threshold))
+        .select(
+            F.col("x.__njp_id").alias("id_a"),
+            F.col("y.__njp_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 def simhash(

@@ -98,6 +98,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_jaccard_collapsed",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars // 50 AS len_bucket,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS grams
+        FROM documents
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / CAST(len(a.grams) + len(b.grams)
+                      - len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_ngram_jaccard`` through the mass-duplication re-plan
+    (BENCH_SKEW_r11): identical (gram set, block) classes collapse to
+    one representative before the prefix filter, verified rep pairs
+    expand to member cross products, within-class cliques emit directly
+    at jaccard 1.0. SAME ANSWER as the direct row — the oracle is the
+    identical blocked all-pairs scorer — but a page duplicated m times
+    costs the candidate/verify stages one row instead of m², which is
+    the difference between surviving and not surviving a crawl where
+    the head page has 10⁷ copies. The direct row stays registered: on a
+    clone-free corpus it skips the class groupBy this plan pays."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50)
+    )
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang", "len_bucket"],
+        threshold=0.5, ngram=1, collapse_exact=True,
+    )
+
+
+@query(
     "dedup_clusters",
     oracle="""
     WITH RECURSIVE t AS (

@@ -2084,6 +2084,42 @@ def test_containment_dfcap_would_drop_true_pairs(spark):
             assert min(df_of[g] for g in shared) >= n_boiler
 
 
+def test_jaccard_collapse_exact_identical_pairs(spark):
+    """``collapse_exact`` (the mass-duplication re-plan) must emit the
+    IDENTICAL (id_a, id_b, jaccard) multiset as the direct path on a
+    corpus mixing clone cliques, near-dups, blocking splits, and
+    singletons — including the class that collapses across a block
+    boundary (same text, different block key → different classes)."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    clone = "alpha beta gamma delta epsilon"
+    rows = [(i, "en", clone) for i in range(6)]           # clique in en
+    rows += [(10, "de", clone), (11, "de", clone)]         # same text, de
+    rows += [(20, "en", "alpha beta gamma delta zeta")]    # near-dup of clique
+    rows += [(21, "en", "omega psi chi phi upsilon")]      # singleton
+    rows += [(22, "en", "omega psi chi phi tau")]          # near-dup pair
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def run(collapse):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in ngram_jaccard_pairs(
+                docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=1,
+                collapse_exact=collapse,
+            ).collect()
+        )
+
+    direct, collapsed = run(False), run(True)
+    assert direct == collapsed
+    # the en clique is complete and the de pair stayed in its own block
+    got = {(a, b) for a, b, _ in collapsed}
+    assert {(i, j) for i in range(6) for j in range(i + 1, 6)} <= got
+    assert (10, 11) in got
+    assert not any(a in (10, 11) or b in (10, 11) for a, b in got - {(10, 11)})
+
+
 def test_minhash_bucket_chunking_identical_pairs(spark):
     """The clone-clique memory re-plan (BENCH_SKEW): chunked triangular
     bucket enumeration must emit the IDENTICAL pair set as the

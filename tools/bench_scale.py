@@ -213,6 +213,10 @@ SF10_QUERIES = [
     "stats_zipf_exponent", "stats_ks_source_chars",
     # r11: the constant-cost claim holds through 100× or it is false
     "dedup_minhash_eval_sampled",
+    # r11: the mass-duplication re-plan face of the jaccard generator
+    # (same answer, clone-safe candidate stage) — measured beside the
+    # direct row
+    "dedup_ngram_jaccard_collapsed",
     # r11 (VERDICT r10 Next #2a): the containment VERIFY join at 100× —
     # r10 measured only the candidate face there; the verify join is
     # output-sized, and the 100× replica corpus keeps output linear
@@ -224,6 +228,7 @@ SF10_QUERIES = [
 # not the single sf1 measurement. One repeat — a curve check, not a pin.
 SF3_QUERIES = [
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_collapsed",
     "dedup_levenshtein_prefix",
     # r7 (VERDICT r6 #5): end-to-end curve for the re-planned candidate
     # generator feeding connected components.

@@ -43,6 +43,7 @@ POINTS = (("skew1", SKEW1, 1), ("skew10", SKEW10, 10), ("skew30", SKEW30, 30))
 # The five faces the r10 verdict named. All read only `documents`.
 QUERIES = [
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_collapsed",
     "dedup_containment_pairs",
     "dedup_shared_substrings",
     "corpus_leakage_safe_split",
