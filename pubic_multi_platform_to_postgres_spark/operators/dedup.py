@@ -925,6 +925,7 @@ def _containment_candidates(
     block_cols: list[str],
     threshold: float,
     ngram: int,
+    hashed: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact ASYMMETRIC containment pairs: ordered ``(id_a, id_b,
     containment)`` with ``C(A,B) = |A∩B| / |A| ≥ threshold`` over
@@ -973,14 +974,15 @@ def _containment_candidates(
     boilerplate stratum); losslessness and the cap-loss argument are
     pinned by ``test_containment_dfcap_would_drop_true_pairs``.
     """
-    reserved = {"id_a", "id_b", "containment"}
-    bad = [c for c in (id_col, *block_cols)
-           if c in reserved or c.startswith("__ctp_")]
-    if bad:
-        raise ValueError(
-            f"containment_pairs: column names {bad} are reserved "
-            "(output names id_a/id_b/containment and the __ctp_ prefix)"
-        )
+    if hashed is None:  # internal rep-collapse calls pass pre-named frames
+        reserved = {"id_a", "id_b", "containment"}
+        bad = [c for c in (id_col, *block_cols)
+               if c in reserved or c.startswith("__ctp_")]
+        if bad:
+            raise ValueError(
+                f"containment_pairs: column names {bad} are reserved "
+                "(output names id_a/id_b/containment and the __ctp_ prefix)"
+            )
     # threshold must live in (0, 1]: above 1 the prefix slice length
     # |X| − ⌈t|X|⌉ + 1 goes non-positive (an opaque slice() failure deep
     # inside Spark); at or below 0 the prefix covers the whole set and
@@ -989,15 +991,16 @@ def _containment_candidates(
         raise ValueError(
             f"containment threshold must be in (0, 1], got {threshold!r}"
         )
-    tokens = tokenize(F.col(text_col))
-    grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
-    hashed = df.select(
-        F.col(id_col).alias("__ctp_id"),
-        *[F.col(c) for c in block_cols],
-        F.array_distinct(
-            F.transform(grams, lambda g: F.xxhash64(g))
-        ).alias("__ctp_g"),
-    ).localCheckpoint(eager=False)
+    if hashed is None:
+        tokens = tokenize(F.col(text_col))
+        grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
+        hashed = df.select(
+            F.col(id_col).alias("__ctp_id"),
+            *[F.col(c) for c in block_cols],
+            F.array_distinct(
+                F.transform(grams, lambda g: F.xxhash64(g))
+            ).alias("__ctp_g"),
+        ).localCheckpoint(eager=False)
     tok = hashed.select(
         "__ctp_id", *block_cols, F.explode("__ctp_g").alias("__ctp_tok")
     )
@@ -1046,21 +1049,11 @@ def _containment_candidates(
     return hashed, cand
 
 
-def containment_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    block_cols: list[str],
-    threshold: float = 0.5,
-    ngram: int = 3,
+def _verify_containment(
+    hashed: DataFrame, cand: DataFrame, threshold: float
 ) -> DataFrame:
-    """Verified containment pairs — see :func:`_containment_candidates`
-    (the module docstring above it carries the theorem and the scale
-    argument): exact ``array_intersect`` verification over the
-    checkpointed gram arrays makes the prefix filter lossless."""
-    hashed, cand = _containment_candidates(
-        df, text_col, id_col, block_cols, threshold, ngram
-    )
+    """Exact verification of ordered candidate pairs: ``(id_a, id_b,
+    containment)`` with ``C(A,B) = |A∩B|/|A| ≥ threshold``."""
     ga = hashed.select(
         F.col("__ctp_id").alias("id_a"), F.col("__ctp_g").alias("__ctp_ga")
     )
@@ -1077,6 +1070,102 @@ def containment_pairs(
         .filter(c >= threshold)
         .select("id_a", "id_b", c.alias("containment"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    ngram: int = 3,
+    collapse_exact: bool = False,
+) -> DataFrame:
+    """Verified containment pairs — see :func:`_containment_candidates`
+    (the module docstring above it carries the theorem and the scale
+    argument): exact ``array_intersect`` verification over the
+    checkpointed gram arrays makes the prefix filter lossless.
+
+    ``collapse_exact`` mirrors the jaccard generator's mass-duplication
+    re-plan: identical (distinct-gram set, block key) classes run the
+    prefix filter and verification as ONE representative; verified rep
+    pairs expand to all ordered member cross products (containment is a
+    pure function of the two gram SETS, so every member pair scores its
+    rep pair's value exactly), and within-class ordered pairs emit
+    directly at containment 1.0 (identical sets contain each other).
+    Output identical to the direct path — pinned by
+    ``test_containment_collapse_exact_identical_pairs``."""
+    if not collapse_exact:
+        hashed, cand = _containment_candidates(
+            df, text_col, id_col, block_cols, threshold, ngram
+        )
+        return _verify_containment(hashed, cand, threshold)
+    reserved = {"id_a", "id_b", "containment"}
+    bad = [c for c in (id_col, *block_cols)
+           if c in reserved or c.startswith("__ctp_")]
+    if bad:
+        raise ValueError(
+            f"containment_pairs: column names {bad} are reserved "
+            "(output names id_a/id_b/containment and the __ctp_ prefix)"
+        )
+    # build grams once, collapse to content classes, pair the reps
+    tokens = tokenize(F.col(text_col))
+    grams = tokens if ngram == 1 else word_shingles(tokens, ngram)
+    hashed = df.select(
+        F.col(id_col).alias("__ctp_id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(
+            F.transform(grams, lambda g: F.xxhash64(g))
+        ).alias("__ctp_g"),
+    ).localCheckpoint(eager=False)
+    mem = hashed.select(
+        "__ctp_id",
+        F.xxhash64(F.array_sort("__ctp_g"), *[F.col(c) for c in block_cols])
+        .alias("__ctp_cls"),
+        F.size("__ctp_g").alias("__ctp_sz"),
+    ).localCheckpoint(eager=False)
+    reps = mem.groupBy("__ctp_cls", "__ctp_sz").agg(
+        F.min("__ctp_id").alias("__ctp_rep")
+    )
+    mem = mem.join(reps, ["__ctp_cls", "__ctp_sz"]).select(
+        "__ctp_rep", "__ctp_id"
+    )
+    rep_hashed = hashed.join(
+        reps.select(F.col("__ctp_rep").alias("__ctp_id")), "__ctp_id"
+    ).localCheckpoint(eager=False)
+    _, cand = _containment_candidates(
+        None, text_col, "__ctp_id", block_cols, threshold, ngram,
+        hashed=rep_hashed,
+    )
+    rep_pairs = _verify_containment(rep_hashed, cand, threshold)
+    # ordered expansion: rep pairs are already directional, so members
+    # inherit the direction — no least/greatest renormalization
+    ma = mem.select(
+        F.col("__ctp_rep").alias("id_a"), F.col("__ctp_id").alias("__ctp_ma")
+    )
+    mb = mem.select(
+        F.col("__ctp_rep").alias("id_b"), F.col("__ctp_id").alias("__ctp_mb")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.col("__ctp_ma").alias("id_a"),
+            F.col("__ctp_mb").alias("id_b"),
+            "containment",
+        )
+    )
+    within = (
+        mem.alias("x")
+        .join(mem.alias("y"), "__ctp_rep")
+        .filter(F.col("x.__ctp_id") != F.col("y.__ctp_id"))
+        .select(
+            F.col("x.__ctp_id").alias("id_a"),
+            F.col("y.__ctp_id").alias("id_b"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    return cross.unionAll(within)
 
 
 def containment_candidates(

@@ -53,7 +53,11 @@ for _tail_rotated in (
 # Deterministic and committed like the tail block above; the gate sweep
 # itself is order-insensitive.
 _R11_SEAT_AT = 16
-_R11_ADDED = ("dedup_minhash_eval_sampled", "dedup_ngram_jaccard_collapsed")
+_R11_ADDED = (
+    "dedup_minhash_eval_sampled",
+    "dedup_ngram_jaccard_collapsed",
+    "dedup_containment_pairs_collapsed",
+)
 _names = [n for n in REGISTRY if n not in _R11_ADDED]
 _order = (
     _names[:_R11_SEAT_AT] + list(_R11_ADDED) + _names[_R11_SEAT_AT:]

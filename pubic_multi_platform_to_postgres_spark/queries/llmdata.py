@@ -7196,3 +7196,52 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3
     )
+
+
+@query(
+    "dedup_containment_pairs_collapsed",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, lang,
+               list_distinct(
+                   CASE WHEN len(w) >= 3
+                        THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]
+                        ELSE [array_to_string(w, ' ')] END
+               ) AS grams
+        FROM toks
+    )
+    SELECT * FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / CAST(len(a.grams) AS DOUBLE) AS containment
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    ) WHERE containment >= 0.5
+    """,
+)
+def dedup_containment_pairs_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dedup_containment_pairs`` through the mass-duplication re-plan
+    (the jaccard collapse's asymmetric sibling): identical (gram set,
+    lang) classes run the one-sided prefix filter as one
+    representative; verified ordered rep pairs expand to member cross
+    products (containment is a pure function of the two gram sets) and
+    within-class ordered pairs emit directly at containment 1.0
+    (identical sets contain each other, both directions). SAME ANSWER
+    as the direct row — same all-pairs oracle — at m²→1 candidate cost
+    per clone clique."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3,
+        collapse_exact=True,
+    )

@@ -2120,6 +2120,44 @@ def test_jaccard_collapse_exact_identical_pairs(spark):
     assert not any(a in (10, 11) or b in (10, 11) for a, b in got - {(10, 11)})
 
 
+def test_containment_collapse_exact_identical_pairs(spark):
+    """Containment's ``collapse_exact`` must emit the IDENTICAL ordered
+    (id_a, id_b, containment) multiset as the direct path on a corpus
+    mixing clone cliques, quotes-in-boilerplate (asymmetric relations),
+    block splits, and singletons."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    bp = " ".join(f"bp{i}" for i in range(10))
+    rows = [(i, "en", f"{bp} " + " ".join(f"u{i}w{j}" for j in range(12)))
+            for i in range(4)]                              # boiler docs
+    rows += [(10 + q, "en", " ".join(f"bp{i}" for i in range(2, 8)))
+             for q in range(3)]                             # quote CLONES
+    rows += [(20, "de", " ".join(f"bp{i}" for i in range(2, 8)))]  # de block
+    rows += [(30, "en", "zeta eta theta iota kappa")]       # singleton
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def run(collapse):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["containment"], 12))
+            for r in containment_pairs(
+                docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3,
+                collapse_exact=collapse,
+            ).collect()
+        )
+
+    direct, collapsed = run(False), run(True)
+    assert direct == collapsed
+    got = {(a, b) for a, b, _ in collapsed}
+    # quote clones contain each other (ordered, both directions) and are
+    # contained in every boiler doc; the de twin stays in its block
+    clones = (10, 11, 12)
+    assert {(x, y) for x in clones for y in clones if x != y} <= got
+    assert {(q, b) for q in clones for b in range(4)} <= got
+    assert not any(20 in (a, b) for a, b in got)
+
+
 def test_minhash_bucket_chunking_identical_pairs(spark):
     """The clone-clique memory re-plan (BENCH_SKEW): chunked triangular
     bucket enumeration must emit the IDENTICAL pair set as the

@@ -213,10 +213,9 @@ SF10_QUERIES = [
     "stats_zipf_exponent", "stats_ks_source_chars",
     # r11: the constant-cost claim holds through 100× or it is false
     "dedup_minhash_eval_sampled",
-    # r11: the mass-duplication re-plan face of the jaccard generator
-    # (same answer, clone-safe candidate stage) — measured beside the
-    # direct row
-    "dedup_ngram_jaccard_collapsed",
+    # r11: the mass-duplication re-plan faces (same answer, clone-safe
+    # candidate stage) — measured beside the direct rows
+    "dedup_ngram_jaccard_collapsed", "dedup_containment_pairs_collapsed",
     # r11 (VERDICT r10 Next #2a): the containment VERIFY join at 100× —
     # r10 measured only the candidate face there; the verify join is
     # output-sized, and the 100× replica corpus keeps output linear

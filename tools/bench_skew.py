@@ -45,6 +45,7 @@ QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_collapsed",
     "dedup_containment_pairs",
+    "dedup_containment_pairs_collapsed",
     "dedup_shared_substrings",
     "corpus_leakage_safe_split",
     "dedup_minhash_pairs",
