@@ -227,7 +227,7 @@ SF10_QUERIES = [
 # not the single sf1 measurement. One repeat — a curve check, not a pin.
 SF3_QUERIES = [
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_collapsed",
+    "dedup_ngram_jaccard_collapsed", "dedup_containment_pairs_collapsed",
     "dedup_levenshtein_prefix",
     # r7 (VERDICT r6 #5): end-to-end curve for the re-planned candidate
     # generator feeding connected components.
