@@ -947,3 +947,65 @@ def test_containment_pairs_matches_python_model(spark, texts, thr):
     assert set(got) == set(want)
     for k, v in got.items():
         assert abs(v - want[k]) < 1e-12
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        # a 3-letter alphabet with spaces makes exact-duplicate texts
+        # (clone cliques) and near-dups both common under shrinking
+        st.text(alphabet="ab c", min_size=0, max_size=25),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([0.4, 0.8]),
+)
+def test_collapse_exact_equals_direct_for_any_corpus(spark, texts, thr):
+    """The mass-duplication re-plan is LOSSLESS for ANY corpus, not just
+    the fixture: both prefix-filter generators must emit the identical
+    (pair, score) multiset with and without ``collapse_exact`` —
+    including random clone cliques, whole-text-shingle short docs, and
+    empty-ish strings the generator strategy produces."""
+    from pyspark.sql import Row
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="x", text=t) for i, t in enumerate(texts)]
+    )
+
+    def pairs(frame):
+        cols = frame.columns
+        return sorted(
+            (r[cols[0]], r[cols[1]], round(r[cols[2]], 12))
+            for r in frame.collect()
+        )
+
+    for collapse in (False, True):
+        if collapse:
+            assert pairs(
+                ngram_jaccard_pairs(
+                    df, "text", "doc_id", ["lang"], threshold=thr, ngram=3,
+                    collapse_exact=True,
+                )
+            ) == jac_direct
+            assert pairs(
+                containment_pairs(
+                    df, "text", "doc_id", ["lang"], threshold=thr, ngram=3,
+                    collapse_exact=True,
+                )
+            ) == ct_direct
+        else:
+            jac_direct = pairs(
+                ngram_jaccard_pairs(
+                    df, "text", "doc_id", ["lang"], threshold=thr, ngram=3
+                )
+            )
+            ct_direct = pairs(
+                containment_pairs(
+                    df, "text", "doc_id", ["lang"], threshold=thr, ngram=3
+                )
+            )

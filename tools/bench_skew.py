@@ -83,7 +83,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(REPO / "BENCH_SKEW_r11.json"))
     ap.add_argument("--timeout", type=float, default=600.0)
+    ap.add_argument(
+        "--sections",
+        default="queries,candidates,relational",
+        help="comma list of sections to (re)run; others merge from --out",
+    )
     args = ap.parse_args()
+    sections = set(args.sections.split(","))
 
     for out, factor in ((SKEW1, 1), (SKEW10, 10), (SKEW30, 30)):
         if not Path(out, "documents.parquet").exists():
@@ -102,8 +108,13 @@ def main() -> int:
         "queries": {},
     }
     out_path = Path(args.out)
+    if out_path.exists():
+        prior = json.loads(out_path.read_text())
+        for key in ("queries", "candidate_counts", "relational_hot_key"):
+            if key in prior:
+                report[key] = prior[key]
     qs = entry.queries()
-    for name in QUERIES:
+    for name in QUERIES if "queries" in sections else []:
         report["queries"][name] = {}
         for label, sf_dir, _ in POINTS:
             wall, rows, to = _run_guarded(
@@ -129,8 +140,10 @@ def main() -> int:
     )
     from pubic_multi_platform_to_postgres_spark.queries.registry import load
 
-    cand: dict = {"jaccard": {}, "containment": {}}
-    for label, sf_dir, _ in POINTS:
+    cand: dict = report.get(
+        "candidate_counts", {"jaccard": {}, "containment": {}}
+    )
+    for label, sf_dir, _ in POINTS if "candidates" in sections else []:
         docs = load(spark, sf_dir, "documents")
         blocked = docs.withColumn("len_bucket", F.floor(F.col("n_chars") / 50))
         t0 = time.perf_counter()
@@ -153,6 +166,57 @@ def main() -> int:
         print(f"  cand    {label}: {cand['jaccard'][label]} / "
               f"{cand['containment'][label]}", file=sys.stderr)
         report["candidate_counts"] = cand
+        out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # Hot-KEY relational skew (one customer owns 30% of orders at every
+    # scale — the Zipf head): the plain AQE-skew-split join, the salted
+    # join, and the hot-key aggregate must all track |orders|, not the
+    # hot key's square; dq_join_skew_audit must SEE the hot key.
+    from make_skew_fixture import build_relational_skew
+
+    from pubic_multi_platform_to_postgres_spark.operators.layout import (
+        salted_join,
+    )
+
+    rel: dict = report.get("relational_hot_key", {})
+    for label, sf_dir, factor in POINTS if "relational" in sections else []:
+        build_relational_skew("/root/testdata/sf0.1", factor, sf_dir)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        )
+        row: dict = {}
+        t0 = time.perf_counter()
+        row["join_plain_rows"] = int(orders.join(cust, "o_custkey").count())
+        row["join_plain_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        row["join_salted_rows"] = int(
+            salted_join(orders, cust, "o_custkey", salt=8).count()
+        )
+        row["join_salted_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        agg = (
+            orders.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("s"))
+        )
+        top = agg.orderBy(F.desc("n")).limit(1).first()
+        row["agg_s"] = round(time.perf_counter() - t0, 3)
+        row["hot_key_rows"] = int(top["n"])
+        t0 = time.perf_counter()
+        audit = (
+            qs["dq_join_skew_audit"](spark, sf_dir)
+            .filter(F.col("rank") == 1)
+            .first()
+        )
+        row["skew_audit_s"] = round(time.perf_counter() - t0, 3)
+        row["skew_audit_hot_key_rows"] = int(audit["key_rows"])
+        row["skew_audit_salting_recommended"] = bool(
+            audit["salting_recommended"]
+        )
+        rel[label] = row
+        print(f"  rel     {label}: {row}", file=sys.stderr)
+        report["relational_hot_key"] = rel
         out_path.write_text(json.dumps(report, indent=2) + "\n")
 
     # Growth ratios vs skew1, normalized per 10× of data.

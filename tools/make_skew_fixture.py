@@ -126,6 +126,55 @@ def build(base: str, factor: int, out: str) -> None:
     )
 
 
+def build_relational_skew(base: str, factor: int, out: str) -> None:
+    """Hot-KEY relational fixture: replica-scaled ``customer`` and
+    ``orders`` where ONE global customer key owns 30% of every
+    replica's orders (``o_orderkey % 10 < 3 → o_custkey = 1``) — the
+    Zipf-head join/aggregation case the benign replicas never produce
+    (their key skew is the base table's, bounded per customer). The hot
+    key's row count grows LINEARLY with the corpus, so a plan that
+    serializes it into one task degrades linearly while a skew-split or
+    salted plan holds. Idempotent (skips existing table dirs)."""
+    con = duckdb.connect()
+    counts = {
+        t: con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{base}/{t}.parquet')"
+        ).fetchone()[0]
+        for t in ("customer", "orders")
+    }
+    specs = {
+        "customer": """
+            SELECT c_custkey + {kc} AS c_custkey,
+                   'Customer#' || lpad(CAST(c_custkey + {kc} AS VARCHAR), 9, '0')
+                       AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM read_parquet('{base}/customer.parquet')""",
+        "orders": """
+            SELECT o_orderkey + {ko} AS o_orderkey,
+                   CASE WHEN (o_orderkey + {ko}) % 10 < 3 THEN 1
+                        ELSE o_custkey + {kc} END AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet('{base}/orders.parquet')""",
+    }
+    for table, sql in specs.items():
+        tdir = Path(out) / f"{table}.parquet"
+        if tdir.exists():
+            continue
+        tdir.mkdir(parents=True, exist_ok=True)
+        for k in range(factor):
+            sel = sql.format(
+                base=base, kc=k * counts["customer"], ko=k * counts["orders"]
+            )
+            con.execute(
+                f"COPY ({sel}) TO '{tdir}/part-{k:05d}.parquet' (FORMAT PARQUET)"
+            )
+    n, hot = con.execute(
+        f"""SELECT COUNT(*), COUNT(*) FILTER (o_custkey = 1)
+            FROM read_parquet('{out}/orders.parquet/*.parquet')"""
+    ).fetchone()
+    print(f"built {out} relational: {n} orders, hot key owns {hot}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default=BASE)
@@ -133,6 +182,7 @@ def main() -> int:
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
     build(args.base, args.factor, args.out)
+    build_relational_skew(args.base, args.factor, args.out)
     return 0
 
 
