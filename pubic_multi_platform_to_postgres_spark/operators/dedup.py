@@ -860,6 +860,7 @@ def embedding_neardup_pairs(
     id_col: str,
     block_cols: list[str],
     threshold: float = 0.95,
+    gemm_tile: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key.
 
@@ -875,7 +876,14 @@ def embedding_neardup_pairs(
     Scale contract: the shuffle is one hash partition per block; at
     corpus scale the block key is an LSH/IVF bucket (see
     ``operators/similarity.py``) so each block holds O(thousands) of
-    vectors and the per-block GEMM stays in executor memory.
+    vectors. ``gemm_tile`` bounds the similarity-matrix allocation when
+    a block outgrows that contract anyway (a duplicate-swamped bucket):
+    the GEMM runs in ``tile × n`` row bands instead of one ``n × n``
+    matrix, so peak memory is ``tile·n·8`` bytes and only the compute
+    stays quadratic (it is an exact all-pairs scorer by contract). The
+    emitted pair set is identical for any tile size — same lossless
+    re-schedule as the minhash ``bucket_chunk``
+    (``test_embedding_gemm_tile_identical_pairs``).
     """
     import numpy as np
     import pandas as pd
@@ -894,22 +902,26 @@ def embedding_neardup_pairs(
         ids = pdf[id_col].tolist()
         X = np.asarray(vecs, dtype=np.float64)
         norms = np.sqrt((X * X).sum(axis=1))
-        S = (X @ X.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        cand = S[iu, ju] >= threshold - 1e-6
+        n = len(ids)
         out_a, out_b, out_c = [], [], []
         self_dot = [_fold_dot(v, v) for v in vecs]
-        for i, j in zip(iu[cand], ju[cand]):
-            cos = _fold_dot(vecs[i], vecs[j]) / (
-                (self_dot[i] ** 0.5) * (self_dot[j] ** 0.5)
-            )
-            if cos >= threshold:
-                a, b = ids[i], ids[j]
-                if a > b:
-                    a, b = b, a
-                out_a.append(a)
-                out_b.append(b)
-                out_c.append(cos)
+        for c0 in range(0, n, gemm_tile):
+            c1 = min(c0 + gemm_tile, n)
+            S = (X[c0:c1] @ X.T) / np.outer(norms[c0:c1], norms)
+            ti, j = np.nonzero(S >= threshold - 1e-6)
+            for i, jj in zip(ti + c0, j):
+                if i >= jj:  # strict upper triangle, globally
+                    continue
+                cos = _fold_dot(vecs[i], vecs[jj]) / (
+                    (self_dot[i] ** 0.5) * (self_dot[jj] ** 0.5)
+                )
+                if cos >= threshold:
+                    a, b = ids[i], ids[jj]
+                    if a > b:
+                        a, b = b, a
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_c.append(cos)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
     base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(vec_col))

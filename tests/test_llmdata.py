@@ -2158,6 +2158,43 @@ def test_containment_collapse_exact_identical_pairs(spark):
     assert not any(20 in (a, b) for a, b in got)
 
 
+def test_embedding_gemm_tile_identical_pairs(spark):
+    """The tiled GEMM (duplicate-swamped-bucket memory bound) must emit
+    the identical (pair, cosine) set as the all-at-once matrix for any
+    tile size, including tiles smaller than the block."""
+    import math
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rows = []
+    for i in range(9):
+        ang = (i % 3) * 0.15  # three near-dup families
+        rows.append(
+            (i, "b1", [math.cos(ang), math.sin(ang), 0.1 * (i % 2), 0.05 * i])
+        )
+    rows.append((20, "b2", [1.0, 0.0, 0.0, 0.0]))
+    rows.append((21, "b2", [0.999, 0.04, 0.0, 0.0]))
+    docs = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+    def run(tile):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_neardup_pairs(
+                docs, "embedding", "vec_id", ["label"], threshold=0.9,
+                gemm_tile=tile,
+            ).collect()
+        )
+
+    full = run(10**6)
+    assert full  # the fixture must produce pairs
+    for tile in (1, 2, 4, 7):
+        assert run(tile) == full, f"tile={tile}"
+
+
 def test_minhash_bucket_chunking_identical_pairs(spark):
     """The clone-clique memory re-plan (BENCH_SKEW): chunked triangular
     bucket enumeration must emit the IDENTICAL pair set as the

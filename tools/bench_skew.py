@@ -4,13 +4,17 @@ Next #1).
 
 ``BENCH_SF1_*.json``'s growth curves run on the benign replica corpora
 (`make_scaled_sf.py`: token-disjoint replicas, no hot keys). This bench
-re-measures the five pair generators the r10 verdict named on the
-Zipfian boilerplate fixture from ``make_skew_fixture.py`` (one dominant
-language, a 15% stratum sharing a 30-token boilerplate passage, exact
-clones, verbatim quotes) at 1×/10×/30× — recording, per query per scale
-point: wall clock, OUTPUT rows, and for the prefix-filter generators the
-CANDIDATE volume (the quantity that must stay output-bounded for the
-100-TB story to hold under skew).
+re-measures the pair-generator faces (the five the r10 verdict named
+plus the two round-11 collapse re-plans) on the Zipfian boilerplate
+fixture from ``make_skew_fixture.py`` (one dominant language, a 15%
+stratum sharing a 30-token boilerplate passage, exact clones, verbatim
+quotes) at 1×/10×/30× — recording, per query per scale point: wall
+clock, OUTPUT rows, and for the prefix-filter generators the CANDIDATE
+volume (the quantity that must stay output-bounded for the 100-TB story
+to hold under skew). A second fixture face plants a hot relational key
+(one customer owning 30% of orders) and measures the plain vs salted
+join, the hot-key aggregate, and the skew audit's detection of the key
+(``relational_hot_key``).
 
 Usage::
 
@@ -40,7 +44,7 @@ SKEW10 = "/tmp/spark_graft_skew10"
 SKEW30 = "/tmp/spark_graft_skew30"
 POINTS = (("skew1", SKEW1, 1), ("skew10", SKEW10, 10), ("skew30", SKEW30, 30))
 
-# The five faces the r10 verdict named. All read only `documents`.
+# The r10-named faces + the r11 collapse re-plans. All read only `documents`.
 QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_collapsed",
