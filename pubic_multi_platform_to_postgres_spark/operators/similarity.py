@@ -366,3 +366,84 @@ def multiprobe_partition_topk(
 
     cols = [id_col, vec_col] + ([cell_col] if cell_col else [])
     return df.select(*cols).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN (the vector-database "filtered search" problem)
+
+
+def filtered_strategy(
+    total: int, matched: int, cutoff: float = 0.15
+) -> str:
+    """Pick the execution strategy for a metadata-filtered top-k.
+
+    The classic vector-DB planning rule: when the predicate is SELECTIVE
+    (``matched/total <= cutoff``), scanning only the survivors beats any
+    index — ``'prefilter'`` brute-forces the filtered subset exactly.
+    When the predicate keeps most of the corpus, pruning must come from
+    the index — ``'postfilter'`` probes the IVF cells of the FULL corpus
+    and applies the predicate to the candidates. Pure function of two
+    counts so the branch decision is unit-testable without a session and
+    reproducible by an external engine (at 100 TB both counts come from
+    catalog statistics, not a scan).
+    """
+    if total <= 0:
+        return "prefilter"
+    return "prefilter" if (matched / total) <= cutoff else "postfilter"
+
+
+def topk_cosine_filtered(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    predicate: Column,
+    k: int = 10,
+    strategy: str = "auto",
+    cutoff: float = 0.15,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k cosine restricted to rows matching ``predicate``.
+
+    ``strategy='auto'`` applies :func:`filtered_strategy`:
+
+    - ``prefilter``: predicate first, exact brute-force over the
+      survivors — the parquet scan sees the pushed filter, so a
+      selective predicate reads a fraction of the corpus and the answer
+      is EXACT (no recall loss; the filter out-prunes the index).
+    - ``postfilter``: seeded-IVF cell assignment over the FULL corpus
+      (the index is built once, unfiltered, as a real vector store
+      would), probe the ``nprobe`` query-nearest cells, THEN apply the
+      predicate to the candidate set — the broad-predicate regime where
+      index pruning is the only pruning available. Recall is the IVF
+      probe recall restricted to matching rows (candidates thin by the
+      predicate's pass rate, so callers with strict k-guarantees raise
+      ``nprobe``).
+
+    Both branches end in :func:`topk_cosine_bruteforce`'s strict-fold
+    scoring, so either plan is hash-reproducible by a SQL engine
+    replaying the same arithmetic. The two ``count()`` jobs behind
+    ``auto`` are metadata-cheap (count-star over parquet row groups /
+    catalog stats at scale) and are skipped when ``strategy`` is forced.
+    """
+    if strategy == "auto":
+        total = df.count()
+        matched = df.filter(predicate).count()
+        strategy = filtered_strategy(total, matched, cutoff)
+    if strategy == "prefilter":
+        return topk_cosine_bruteforce(
+            df.filter(predicate), vec_col, id_col, query_vec, k
+        )
+    if strategy != "postfilter":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    centroids = seeded_centroids(df, vec_col, id_col, n_cells)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qnorm = np.sqrt(np.cumsum(q * q)[-1])
+    cnorm = np.sqrt(np.cumsum(centroids * centroids, axis=1)[:, -1])
+    qcos = fold_dots(centroids, q) / (cnorm * qnorm)
+    order = sorted(range(len(qcos)), key=lambda i: (-qcos[i], i))
+    probe = [int(i) for i in order[:nprobe]]
+    celled = with_ivf_cell_cosine(df, vec_col, centroids)
+    candidates = celled.filter(F.col("cell").isin(probe)).filter(predicate)
+    return topk_cosine_bruteforce(candidates, vec_col, id_col, query_vec, k)

@@ -57,6 +57,14 @@ _R11_ADDED = (
     "dedup_minhash_eval_sampled",
     "dedup_ngram_jaccard_collapsed",
     "dedup_containment_pairs_collapsed",
+    # second r11 batch: filtered ANN (both planner branches), EWMA
+    # anomaly flags, canonical-URL dedup, FK-integrity audit
+    "sim_topk_filtered",
+    "sim_topk_filtered_post",
+    "ts_ewma_anomaly",
+    "corpus_url_dedup",
+    "dq_referential_integrity",
+    "stream_ewma_alerts",
 )
 _names = [n for n in REGISTRY if n not in _R11_ADDED]
 _order = (

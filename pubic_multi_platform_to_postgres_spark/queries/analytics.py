@@ -176,6 +176,45 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ewma_oracle() -> str:
+    from pubic_multi_platform_to_postgres_spark.operators.timeseries import (
+        ewma_anomaly_oracle_sql,
+    )
+
+    return ewma_anomaly_oracle_sql(
+        "events", "user_id", ["ts", "event_id"], "value",
+        alpha=0.25, depth=16, min_prior=4, factor=2.0,
+    )
+
+
+@query("ts_ewma_anomaly", oracle=_ewma_oracle())
+def ts_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: per-user bounded-depth EWMA
+    baseline (α=0.25, 16 lags, weights renormalized over present
+    history) and a spike flag for events worth more than 2× their own
+    baseline with ≥4 events of history — the standard streaming-metrics
+    alert rule, expressed as ONE keyed window (no recursion, no UDF,
+    whole-stage codegen; see ``operators/timeseries.py:ewma_anomaly``
+    for the truncation argument — the dropped tail mass is
+    ``0.75^16 ≈ 1.0%``). Numerator/denominator are FIXED-ORDER addition
+    chains with float64 weight literals, so the oracle's identical
+    chains hash-match bit-for-bit.
+
+    Scale: one shuffle keyed on user_id; the 16 ``lag()`` columns share
+    a single WindowExec pass over each partition — per-key state is 16
+    values regardless of history length, the same bounded-frame
+    contract as the allowlisted decile windows."""
+    from pubic_multi_platform_to_postgres_spark.operators.timeseries import (
+        ewma_anomaly,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return ewma_anomaly(
+        ev, "user_id", ["ts", "event_id"], "value",
+        alpha=0.25, depth=16, min_prior=4, factor=2.0,
+    )
+
+
 @query(
     "udaf_mad_order_value",
     oracle="""

@@ -1297,3 +1297,130 @@ def stats_ks_source_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         ks_micro.alias("ks_micro"),
         (ks_micro.cast("double") / F.lit(1000000.0)).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: referential-integrity audit (the FK face of the DQ family)
+
+_FK_RELATIONS = (
+    # (relation label, child table, child key, parent table, parent key)
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _ref_integrity_oracle_sql() -> str:
+    parts = []
+    for rel, child, ckey, parent, pkey in _FK_RELATIONS:
+        parts.append(f"""
+        SELECT '{rel}' AS relation,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pkey} = c.{ckey})) AS n_orphans,
+               (SELECT CAST(COUNT(DISTINCT {pkey}) AS BIGINT)
+                FROM {parent}) AS n_parents,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                   (SELECT DISTINCT {pkey} FROM {parent}
+                    WHERE EXISTS (SELECT 1 FROM {child} c
+                                  WHERE c.{ckey} = {pkey}))) AS n_referenced
+        """)
+    sub = " UNION ALL ".join(parts)
+    return f"""
+    SELECT relation, n_rows, n_orphans, n_parents, n_referenced,
+           CASE WHEN n_parents = 0 THEN NULL
+                ELSE CAST(n_referenced AS DOUBLE) / CAST(n_parents AS DOUBLE)
+           END AS coverage_pct
+    FROM ({sub})
+    """
+
+
+@query("dq_referential_integrity", oracle=_ref_integrity_oracle_sql())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema (+ the events stream's soft FK): per relation, child
+    rows, ORPHANED child rows (no matching parent — the load-order /
+    partial-sync defect the reference's per-stream sequential sync can
+    produce, SURVEY §2.6), parent-key cardinality, parents actually
+    referenced, and referential coverage. A clean warehouse returns
+    n_orphans = 0 on every row — the audit PROVES it rather than
+    assumes it, and the coverage column exposes cold dimension keys.
+
+    Scale: each relation is one left-anti-shaped aggregate — the child
+    side streams once, the parent key set is a broadcast for dimension
+    tables and a key-only shuffle join for fact-to-fact edges
+    (lineitem->orders) — plus two key-distinct counts; per-relation
+    results are 1-row frames unioned on the driver plan (5 rows total,
+    no data collect). At 100 TB each edge costs what its join would —
+    orphan checks ride the same co-partitioning the landed tables
+    already bucket by."""
+    # Each relation contributes three 1-row partial frames (child-side,
+    # parent-side, referenced-side) carrying NULLs for the columns it
+    # doesn't compute; a final groupBy(relation) stitches them. Unions +
+    # one 5-group aggregate — NO 1-row joins, which Catalyst would
+    # constant-fold into nested-loop products.
+    nul = F.lit(None).cast("long")
+    partials = []
+    for rel, child, ckey, parent, pkey in _FK_RELATIONS:
+        c = load(spark, sf_dir, child)
+        p = load(spark, sf_dir, parent)
+        pkeys = p.select(F.col(pkey)).distinct()
+        joined = c.join(pkeys, c[ckey] == pkeys[pkey], "left")
+        partials.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(pkeys[pkey].isNull(), 1)), F.lit(0)
+                ).cast("long").alias("n_orphans"),
+            ).select(
+                F.lit(rel).alias("relation"), "n_rows", "n_orphans",
+                nul.alias("n_parents"), nul.alias("n_referenced"),
+            )
+        )
+        partials.append(
+            p.agg(
+                F.countDistinct(pkey).cast("long").alias("n_parents")
+            ).select(
+                F.lit(rel).alias("relation"), nul.alias("n_rows"),
+                nul.alias("n_orphans"), "n_parents",
+                nul.alias("n_referenced"),
+            )
+        )
+        partials.append(
+            pkeys.join(
+                c.select(F.col(ckey)).distinct(),
+                pkeys[pkey] == c[ckey],
+                "left_semi",
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_referenced")
+            ).select(
+                F.lit(rel).alias("relation"), nul.alias("n_rows"),
+                nul.alias("n_orphans"), nul.alias("n_parents"),
+                "n_referenced",
+            )
+        )
+    stacked = partials[0]
+    for frame in partials[1:]:
+        stacked = stacked.unionByName(frame)
+    merged = stacked.groupBy("relation").agg(
+        F.max("n_rows").alias("n_rows"),
+        F.max("n_orphans").alias("n_orphans"),
+        F.max("n_parents").alias("n_parents"),
+        F.max("n_referenced").alias("n_referenced"),
+    )
+    return merged.select(
+        "relation",
+        "n_rows",
+        "n_orphans",
+        "n_parents",
+        "n_referenced",
+        F.when(
+            F.col("n_parents") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.col("n_referenced").cast("double")
+            / F.col("n_parents").cast("double")
+        ).alias("coverage_pct"),
+    )

@@ -752,6 +752,115 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sim_topk_filtered",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               ORDER BY vec_id LIMIT 1),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE label = 3)
+    SELECT e.vec_id, {_COS.format(a="e.v", b="q.qv")} AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search, selective-predicate regime: top-10
+    by cosine among vectors with ``label = 3`` (~10% of the corpus). The
+    adaptive planner (:func:`filtered_strategy`) sees selectivity ≤ 0.15
+    and picks PRE-FILTERING — the predicate reaches the parquet scan
+    (pushed filter, row-group pruning on a label-sorted layout at scale)
+    and the survivors are scored exactly, so the filtered answer has NO
+    recall loss. This is the vector-DB planning rule: a selective filter
+    out-prunes any ANN index. The oracle replays filter + strict-fold
+    cosine + tie-broken top-k; the branch switch itself is unit-pinned on
+    both sides of the cutoff (``tests/test_llmdata.py``).
+
+    Scale: count-star pair (catalog stats at 100 TB) + filtered scan +
+    map-side scoring + TakeOrderedAndProject — no shuffle wider than k."""
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        topk_cosine_filtered,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_cosine_filtered(
+        emb, "embedding", "vec_id", _query_vector(spark, sf_dir),
+        predicate=F.col("label") == 3, k=10, strategy="auto",
+    )
+
+
+def _ivf_filtered_oracle_sql(
+    pred_sql: str, n_cells: int = 16, nprobe: int = 4, k: int = 10
+) -> str:
+    """DuckDB replay of the POST-FILTER branch of filtered ANN: the
+    seeded-IVF index is built over the FULL corpus (assignment ignores
+    the predicate — a real vector store indexes once), the query-nearest
+    ``nprobe`` cells are probed, and the predicate prunes the CANDIDATES
+    before exact scoring. Same IEEE strict-fold arithmetic as
+    :func:`_ivf_oracle_sql`, so assignment, probing, predicate, and
+    ranking all hash-match."""
+    vc = _COS.format(a="e.v", b="cv")
+    cq = _COS.format(a="cv", b="qv")
+    fq = _COS.format(a="c.v", b="q.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+    cents AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, v AS cv
+        FROM e ORDER BY vec_id LIMIT {n_cells}
+    ),
+    assign AS (
+        SELECT e.vec_id, e.label, e.v, cidx,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {vc} DESC, cidx) AS rn
+        FROM e CROSS JOIN cents
+    ),
+    probes AS (
+        SELECT cidx FROM cents, q ORDER BY {cq} DESC, cidx LIMIT {nprobe}
+    ),
+    cand AS (
+        SELECT vec_id, v FROM assign
+        WHERE rn = 1 AND cidx IN (SELECT cidx FROM probes)
+          AND ({pred_sql})
+    )
+    SELECT c.vec_id, {fq} AS cosine
+    FROM cand c, q
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT {k}
+    """
+
+
+@query(
+    "sim_topk_filtered_post",
+    oracle=_ivf_filtered_oracle_sql("label < 7"),
+)
+def sim_topk_filtered_post(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search, BROAD-predicate regime: top-10 by
+    cosine among vectors with ``label < 7`` (~70% of the corpus). The
+    adaptive planner sees selectivity > 0.15 — pre-filtering would still
+    scan most of the corpus, so pruning must come from the index: probe
+    the 4 query-nearest seeded-IVF cells of the FULL-corpus index, THEN
+    apply the predicate to the candidates (post-filtering, the other half
+    of the vector-DB planning rule). Recall is the probe recall thinned
+    by the predicate's pass rate — callers needing a k-guarantee raise
+    ``nprobe`` (documented on the operator). The oracle replays index
+    build, assignment, probing, candidate predicate, and ranking.
+
+    Scale: identical plan shape to ``sim_topk_ivf`` (the measured IVF
+    face) plus one candidate-side filter — no new shuffle."""
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        topk_cosine_filtered,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return topk_cosine_filtered(
+        emb, "embedding", "vec_id", _query_vector(spark, sf_dir),
+        predicate=F.col("label") < 7, k=10, strategy="auto",
+    )
+
+
 def _multimodal_ann_oracle_sql(dim: int = 16, n_cells: int = 16,
                                nprobe: int = 4, k: int = 10) -> str:
     """DuckDB replay of the full multimodal→encode→quantize→ANN
@@ -6332,6 +6441,112 @@ def text_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("canon"))
         .cast("long")
         .alias("n_dup_urls"),
+    )
+
+
+@query(
+    "corpus_url_dedup",
+    oracle=f"""
+    WITH wrapped AS (
+        SELECT doc_id, n_chars, {_URL_WRAP_SQL} AS body FROM documents
+    ),
+    urls AS (
+        SELECT doc_id, n_chars,
+               unnest(regexp_extract_all(body, 'https?://[^ ]+')) AS url
+        FROM wrapped
+    ),
+    pairs AS (
+        SELECT DISTINCT doc_id, n_chars,
+               split_part(regexp_replace(
+                   regexp_replace(url, '^https?://', ''), '^www\\.', ''),
+                   '?', 1) AS canon
+        FROM urls
+    ),
+    mentions AS (
+        SELECT split_part(regexp_replace(
+                   regexp_replace(url, '^https?://', ''), '^www\\.', ''),
+                   '?', 1) AS canon,
+               CAST(COUNT(*) AS BIGINT) AS n_mentions
+        FROM urls GROUP BY 1
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, canon,
+               ROW_NUMBER() OVER (PARTITION BY canon
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM pairs
+    ),
+    grp AS (
+        SELECT canon,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+               CAST(COALESCE(SUM(CASE WHEN rn > 1 THEN n_chars END), 0)
+                    AS BIGINT) AS dropped_chars
+        FROM ranked GROUP BY canon
+    )
+    SELECT g.canon, g.kept_doc, g.n_docs, m.n_mentions, g.dropped_chars
+    FROM grp g JOIN mentions m USING (canon)
+    WHERE g.n_docs >= 2
+    """,
+)
+def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-level canonical-URL dedup — the fetch-manifest collapse every
+    web pipeline runs before content dedup: extract every URL, normalize
+    to its canonical form (scheme off, ``www.`` off, query string off —
+    the same policy as ``text_url_domain_stats``), and for each canonical
+    URL cited by ≥2 documents elect the KEEP document (longest text, then
+    lowest id — keep-best survivorship, same rule as
+    ``corpus_dedup_keep_best``) and price the collapse: citing docs,
+    raw mentions, and the characters the dropped citations represent.
+    The fixture's every-5th-doc neighbor repeats under different
+    scheme/www/query dressings are exactly the rows this returns.
+
+    Scale: map-side regex extract/normalize (JVM codegen), one DISTINCT
+    on (doc, canon), one window + one aggregate keyed on canon, and a
+    canon-keyed mention rollup joined back — all shuffles on the same
+    key, so AQE coalesces them over one exchange footprint; nothing is
+    collected and no state exceeds the group. A canonical URL cited by
+    millions of pages (the Zipf head) skews its group; the window only
+    ranks DISTINCT citing docs (bounded by docs, not mentions) and the
+    mention count is a plain associative rollup, so the hot-key cost is
+    one large sort group — salt the rank (two-level tournament on
+    (n_chars, doc_id)) if a single canon's citer set ever exceeds a
+    partition."""
+    docs = load(spark, sf_dir, "documents")
+    wrapped = docs.select("doc_id", "n_chars", _url_wrap_col().alias("body"))
+    urls = wrapped.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.expr("regexp_extract_all(body, 'https?://[^ ]+', 0)")
+        ).alias("url"),
+    )
+    canon = F.split_part(
+        F.regexp_replace(
+            F.regexp_replace("url", F.lit("^https?://"), F.lit("")),
+            F.lit("^www\\."),
+            F.lit(""),
+        ),
+        F.lit("?"),
+        F.lit(1),
+    ).alias("canon")
+    with_canon = urls.select("doc_id", "n_chars", canon)
+    pairs = with_canon.distinct()
+    mentions = with_canon.groupBy("canon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mentions")
+    )
+    w = Window.partitionBy("canon").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    grp = ranked.groupBy("canon").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") > 1, F.col("n_chars"))), F.lit(0)
+        ).cast("long").alias("dropped_chars"),
+    )
+    return (
+        grp.join(mentions, "canon")
+        .filter(F.col("n_docs") >= 2)
+        .select("canon", "kept_doc", "n_docs", "n_mentions", "dropped_chars")
     )
 
 

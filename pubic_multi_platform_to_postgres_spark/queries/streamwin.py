@@ -262,3 +262,35 @@ def stream_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_event_id").alias("click_id"),
         F.unix_micros("l_ts").alias("click_ts_us"),
     )
+
+
+def _ewma_alerts_oracle() -> str:
+    from pubic_multi_platform_to_postgres_spark.operators.timeseries import (
+        ewma_anomaly_oracle_sql,
+    )
+
+    return ewma_anomaly_oracle_sql(
+        "events", "user_id", ["ts", "event_id"], "value",
+        alpha=0.25, depth=16, min_prior=4, factor=2.0,
+    )
+
+
+@query("stream_ewma_alerts", oracle=_ewma_alerts_oracle())
+def stream_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-STATEFUL streaming face of ``ts_ewma_anomaly``: per-key
+    EWMA spike alerts whose state is the last-16-values array
+    (``applyInPandasWithState`` in-flight; this gate row runs the batch
+    face, ``ewma_alerts_batch`` — the same per-row fold over one Arrow
+    group per key). Three-way equivalence: this row hash-matches the
+    windowed-SQL oracle, and ``tests/test_streaming.py`` pins streaming
+    micro-batch union ≡ batch face ≡ the JVM window expression — so the
+    streaming operator inherits the oracle transitively.
+
+    Scale: state is O(depth) doubles per key; each micro-batch shuffles
+    only its own rows on the key — the standard stateful-streaming
+    contract (state store size = keys × 16 doubles, not history)."""
+    from pubic_multi_platform_to_postgres_spark.streaming.stateful import (
+        ewma_alerts_batch,
+    )
+
+    return ewma_alerts_batch(load(spark, sf_dir, "events"))

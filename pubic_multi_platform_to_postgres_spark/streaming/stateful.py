@@ -171,3 +171,184 @@ def transition_pairs(
     return df.groupBy(key_col).applyInPandasWithState(
         func, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key EWMA spike alerts — the streaming face of
+# ``operators/timeseries.py:ewma_anomaly`` (same bounded-depth fold,
+# bit-identical output when events arrive in per-key event-time order)
+
+
+def _ewma_step(
+    history: list, value: float, weights: list, min_prior: int, factor: float
+) -> tuple:
+    """One fold step: ``history`` is most-recent-first previous values
+    (len ≤ depth). Returns (n_prior, ewma | None, is_alert).
+
+    The accumulation runs in the SAME left-to-right order as the batch
+    window expression (lag 1 → lag depth); missing lags are always a
+    SUFFIX there (adding literal 0.0 — an exact identity on finite
+    doubles), so folding only the present terms reproduces the batch
+    doubles bit-for-bit."""
+    num = 0.0
+    den = 0.0
+    n = 0
+    for w, v in zip(weights, history):
+        num = num + w * v
+        den = den + w
+        n += 1
+    if n == 0:
+        return 0, None, False
+    ewma = num / den
+    return n, ewma, (n >= min_prior and value > factor * ewma)
+
+
+def _ewma_out_schema(key_col: str, ts_col: str, id_col: str, value_col: str):
+    return T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("n_prior", T.IntegerType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+
+
+def _ewma_scan(rows, history, weights, depth, min_prior, factor,
+               key_val, ts_col, id_col, value_col, key_col):
+    """Scan a time-sorted pandas frame, emitting alert rows and the
+    updated history (most-recent-first, truncated to depth).
+
+    Vectorized with the strict-fold ``np.cumsum`` device the ANN scorers
+    use (``operators/similarity.py:fold_dots``): the lag matrix carries
+    literal 0.0 where a lag is missing — exactly the batch window
+    expression's CASE terms — and the row-wise cumsum's last column IS
+    the left-to-right fold, so every emitted double stays bit-identical
+    to the per-row loop and the SQL oracle while the scan runs as a few
+    C passes (the per-row Python loop pinned 3.9 s at sf0.1; this shape
+    is ~an order of magnitude less)."""
+    import numpy as np
+    import pandas as pd
+
+    v = rows[value_col].to_numpy(dtype=np.float64)
+    t = len(v)
+    pre = np.asarray(list(reversed(history)), dtype=np.float64)
+    ext = np.concatenate([pre, v]) if len(pre) else v
+    off = len(pre)
+    w = np.asarray(weights, dtype=np.float64)
+    lagm = np.zeros((t, depth), dtype=np.float64)
+    mask = np.zeros((t, depth), dtype=np.float64)
+    pos = np.arange(t)
+    for i in range(1, depth + 1):
+        idx = pos + off - i
+        ok = idx >= 0
+        lagm[ok, i - 1] = ext[idx[ok]]
+        mask[ok, i - 1] = 1.0
+    num = np.cumsum(lagm * w[None, :], axis=1)[:, -1]
+    den = np.cumsum(mask * w[None, :], axis=1)[:, -1]
+    n_prior = mask.sum(axis=1).astype(np.int64)
+    ewma = np.divide(num, den, out=np.full(t, np.nan), where=den > 0.0)
+    alert = (n_prior >= min_prior) & (v > factor * ewma)
+    pdf = pd.DataFrame(
+        {
+            key_col: np.full(alert.sum(), key_val, dtype=np.int64),
+            ts_col: rows[ts_col].to_numpy()[alert],
+            id_col: rows[id_col].to_numpy(dtype=np.int64)[alert],
+            value_col: v[alert],
+            "n_prior": n_prior[alert].astype("int32"),
+            "ewma": ewma[alert],
+        }
+    )
+    new_hist = [float(x) for x in ext[::-1][:depth]]
+    return pdf, new_hist
+
+
+def apply_ewma_alerts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    depth: int = 16,
+    min_prior: int = 4,
+    factor: float = 2.0,
+) -> DataFrame:
+    """Streaming per-key EWMA spike alerts (``applyInPandasWithState``).
+
+    State per key is the last ``depth`` values (most-recent-first array —
+    O(depth) doubles per key, constant at any corpus). Each micro-batch
+    sorts its rows by (ts, id) within the key, folds them through
+    :func:`_ewma_step`, emits only the ALERT rows, and carries the
+    updated tail forward — so alerts stream out with bounded latency and
+    the union of all batches equals the batch operator exactly, provided
+    per-key arrival order is event-time order across batches (the file
+    source's modification-time ordering; an out-of-order source needs a
+    watermark-sorted buffer upstream, which Spark's state API does not
+    give applyInPandasWithState for free — documented trade)."""
+    import pandas as pd
+
+    weights = _ewma_weights_cached(alpha, depth)
+    out_schema = _ewma_out_schema(key_col, ts_col, id_col, value_col)
+    state_schema = T.StructType(
+        [T.StructField("hist", T.ArrayType(T.DoubleType()))]
+    )
+
+    def func(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows) == 0:
+            return
+        rows = rows.sort_values([ts_col, id_col])
+        history = list(state.get[0]) if state.exists else []
+        pdf, history = _ewma_scan(
+            rows, history, weights, depth, min_prior, factor,
+            key[0], ts_col, id_col, value_col, key_col,
+        )
+        state.update((history,))
+        if len(pdf):
+            yield pdf
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        func, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def ewma_alerts_batch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    depth: int = 16,
+    min_prior: int = 4,
+    factor: float = 2.0,
+) -> DataFrame:
+    """The batch face of :func:`apply_ewma_alerts`: one ``applyInPandas``
+    over the same per-row fold (each key's full history is one Arrow
+    group), so batch output ≡ streaming union and both are oracle-
+    checkable against the windowed-SQL replay."""
+    import pandas as pd
+
+    weights = _ewma_weights_cached(alpha, depth)
+    out_schema = _ewma_out_schema(key_col, ts_col, id_col, value_col)
+
+    def func(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, id_col])
+        out, _ = _ewma_scan(
+            pdf, [], weights, depth, min_prior, factor,
+            int(pdf[key_col].iloc[0]), ts_col, id_col, value_col, key_col,
+        )
+        return out
+
+    return df.groupBy(key_col).applyInPandas(func, out_schema)
+
+
+def _ewma_weights_cached(alpha: float, depth: int) -> list:
+    from pubic_multi_platform_to_postgres_spark.operators.timeseries import (
+        ewma_weights,
+    )
+
+    return ewma_weights(alpha, depth)

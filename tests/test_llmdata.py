@@ -2227,3 +2227,139 @@ def test_minhash_bucket_chunking_identical_pairs(spark):
     }  # the clique is all-pairs at est 1.0
     for chunk in (1, 3, 4, 7):
         assert run(chunk) == unchunked, f"chunk={chunk}"
+
+
+# ---------------------------------------------------------------------------
+# Round 11 second batch: filtered ANN, canonical-URL dedup
+
+
+def test_filtered_strategy_branches():
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        filtered_strategy,
+    )
+
+    # the planning rule: selective predicate -> prefilter, broad -> index
+    assert filtered_strategy(1000, 150) == "prefilter"   # exactly at cutoff
+    assert filtered_strategy(1000, 151) == "postfilter"  # just past it
+    assert filtered_strategy(1000, 0) == "prefilter"
+    assert filtered_strategy(0, 0) == "prefilter"        # empty corpus
+    assert filtered_strategy(1000, 1000) == "postfilter"
+
+
+def test_filtered_topk_prefilter_is_exact(spark):
+    """The selective branch must equal a plain brute-force over the
+    filtered subset — no recall loss, predicate applied before scoring."""
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        topk_cosine_bruteforce,
+        topk_cosine_filtered,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    emb = load(spark, sf, "embeddings")
+    q = [float(x) for x in
+         emb.orderBy("vec_id").first()["embedding"]]
+    got = topk_cosine_filtered(
+        emb, "embedding", "vec_id", q,
+        predicate=F.col("label") == 1, k=5, strategy="prefilter",
+    ).collect()
+    want = topk_cosine_bruteforce(
+        emb.filter(F.col("label") == 1), "embedding", "vec_id", q, k=5
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    assert all(
+        r["label"] == 1
+        for r in emb.filter(
+            F.col("vec_id").isin([g["vec_id"] for g in got])
+        ).collect()
+    )
+
+
+def test_filtered_topk_postfilter_respects_predicate(spark):
+    """The broad branch probes the full-corpus index but every returned
+    row must still satisfy the predicate."""
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        topk_cosine_filtered,
+    )
+    from pyspark.sql import functions as F
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    got = topk_cosine_filtered(
+        emb, "embedding", "vec_id", q,
+        predicate=F.col("label") < 7, k=5, strategy="postfilter",
+        n_cells=8, nprobe=4,
+    ).collect()
+    assert 0 < len(got) <= 5
+    labels = {
+        r["label"]
+        for r in emb.filter(
+            F.col("vec_id").isin([g["vec_id"] for g in got])
+        ).collect()
+    }
+    assert all(lab < 7 for lab in labels)
+
+
+def test_filtered_topk_auto_picks_by_selectivity(spark):
+    """'auto' must route label==3 (~10%) to the exact prefilter answer
+    and a broad predicate to the postfilter (candidate-subset) answer."""
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        topk_cosine_bruteforce,
+        topk_cosine_filtered,
+    )
+    from pyspark.sql import functions as F
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    auto = topk_cosine_filtered(
+        emb, "embedding", "vec_id", q,
+        predicate=F.col("label") == 3, k=5, strategy="auto",
+    ).collect()
+    exact = topk_cosine_bruteforce(
+        emb.filter(F.col("label") == 3), "embedding", "vec_id", q, k=5
+    ).collect()
+    assert [r["vec_id"] for r in auto] == [r["vec_id"] for r in exact]
+
+
+def test_url_dedup_collapses_fixture_neighbors(spark):
+    """The URL fixture plants doc d (d%5==0) re-citing doc d+1's
+    canonical URL — every returned group must be such a pair, keep the
+    longer document, and price the dropped one."""
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["corpus_url_dedup"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    chars = dict(
+        (r["doc_id"], r["n_chars"])
+        for r in load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "n_chars").collect()
+    )
+    for r in rows:
+        assert r["n_docs"] == 2
+        assert r["n_mentions"] >= 2
+        # canon is site{(d+1)%7}.example/p/{(d+1)//7} cited by d and d+1
+        owner = int(r["canon"].split("/p/")[1]) * 7 + int(
+            r["canon"].split(".example")[0].removeprefix("site")
+        )
+        citers = {owner, owner - 1}
+        assert r["kept_doc"] in citers
+        dropped = citers - {r["kept_doc"]}
+        assert r["dropped_chars"] == sum(chars[d] for d in dropped)
+        # keep-best: the kept doc is at least as long as the dropped one
+        assert all(
+            chars[r["kept_doc"]] >= chars[d]
+            or (chars[r["kept_doc"]] == chars[d] and r["kept_doc"] < d)
+            for d in dropped
+        )

@@ -589,3 +589,134 @@ def test_chisq_dense_grid_hand_values(spark, tmp_path):
     assert rows[("B", "fr")]["n_obs"] == 0
     assert rows[("B", "fr")]["expected"] == 0.25
     assert rows[("B", "fr")]["chi_term_micro"] == 250000
+
+
+def test_ewma_weights_mass_and_validation():
+    from pubic_multi_platform_to_postgres_spark.operators.timeseries import (
+        ewma_weights,
+    )
+    import pytest as _pytest
+
+    w = ewma_weights(0.25, 16)
+    assert len(w) == 16
+    assert w[0] == 0.25 and all(a > b for a, b in zip(w, w[1:]))
+    # truncated mass: 1 - (1-alpha)^depth
+    assert abs(sum(w) - (1 - 0.75**16)) < 1e-12
+    with _pytest.raises(ValueError):
+        ewma_weights(0.0)
+    with _pytest.raises(ValueError):
+        ewma_weights(1.0)
+    with _pytest.raises(ValueError):
+        ewma_weights(0.5, 0)
+
+
+def test_ewma_anomaly_hand_series(spark, tmp_path):
+    """Hand series: constant 10s then a 100 spike — the spike (and only
+    the spike) is flagged, its baseline is exactly 10 (weights
+    renormalize over a constant history), and rows without min_prior
+    history are never emitted."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0] * 8 + [100.0, 10.0, 10.0]
+    pd.DataFrame({
+        "event_id": range(len(vals)),
+        "ts": [base + dt.timedelta(minutes=i) for i in range(len(vals))],
+        "user_id": [7] * len(vals),
+        "event_type": ["click"] * len(vals),
+        "value": vals,
+        "props": ["{}"] * len(vals),
+    }).to_parquet(tmp_path / "events.parquet")
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["ts_ewma_anomaly"].fn(spark, str(tmp_path)).collect()
+    assert [r["event_id"] for r in rows] == [8]
+    assert rows[0]["ewma"] == 10.0
+    assert rows[0]["n_prior"] == 8
+    # the post-spike rows are NOT flagged: 10 < 2 * (spike-raised ewma)
+
+
+def test_ewma_anomaly_renormalizes_short_history(spark, tmp_path):
+    """With exactly min_prior rows of history the weights renormalize:
+    baseline of [1,2,3,4] then value 100 is the alpha-weighted mean of
+    the 4 lags only."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.operators.timeseries import (
+        ewma_weights,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    pd.DataFrame({
+        "event_id": range(len(vals)),
+        "ts": [base + dt.timedelta(minutes=i) for i in range(len(vals))],
+        "user_id": [1] * len(vals),
+        "event_type": ["view"] * len(vals),
+        "value": vals,
+        "props": ["{}"] * len(vals),
+    }).to_parquet(tmp_path / "events.parquet")
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["ts_ewma_anomaly"].fn(spark, str(tmp_path)).collect()
+    assert [r["event_id"] for r in rows] == [4]
+    w = ewma_weights(0.25, 16)
+    # lags: 1 step back = 4.0, then 3.0, 2.0, 1.0
+    num = ((0.0 + w[0] * 4.0) + w[1] * 3.0) + w[2] * 2.0
+    num = num + w[3] * 1.0
+    den = ((0.0 + w[0]) + w[1]) + w[2]
+    den = den + w[3]
+    assert rows[0]["ewma"] == num / den
+    assert rows[0]["n_prior"] == 4
+
+
+def test_referential_integrity_detects_planted_orphans(spark, tmp_path):
+    """Plant 2 orphaned orders and a never-referenced customer — the
+    audit must count exactly them and price the coverage."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "c_custkey": [1, 2, 3],
+        "c_name": ["a", "b", "c"],
+    }).to_parquet(tmp_path / "customer.parquet")
+    pd.DataFrame({
+        "o_orderkey": [10, 11, 12, 13],
+        "o_custkey": [1, 2, 99, 98],  # 2 orphans, customer 3 cold
+    }).to_parquet(tmp_path / "orders.parquet")
+    # minimal empty-but-typed side tables for the other relations
+    pd.DataFrame({"p_partkey": pd.Series([], dtype="int64")}).to_parquet(
+        tmp_path / "part.parquet")
+    pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64")}).to_parquet(
+        tmp_path / "supplier.parquet")
+    pd.DataFrame({
+        "l_orderkey": pd.Series([10], dtype="int64"),
+        "l_partkey": pd.Series([1], dtype="int64"),
+        "l_suppkey": pd.Series([1], dtype="int64"),
+    }).to_parquet(tmp_path / "lineitem.parquet")
+    import datetime as dt
+
+    pd.DataFrame({
+        "event_id": pd.Series([1], dtype="int64"),
+        "ts": [dt.datetime(2024, 1, 1)],
+        "user_id": pd.Series([2], dtype="int64"),
+        "event_type": ["click"],
+        "value": [1.0],
+        "props": ["{}"],
+    }).to_parquet(tmp_path / "events.parquet")
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = {r["relation"]: r for r in
+            REGISTRY["dq_referential_integrity"].fn(spark, str(tmp_path))
+            .collect()}
+    oc = rows["orders->customer"]
+    assert oc["n_rows"] == 4 and oc["n_orphans"] == 2
+    assert oc["n_parents"] == 3 and oc["n_referenced"] == 2
+    assert oc["coverage_pct"] == 2 / 3
+    lp = rows["lineitem->part"]
+    assert lp["n_rows"] == 1 and lp["n_orphans"] == 1  # empty parent
+    ec = rows["events->customer"]
+    assert ec["n_orphans"] == 0 and ec["n_referenced"] == 1

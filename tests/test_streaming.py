@@ -669,3 +669,38 @@ def test_stream_left_outer_interval_join_emits_unmatched(
         ["click_id"],
     )  # sentinel clicks are themselves unattributed by construction
     assert got == expected
+
+
+def test_stateful_ewma_alerts_equals_batch(spark, events_dir, events_batch, tmp_path):
+    """Per-key EWMA alert state (last-16 array) carried across
+    micro-batches: the union of streamed alerts must BIT-equal both the
+    batch face and the pure-JVM window expression (three-way
+    equivalence — the gate oracle then covers the streaming operator
+    transitively)."""
+    from pubic_multi_platform_to_postgres_spark.operators.timeseries import (
+        ewma_anomaly,
+    )
+    from pubic_multi_platform_to_postgres_spark.streaming.stateful import (
+        apply_ewma_alerts,
+        ewma_alerts_batch,
+    )
+
+    cols = ["user_id", "event_id", "value", "n_prior", "ewma"]
+    want_window = _collect_sorted(
+        ewma_anomaly(events_batch, "user_id", ["ts", "event_id"], "value"),
+        cols,
+    )
+    want_batch_face = _collect_sorted(ewma_alerts_batch(events_batch), cols)
+    assert want_batch_face == want_window
+
+    stream = stream_from_directory(
+        spark, events_dir, events_batch.schema, max_files_per_trigger=1
+    )
+    alerts = apply_ewma_alerts(stream)
+    sink = ParquetUpsertSink(spark, tmp_path / "alerts", keys=["event_id"])
+    run_available_now_cycle(alerts, sink, tmp_path / "ckpt")
+
+    got = _collect_sorted(
+        spark.read.parquet(str(tmp_path / "alerts")), cols
+    )
+    assert got == want_window

@@ -353,6 +353,17 @@ EXEMPT = {
     # sinks
     "merge_cdc_orders": _R["sink"],
     "upsert_redelivery_dedup": _R["sink"],
+    # r11 second batch
+    "sim_topk_filtered": "prefiltered exact scan: pushed predicate + the "
+                         "measured sim_topk_bruteforce scoring shape on a "
+                         "strict subset of the corpus",
+    "sim_topk_filtered_post": "the measured sim_topk_ivf plan plus one "
+                              "candidate-side filter — no new shuffle, "
+                              "candidates bounded by the probed cells",
+    "ts_ewma_anomaly": _R["win"],
+    "stream_ewma_alerts": _R["strm"],
+    "corpus_url_dedup": _R["txt"],
+    "dq_referential_integrity": _R["rel"],
 }
 
 
