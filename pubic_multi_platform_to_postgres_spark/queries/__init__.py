@@ -65,6 +65,8 @@ _R11_ADDED = (
     "corpus_url_dedup",
     "dq_referential_integrity",
     "stream_ewma_alerts",
+    "window_rolling_median_value",
+    "window_longest_streak",
 )
 _names = [n for n in REGISTRY if n not in _R11_ADDED]
 _order = (

@@ -684,6 +684,126 @@ def window_rolling_5_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_rolling_median_value",
+    oracle="""
+    WITH framed AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS vals
+        FROM events
+    )
+    SELECT event_id, user_id, value,
+           CAST(len(vals) AS INTEGER) AS n_window,
+           list_sort(vals)[CAST(ceil(len(vals) / 2.0) AS INTEGER)]
+               AS med_value
+    FROM framed
+    """,
+)
+def window_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling ROBUST baseline: per user, the exact discrete median
+    (nearest-rank-lower) of the trailing 7 values — the smoother that
+    shrugs off the spikes `ts_ewma_anomaly` exists to flag (a mean-based
+    baseline is dragged by the very outlier it should ignore; the
+    median is not). Median-by-SELECTION, not arithmetic: the emitted
+    value is one of the inputs, so cross-engine hash parity is free.
+
+    Scale: one shuffle on the user key; the frame is 7 rows by
+    construction (collect over a bounded ROWS frame, array_sort of ≤7
+    elements per row) — per-row state is O(frame), independent of
+    history length, the same bounded-frame contract as the lag family."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.cast("int").alias("n_window"),
+        F.element_at(vals, F.ceil(n / F.lit(2.0)).cast("int")).alias(
+            "med_value"
+        ),
+    )
+
+
+@query(
+    "window_longest_streak",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rnt
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS streak_len,
+               MIN(event_id) AS first_event,
+               MAX(event_id) AS last_event
+        FROM seq GROUP BY user_id, event_type, rn - rnt
+    ),
+    best AS (
+        SELECT user_id, event_type, streak_len, first_event, last_event,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY streak_len DESC, first_event
+               ) AS pick
+        FROM islands WHERE event_type = 'purchase'
+    )
+    SELECT user_id, streak_len, first_event, last_event
+    FROM best WHERE pick = 1
+    """,
+)
+def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST unbroken run of consecutive
+    purchase events (no other event type in between), with the island's
+    first/last event ids — the classic streak/retention device (login
+    streaks, consecutive-day activity) via the two-row_number trick:
+    ``rn - rnt`` is constant exactly within an unbroken same-type run,
+    so one groupBy on it materializes every island without a self-join.
+    Ties (equal longest streaks) break to the earliest island.
+
+    Scale: both row_numbers ride ONE user-keyed window shuffle (same
+    partitioning, Catalyst plans a single exchange), the island groupBy
+    re-shuffles island keys (≤ one per event), and the final pick is a
+    per-user window over islands — every stage keyed, nothing global."""
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(wu) - F.row_number().over(wt)).alias("island"),
+    )
+    islands = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "event_type", "island")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("streak_len"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), "first_event"
+    )
+    return (
+        islands.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select("user_id", "streak_len", "first_event", "last_event")
+    )
+
+
 from pubic_multi_platform_to_postgres_spark.operators import graph as _graph  # noqa: E402
 
 

@@ -720,3 +720,77 @@ def test_referential_integrity_detects_planted_orphans(spark, tmp_path):
     assert lp["n_rows"] == 1 and lp["n_orphans"] == 1  # empty parent
     ec = rows["events->customer"]
     assert ec["n_orphans"] == 0 and ec["n_referenced"] == 1
+
+
+def test_rolling_median_hand_series(spark, tmp_path):
+    """Hand series with a spike: the trailing-7 discrete median must be
+    a member of the frame and shrug off the outlier; short frames take
+    the nearest-rank-lower element."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 20.0, 30.0, 1000.0, 40.0]
+    pd.DataFrame({
+        "event_id": range(5),
+        "ts": [base + dt.timedelta(minutes=i) for i in range(5)],
+        "user_id": [1] * 5,
+        "event_type": ["view"] * 5,
+        "value": vals,
+        "props": ["{}"] * 5,
+    }).to_parquet(tmp_path / "events.parquet")
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = {r["event_id"]: r for r in
+            REGISTRY["window_rolling_median_value"].fn(spark, str(tmp_path))
+            .collect()}
+    # frames: [10] [10,20] [10,20,30] [10,20,30,1000] [10,20,30,40,1000]
+    assert rows[0]["med_value"] == 10.0 and rows[0]["n_window"] == 1
+    assert rows[1]["med_value"] == 10.0  # nearest-rank-lower of 2
+    assert rows[2]["med_value"] == 20.0
+    assert rows[3]["med_value"] == 20.0  # the spike does NOT drag it
+    assert rows[4]["med_value"] == 30.0 and rows[4]["n_window"] == 5
+
+
+def test_longest_streak_hand_sequence(spark, tmp_path):
+    """P P V P P P V -> longest purchase streak is 3 (events 3..5);
+    a user with no purchases emits nothing."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    types = ["purchase", "purchase", "view",
+             "purchase", "purchase", "purchase", "view"]
+    pd.DataFrame({
+        "event_id": range(7),
+        "ts": [base + dt.timedelta(minutes=i) for i in range(7)],
+        "user_id": [1] * 7,
+        "event_type": types,
+        "value": [1.0] * 7,
+        "props": ["{}"] * 7,
+    }).to_parquet(tmp_path / "ev1.parquet")
+    pd.DataFrame({
+        "event_id": [100],
+        "ts": [base],
+        "user_id": [2],
+        "event_type": ["view"],
+        "value": [1.0],
+        "props": ["{}"],
+    }).to_parquet(tmp_path / "ev2.parquet")
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pa.concat_tables([
+        pq.read_table(tmp_path / "ev1.parquet"),
+        pq.read_table(tmp_path / "ev2.parquet"),
+    ])
+    pq.write_table(t, tmp_path / "events.parquet")
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = REGISTRY["window_longest_streak"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["streak_len"], r["first_event"], r["last_event"]) \
+        == (1, 3, 3, 5)

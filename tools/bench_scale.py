@@ -362,6 +362,8 @@ EXEMPT = {
                               "candidates bounded by the probed cells",
     "ts_ewma_anomaly": _R["win"],
     "stream_ewma_alerts": _R["strm"],
+    "window_rolling_median_value": _R["win"],
+    "window_longest_streak": _R["win"],
     "corpus_url_dedup": _R["txt"],
     "dq_referential_integrity": _R["rel"],
 }
