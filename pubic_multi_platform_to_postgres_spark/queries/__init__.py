@@ -67,6 +67,7 @@ _R11_ADDED = (
     "stream_ewma_alerts",
     "window_rolling_median_value",
     "window_longest_streak",
+    "basket_lift_part_pairs",
 )
 _names = [n for n in REGISTRY if n not in _R11_ADDED]
 _order = (

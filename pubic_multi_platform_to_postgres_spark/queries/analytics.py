@@ -804,6 +804,100 @@ def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "basket_lift_part_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    freq AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+        FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.n_pair, fa.n_part AS n_a,
+           fb.n_part AS n_b,
+           CAST(p.n_pair AS DOUBLE) / CAST(fa.n_part AS DOUBLE)
+               AS conf_a_to_b,
+           (CAST(p.n_pair AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+               / (CAST(fa.n_part AS DOUBLE) * CAST(fb.n_part AS DOUBLE))
+               AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n
+    WHERE p.n_pair >= 3
+    """,
+)
+def basket_lift_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders-as-baskets: for every
+    part pair co-purchased in ≥3 orders, support, confidence(a→b) and
+    LIFT (co-occurrence vs independence) — the a-priori first pass /
+    recommender bootstrap the reference's Postgres consumers would
+    hand-write. Counts are exact integers; confidence/lift are single
+    mirrored double divisions, so the gate hash-checks them.
+
+    Scale: the pair generator is a SELF-JOIN of distinct basket items on
+    the basket key — fan-out per order is C(items, 2), bounded by basket
+    size (≤7 here; cap or sample mega-baskets at 100 TB, the same
+    hot-key rule as the URL dedup's citer sets), so candidates are
+    linear in orders. Frequencies broadcast (parts is a dimension); the
+    1-row order count rides in as a broadcast too. Min-support prunes
+    BEFORE the frequency joins, keeping the joined stream output-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    freq = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            (F.col("n_pair").cast("double") / F.col("n_a").cast("double"))
+            .alias("conf_a_to_b"),
+            (
+                (F.col("n_pair").cast("double") * F.lit(float(n_orders)))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
 from pubic_multi_platform_to_postgres_spark.operators import graph as _graph  # noqa: E402
 
 

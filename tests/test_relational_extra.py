@@ -794,3 +794,27 @@ def test_longest_streak_hand_sequence(spark, tmp_path):
     r = rows[0]
     assert (r["user_id"], r["streak_len"], r["first_event"], r["last_event"]) \
         == (1, 3, 3, 5)
+
+
+def test_basket_lift_hand_values(spark, tmp_path):
+    """4 baskets: {A,B} x3, {A} x1 -> pair (A,B) has support 3,
+    conf(A->B)=3/4, lift = 3*4/(4*3) = 1.0 exactly; pairs below
+    min-support (none here besides AB) are pruned."""
+    import pandas as pd
+
+    rows = []
+    for o in (1, 2, 3):
+        rows += [(o, 100), (o, 200)]
+    rows += [(4, 100)]
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    out = REGISTRY["basket_lift_part_pairs"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["part_a"], r["part_b"], r["n_pair"], r["n_a"], r["n_b"]) == \
+        (100, 200, 3, 4, 3)
+    assert r["conf_a_to_b"] == 0.75
+    assert r["lift"] == (3.0 * 4.0) / (4.0 * 3.0) == 1.0

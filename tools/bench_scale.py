@@ -364,6 +364,12 @@ EXEMPT = {
     "stream_ewma_alerts": _R["strm"],
     "window_rolling_median_value": _R["win"],
     "window_longest_streak": _R["win"],
+    "basket_lift_part_pairs": "basket-key self-join with C(items,2) "
+                              "per-basket fan-out bounded by basket size "
+                              "(≤7 in this schema) + broadcast frequency "
+                              "joins — candidates linear in orders, the "
+                              "same bounded-fan-out argument as the "
+                              "measured pair generators",
     "corpus_url_dedup": _R["txt"],
     "dq_referential_integrity": _R["rel"],
 }
