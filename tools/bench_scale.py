@@ -143,6 +143,14 @@ SF1_QUERIES = [
     # corpus (256-doc scrambled-key sample + one linear TopK scan), so
     # the flat curve is the evidence
     "dedup_minhash_eval_sampled",
+    # r11 second batch: measure rather than argue — the basket pair
+    # self-join's bounded fan-out, the URL dedup's canon rollup, the
+    # EWMA window pair (the streaming face's claim is FIXED Python-tier
+    # overhead, so its 10× point should grow by the data term only),
+    # the FK audit's join-priced edges, and the streak islands
+    "basket_lift_part_pairs", "corpus_url_dedup", "ts_ewma_anomaly",
+    "stream_ewma_alerts", "dq_referential_integrity",
+    "window_longest_streak",
 ]
 # 100× point: the operators whose scale ledger claims map-side / single
 # bounded shuffle behavior (the codec-bound multimodal tier and the
@@ -360,18 +368,11 @@ EXEMPT = {
     "sim_topk_filtered_post": "the measured sim_topk_ivf plan plus one "
                               "candidate-side filter — no new shuffle, "
                               "candidates bounded by the probed cells",
-    "ts_ewma_anomaly": _R["win"],
-    "stream_ewma_alerts": _R["strm"],
+    # (ts_ewma_anomaly / stream_ewma_alerts / corpus_url_dedup /
+    # dq_referential_integrity / window_longest_streak /
+    # basket_lift_part_pairs moved to the SF1 measured list — their
+    # scale claims are measured, not argued)
     "window_rolling_median_value": _R["win"],
-    "window_longest_streak": _R["win"],
-    "basket_lift_part_pairs": "basket-key self-join with C(items,2) "
-                              "per-basket fan-out bounded by basket size "
-                              "(≤7 in this schema) + broadcast frequency "
-                              "joins — candidates linear in orders, the "
-                              "same bounded-fan-out argument as the "
-                              "measured pair generators",
-    "corpus_url_dedup": _R["txt"],
-    "dq_referential_integrity": _R["rel"],
 }
 
 

@@ -139,6 +139,16 @@ def build_relational(base: str, factor: int, out: str, con=None) -> None:
                    user_id + {kc} AS user_id, event_type, value, props
             FROM read_parquet('{base}/events.parquet')""",
     }
+    # part is a SHARED dimension: lineitem replicas keep l_partkey
+    # unchanged (a parts catalog does not grow with order volume), so
+    # the scaled fixture carries one verbatim copy of the base table.
+    pdir = Path(out) / "part.parquet"
+    if not pdir.exists():
+        pdir.mkdir(parents=True, exist_ok=True)
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{base}/part.parquet'))"
+            f" TO '{pdir}/part-00000.parquet' (FORMAT PARQUET)"
+        )
     for table, sql in specs.items():
         tdir = Path(out) / f"{table}.parquet"
         if tdir.exists():
