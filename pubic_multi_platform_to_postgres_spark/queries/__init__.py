@@ -68,6 +68,8 @@ _R11_ADDED = (
     "window_rolling_median_value",
     "window_longest_streak",
     "basket_lift_part_pairs",
+    "dq_k_anonymity",
+    "attribution_multitouch",
 )
 _names = [n for n in REGISTRY if n not in _R11_ADDED]
 _order = (

@@ -1424,3 +1424,149 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_parents").cast("double")
         ).alias("coverage_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: governance + marketing-analytics faces
+
+K_ANON_THRESHOLD = 10
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_group,
+           COUNT(*) < {K_ANON_THRESHOLD} AS at_risk
+    FROM customer
+    GROUP BY c_mktsegment, c_nationkey
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers
+    (market segment × nation): every QI equivalence class with its size
+    and an at-risk flag for classes smaller than k=10 — the
+    re-identification screen a governance pipeline runs BEFORE sharing
+    or training on user-derived tables (a row in a size-3 class is
+    identifiable by its quasi-identifiers alone; generalize or suppress
+    those classes). Pure conditional aggregation; the flag threshold is
+    a named constant so policy changes are one-line.
+
+    Scale: one groupBy on the QI tuple — the textbook partial-agg
+    shuffle; QI-class cardinality is the product of attribute
+    cardinalities (bounded), not row count."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_group"),
+        (F.count(F.lit(1)) < K_ANON_THRESHOLD).alias("at_risk"),
+    )
+
+
+_ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7 days in microseconds
+
+
+@query(
+    "attribution_multitouch",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS purchase_id, value, epoch_us(ts) AS pus
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.user_id, p.value, c.click_id,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.cus, c.click_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                  ORDER BY c.cus DESC, c.click_id DESC)
+                   AS rnd
+        FROM purchases p JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.cus <= p.pus
+         AND c.cus > p.pus - {_ATTR_WINDOW_US}
+    )
+    SELECT purchase_id, user_id, value,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           MAX(CASE WHEN rn = 1 THEN click_id END) AS first_click,
+           MAX(CASE WHEN rnd = 1 THEN click_id END) AS last_click,
+           CASE CAST(COUNT(*) AS BIGINT) WHEN 1 THEN CAST(1.0 AS DOUBLE)
+                WHEN 2 THEN CAST(0.5 AS DOUBLE)
+                ELSE CAST(0.4 AS DOUBLE) END AS credit_first,
+           CASE CAST(COUNT(*) AS BIGINT) WHEN 1 THEN CAST(1.0 AS DOUBLE)
+                WHEN 2 THEN CAST(0.5 AS DOUBLE)
+                ELSE CAST(0.4 AS DOUBLE) END AS credit_last,
+           CASE WHEN COUNT(*) >= 3
+                THEN CAST(0.2 AS DOUBLE)
+                     / CAST(COUNT(*) - 2 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS credit_middle_each
+    FROM touches
+    GROUP BY purchase_id, user_id, value
+    """,
+)
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: for every
+    purchase, the user's clicks in the preceding 7 days are its touch
+    path; credit splits 40/20/40 (first / middles split evenly / last),
+    collapsing to 1.0 for a single touch and 0.5/0.5 for two — the
+    standard position-based model every marketing warehouse implements.
+    Emits per purchase: touch count, first/last click ids, and the
+    credit weights (value × credit is a downstream projection).
+    Purchases with NO preceding click are the unattributed face —
+    already first-class as `stream_unattributed_clicks`' batch twin.
+
+    Scale: one user-keyed range join (click within (p-7d, p]) — the
+    same bounded-interval shape as `join_range_followup_events`, fan-out
+    bounded by clicks-per-user-week; then two row_numbers + one
+    aggregate all partitioned on purchase_id. Timestamps compare as
+    epoch-microsecond longs (exact, zone-proof)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "value",
+        F.unix_micros("ts").alias("pus"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cus") <= F.col("pus"))
+        & (F.col("cus") > F.col("pus") - _ATTR_WINDOW_US),
+    )
+    wa = Window.partitionBy("purchase_id").orderBy("cus", "click_id")
+    wd = Window.partitionBy("purchase_id").orderBy(
+        F.desc("cus"), F.desc("click_id")
+    )
+    ranked = touches.select(
+        "purchase_id",
+        "user_id",
+        "value",
+        "click_id",
+        F.row_number().over(wa).alias("rn"),
+        F.row_number().over(wd).alias("rnd"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    ends = F.when(n == 1, F.lit(1.0)).when(n == 2, F.lit(0.5)).otherwise(
+        F.lit(0.4)
+    )
+    return ranked.groupBy("purchase_id", "user_id", "value").agg(
+        n.alias("n_touches"),
+        F.max(F.when(F.col("rn") == 1, F.col("click_id"))).alias(
+            "first_click"
+        ),
+        F.max(F.when(F.col("rnd") == 1, F.col("click_id"))).alias(
+            "last_click"
+        ),
+        ends.alias("credit_first"),
+        ends.alias("credit_last"),
+        F.when(
+            n >= 3, F.lit(0.2) / (n - F.lit(2)).cast("double")
+        ).otherwise(F.lit(0.0)).alias("credit_middle_each"),
+    )

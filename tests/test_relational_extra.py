@@ -818,3 +818,62 @@ def test_basket_lift_hand_values(spark, tmp_path):
         (100, 200, 3, 4, 3)
     assert r["conf_a_to_b"] == 0.75
     assert r["lift"] == (3.0 * 4.0) / (4.0 * 3.0) == 1.0
+
+
+def test_k_anonymity_flags_small_classes(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame({
+        "c_custkey": range(13),
+        "c_name": [f"c{i}" for i in range(13)],
+        "c_nationkey": [1] * 11 + [2] * 2,
+        "c_acctbal": [0.0] * 13,
+        "c_mktsegment": ["BUILDING"] * 13,
+    }).to_parquet(tmp_path / "customer.parquet")
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = {(r["c_mktsegment"], r["c_nationkey"]): r for r in
+            REGISTRY["dq_k_anonymity"].fn(spark, str(tmp_path)).collect()}
+    assert rows[("BUILDING", 1)]["n_group"] == 11
+    assert rows[("BUILDING", 1)]["at_risk"] is False
+    assert rows[("BUILDING", 2)]["n_group"] == 2
+    assert rows[("BUILDING", 2)]["at_risk"] is True
+
+
+def test_multitouch_credits_hand_path(spark, tmp_path):
+    """User with clicks C1,C2,C3 then purchase P inside the window, and
+    a second purchase with a single in-window click: U-shaped weights
+    40/20/40 vs 1.0; an out-of-window click never enters the path."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 10)
+    rows = [
+        # out-of-window click (8 days before the purchase)
+        (0, base - dt.timedelta(days=8), 1, "click", 0.0, "{}"),
+        (1, base - dt.timedelta(hours=3), 1, "click", 0.0, "{}"),
+        (2, base - dt.timedelta(hours=2), 1, "click", 0.0, "{}"),
+        (3, base - dt.timedelta(hours=1), 1, "click", 0.0, "{}"),
+        (4, base, 1, "purchase", 100.0, "{}"),
+        # user 2: one click then purchase
+        (5, base - dt.timedelta(hours=1), 2, "click", 0.0, "{}"),
+        (6, base, 2, "purchase", 50.0, "{}"),
+    ]
+    pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]).to_parquet(tmp_path / "events.parquet")
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    out = {r["purchase_id"]: r for r in
+           REGISTRY["attribution_multitouch"].fn(spark, str(tmp_path))
+           .collect()}
+    p = out[4]
+    assert p["n_touches"] == 3  # the day-8 click is outside the window
+    assert p["first_click"] == 1 and p["last_click"] == 3
+    assert p["credit_first"] == 0.4 and p["credit_last"] == 0.4
+    assert p["credit_middle_each"] == 0.2
+    q = out[6]
+    assert q["n_touches"] == 1
+    assert q["first_click"] == 5 and q["last_click"] == 5
+    assert q["credit_first"] == 1.0 and q["credit_middle_each"] == 0.0

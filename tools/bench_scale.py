@@ -373,6 +373,13 @@ EXEMPT = {
     # basket_lift_part_pairs moved to the SF1 measured list — their
     # scale claims are measured, not argued)
     "window_rolling_median_value": _R["win"],
+    "dq_k_anonymity": _R["rel"],
+    "attribution_multitouch": "user-keyed bounded-interval range join "
+                              "(same shape as the measured "
+                              "join_range_followup_events family) + two "
+                              "row_numbers and one aggregate on the "
+                              "purchase key — fan-out bounded by "
+                              "clicks-per-user-week",
 }
 
 
