@@ -70,6 +70,7 @@ _R11_ADDED = (
     "basket_lift_part_pairs",
     "dq_k_anonymity",
     "attribution_multitouch",
+    "geo_grid_radius_join",
 )
 _names = [n for n in REGISTRY if n not in _R11_ADDED]
 _order = (

@@ -1570,3 +1570,103 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             n >= 3, F.lit(0.2) / (n - F.lit(2)).cast("double")
         ).otherwise(F.lit(0.0)).alias("credit_middle_each"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: spatial radius join (grid-bucketed — the scalable plan)
+
+_GEO_CELL = 50          # grid cell edge; must be >= radius
+_GEO_RADIUS2 = 30 * 30  # squared radius (planar, trig-free)
+
+
+@query(
+    "geo_grid_radius_join",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST((c_custkey * 37) % 1000 AS DOUBLE) AS x,
+               CAST((c_custkey * 91) % 1000 AS DOUBLE) AS y
+        FROM customer
+    )
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b
+      ON a.c_custkey < b.c_custkey
+     AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+         <= {_GEO_RADIUS2}
+    """,
+)
+def geo_grid_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join: all customer pairs within planar distance 30
+    of each other, on synthetic coordinates derived from key arithmetic
+    (the same fixture-in-query device as the URL wrap — coordinates are
+    integer-valued doubles, so every distance² is an exact long and the
+    gate hash-checks the geometry bit-for-bit; no trig, whose low bits
+    differ across engines).
+
+    The ORACLE is the naive all-pairs predicate join; the SPARK plan is
+    the scalable one — grid bucketing: each point lands in a
+    ``cell = (⌊x/50⌋, ⌊y/50⌋)``, the LEFT side explodes to its 3×3 cell
+    neighborhood, candidates equi-join on the cell key, and the exact
+    distance² predicate verifies. Same answer (cell edge ≥ radius
+    guarantees every qualifying pair shares a probed cell — the
+    containment argument in the ``neighbors`` comment), but candidates
+    are bounded by local density instead of |points|²: the blocked-join
+    shape every dedup family here uses, applied to geometry. At 100 TB:
+    shuffle keys are cells, a dense city-cell is the hot key — subdivide
+    cells (halve the edge, two-level grid) or salt, the same remedies as
+    the relational skew playbook."""
+    cust = load(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 1000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 91) % 1000).cast("double").alias("y"),
+    )
+    cx = F.floor(F.col("x") / _GEO_CELL)
+    cy = F.floor(F.col("y") / _GEO_CELL)
+    right = pts.select(
+        F.col("c_custkey").alias("cust_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.concat_ws(",", cx, cy).alias("cell"),
+    )
+    # every qualifying pair (dist <= radius <= cell edge) differs by at
+    # most one cell per axis, so probing the left point's 3x3
+    # neighborhood reaches every partner's home cell — lossless
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    left = (
+        pts.select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            cx.alias("cxa"),
+            cy.alias("cya"),
+        )
+        .withColumn("o", F.explode(offs))
+        .select(
+            "cust_a", "xa", "ya",
+            F.concat_ws(
+                ",", F.col("cxa") + F.col("o.dx"),
+                F.col("cya") + F.col("o.dy"),
+            ).alias("cell"),
+        )
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, "cell")
+        .filter(
+            (F.col("cust_a") < F.col("cust_b"))
+            & (dist2 <= F.lit(_GEO_RADIUS2))
+        )
+        .select(
+            "cust_a",
+            "cust_b",
+            dist2.cast("long").alias("dist2"),
+        )
+    )

@@ -877,3 +877,44 @@ def test_multitouch_credits_hand_path(spark, tmp_path):
     assert q["n_touches"] == 1
     assert q["first_click"] == 5 and q["last_click"] == 5
     assert q["credit_first"] == 1.0 and q["credit_middle_each"] == 0.0
+
+
+def test_geo_grid_join_boundary_pairs_lossless(spark, tmp_path):
+    """Cross-cell pairs at and inside the radius must survive the grid
+    probe; pairs just past the radius must not. Keys are chosen so the
+    derived coords (k*37%1000, k*91%1000) land where the test needs
+    them — verified against a python naive all-pairs."""
+    import pandas as pd
+
+    # keys 1..10 pair with 298..307 at dist² = 850 ≤ 900 (e.g. key 1 at
+    # (37, 91) vs key 298 at (26, 118) — cells (0,1) vs (0,2), a
+    # CROSS-CELL pair); 60..120 provide far-away non-pairs
+    keys = list(range(1, 11)) + list(range(298, 308)) + list(range(60, 121))
+    pd.DataFrame({
+        "c_custkey": keys,
+        "c_name": [f"c{k}" for k in keys],
+        "c_nationkey": [0] * len(keys),
+        "c_acctbal": [0.0] * len(keys),
+        "c_mktsegment": ["BUILDING"] * len(keys),
+    }).to_parquet(tmp_path / "customer.parquet")
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    got = {(r["cust_a"], r["cust_b"]): r["dist2"] for r in
+           REGISTRY["geo_grid_radius_join"].fn(spark, str(tmp_path))
+           .collect()}
+    want = {}
+    pts = {k: ((k * 37) % 1000, (k * 91) % 1000) for k in keys}
+    for a in keys:
+        for b in keys:
+            if a < b:
+                d2 = (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+                if d2 <= 900:
+                    want[(a, b)] = d2
+    assert got == want and len(want) > 0
+    # at least one surviving pair must CROSS a cell boundary — the case
+    # the 3x3 probe exists for
+    crosses = [
+        (a, b) for (a, b) in want
+        if (pts[a][0] // 50, pts[a][1] // 50) != (pts[b][0] // 50, pts[b][1] // 50)
+    ]
+    assert crosses, "fixture must exercise the cross-cell path"

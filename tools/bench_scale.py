@@ -374,6 +374,15 @@ EXEMPT = {
     # scale claims are measured, not argued)
     "window_rolling_median_value": _R["win"],
     "dq_k_anonymity": _R["rel"],
+    "geo_grid_radius_join": "output-bound pair generator: the synthetic "
+                            "coordinate space is FIXED (keys mod 1000), so "
+                            "replica scaling raises density and the TRUE "
+                            "pair count quadratically — a measurement would "
+                            "price the output, not the plan; at real scale "
+                            "the map grows with the data and grid "
+                            "candidates stay proportional to output (same "
+                            "blocked-join shape as the measured dedup pair "
+                            "generators)",
     "attribution_multitouch": "user-keyed bounded-interval range join "
                               "(same shape as the measured "
                               "join_range_followup_events family) + two "
