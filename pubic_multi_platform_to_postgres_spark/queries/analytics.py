@@ -694,6 +694,7 @@ def window_rolling_5_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
                ) AS vals
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_id, user_id, value,
            CAST(len(vals) AS INTEGER) AS n_window,
@@ -710,11 +711,17 @@ def window_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     median is not). Median-by-SELECTION, not arithmetic: the emitted
     value is one of the inputs, so cross-engine hash parity is free.
 
+    NULL policy (r11 advisory): ``value`` is nullable per FIXTURES.md,
+    and Spark's ``collect_list`` DROPS nulls while DuckDB's ``list()``
+    keeps them — so NULL rows are filtered out SYMMETRICALLY on both
+    sides before framing (a NULL reading carries no signal for a
+    median baseline; excluding it is the analyst semantics too).
+
     Scale: one shuffle on the user key; the frame is 7 rows by
     construction (collect over a bounded ROWS frame, array_sort of ≤7
     elements per row) — per-row state is O(frame), independent of
     history length, the same bounded-frame contract as the lag family."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

@@ -1495,7 +1495,7 @@ _ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7 days in microseconds
            CASE CAST(COUNT(*) AS BIGINT) WHEN 1 THEN CAST(1.0 AS DOUBLE)
                 WHEN 2 THEN CAST(0.5 AS DOUBLE)
                 ELSE CAST(0.4 AS DOUBLE) END AS credit_first,
-           CASE CAST(COUNT(*) AS BIGINT) WHEN 1 THEN CAST(1.0 AS DOUBLE)
+           CASE CAST(COUNT(*) AS BIGINT) WHEN 1 THEN CAST(0.0 AS DOUBLE)
                 WHEN 2 THEN CAST(0.5 AS DOUBLE)
                 ELSE CAST(0.4 AS DOUBLE) END AS credit_last,
            CASE WHEN COUNT(*) >= 3
@@ -1510,8 +1510,12 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-shaped (position-based) multi-touch attribution: for every
     purchase, the user's clicks in the preceding 7 days are its touch
     path; credit splits 40/20/40 (first / middles split evenly / last),
-    collapsing to 1.0 for a single touch and 0.5/0.5 for two — the
-    standard position-based model every marketing warehouse implements.
+    collapsing to 0.5/0.5 for two touches and — single touch — ALL
+    credit on ``credit_first`` with ``credit_last`` zeroed (first and
+    last are the SAME click there; r11 advisory: emitting 1.0 in both
+    columns double-counted single-touch paths for any consumer summing
+    the two). Credits now sum to exactly 1.0 per purchase in every
+    arm: 1.0+0, 0.5+0.5, or 0.4+0.4+(n−2)·0.2/(n−2).
     Emits per purchase: touch count, first/last click ids, and the
     credit weights (value × credit is a downstream projection).
     Purchases with NO preceding click are the unattributed face —
@@ -1553,9 +1557,10 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wd).alias("rnd"),
     )
     n = F.count(F.lit(1)).cast("long")
-    ends = F.when(n == 1, F.lit(1.0)).when(n == 2, F.lit(0.5)).otherwise(
-        F.lit(0.4)
-    )
+    first_credit = F.when(n == 1, F.lit(1.0)).when(n == 2, F.lit(0.5)) \
+        .otherwise(F.lit(0.4))
+    last_credit = F.when(n == 1, F.lit(0.0)).when(n == 2, F.lit(0.5)) \
+        .otherwise(F.lit(0.4))
     return ranked.groupBy("purchase_id", "user_id", "value").agg(
         n.alias("n_touches"),
         F.max(F.when(F.col("rn") == 1, F.col("click_id"))).alias(
@@ -1564,8 +1569,8 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rnd") == 1, F.col("click_id"))).alias(
             "last_click"
         ),
-        ends.alias("credit_first"),
-        ends.alias("credit_last"),
+        first_credit.alias("credit_first"),
+        last_credit.alias("credit_last"),
         F.when(
             n >= 3, F.lit(0.2) / (n - F.lit(2)).cast("double")
         ).otherwise(F.lit(0.0)).alias("credit_middle_each"),

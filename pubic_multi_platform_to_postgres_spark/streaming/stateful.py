@@ -182,8 +182,13 @@ def transition_pairs(
 def _ewma_step(
     history: list, value: float, weights: list, min_prior: int, factor: float
 ) -> tuple:
-    """One fold step: ``history`` is most-recent-first previous values
-    (len ≤ depth). Returns (n_prior, ewma | None, is_alert).
+    """REFERENCE implementation of one fold step — the production path
+    is the vectorized :func:`_ewma_scan`; this per-row form is kept (and
+    pinned equal to the scan, bit-for-bit, by
+    ``tests/test_streaming.py::test_ewma_step_matches_scan``)
+    because it states the ordering argument in its simplest form.
+    ``history`` is most-recent-first previous values (len ≤ depth).
+    Returns (n_prior, ewma | None, is_alert).
 
     The accumulation runs in the SAME left-to-right order as the batch
     window expression (lag 1 → lag depth); missing lags are always a
@@ -203,12 +208,34 @@ def _ewma_step(
     return n, ewma, (n >= min_prior and value > factor * ewma)
 
 
-def _ewma_out_schema(key_col: str, ts_col: str, id_col: str, value_col: str):
+def _ewma_out_schema(
+    in_schema: T.StructType,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> T.StructType:
+    """Output schema DERIVED from the input frame's field types (r11
+    advisory: hard-coding Long/Timestamp silently mis-typed any table
+    whose key or id is not bigint — Arrow cast errors or nulls at
+    runtime). ``key``/``ts``/``id`` pass through with their input types;
+    ``value`` must be numeric (the fold is IEEE-double arithmetic) and
+    is emitted as double — asserted up front with a clear error."""
+    by_name = {f.name: f for f in in_schema.fields}
+    for c in (key_col, ts_col, id_col, value_col):
+        if c not in by_name:
+            raise ValueError(f"ewma_alerts: column {c!r} not in input schema")
+    vt = by_name[value_col].dataType
+    if not isinstance(vt, T.NumericType):
+        raise TypeError(
+            f"ewma_alerts: value column {value_col!r} must be numeric, "
+            f"got {vt.simpleString()}"
+        )
     return T.StructType(
         [
-            T.StructField(key_col, T.LongType()),
-            T.StructField(ts_col, T.TimestampType()),
-            T.StructField(id_col, T.LongType()),
+            T.StructField(key_col, by_name[key_col].dataType),
+            T.StructField(ts_col, by_name[ts_col].dataType),
+            T.StructField(id_col, by_name[id_col].dataType),
             T.StructField(value_col, T.DoubleType()),
             T.StructField("n_prior", T.IntegerType()),
             T.StructField("ewma", T.DoubleType()),
@@ -251,11 +278,15 @@ def _ewma_scan(rows, history, weights, depth, min_prior, factor,
     n_prior = mask.sum(axis=1).astype(np.int64)
     ewma = np.divide(num, den, out=np.full(t, np.nan), where=den > 0.0)
     alert = (n_prior >= min_prior) & (v > factor * ewma)
+    # key/id keep their incoming pandas dtypes (the output schema is
+    # derived from the input schema, so no int64 coercion here — a
+    # string or int32 key passes through untouched)
+    n_out = int(alert.sum())
     pdf = pd.DataFrame(
         {
-            key_col: np.full(alert.sum(), key_val, dtype=np.int64),
+            key_col: pd.Series([key_val] * n_out),
             ts_col: rows[ts_col].to_numpy()[alert],
-            id_col: rows[id_col].to_numpy(dtype=np.int64)[alert],
+            id_col: rows[id_col].to_numpy()[alert],
             value_col: v[alert],
             "n_prior": n_prior[alert].astype("int32"),
             "ewma": ewma[alert],
@@ -280,9 +311,10 @@ def apply_ewma_alerts(
 
     State per key is the last ``depth`` values (most-recent-first array —
     O(depth) doubles per key, constant at any corpus). Each micro-batch
-    sorts its rows by (ts, id) within the key, folds them through
-    :func:`_ewma_step`, emits only the ALERT rows, and carries the
-    updated tail forward — so alerts stream out with bounded latency and
+    sorts its rows by (ts, id) within the key, runs them through the
+    vectorized :func:`_ewma_scan` (whose per-row reference fold is
+    :func:`_ewma_step`, pinned bit-equal), emits only the ALERT rows,
+    and carries the updated tail forward — so alerts stream out with bounded latency and
     the union of all batches equals the batch operator exactly, provided
     per-key arrival order is event-time order across batches (the file
     source's modification-time ordering; an out-of-order source needs a
@@ -291,7 +323,7 @@ def apply_ewma_alerts(
     import pandas as pd
 
     weights = _ewma_weights_cached(alpha, depth)
-    out_schema = _ewma_out_schema(key_col, ts_col, id_col, value_col)
+    out_schema = _ewma_out_schema(df.schema, key_col, ts_col, id_col, value_col)
     state_schema = T.StructType(
         [T.StructField("hist", T.ArrayType(T.DoubleType()))]
     )
@@ -333,13 +365,13 @@ def ewma_alerts_batch(
     import pandas as pd
 
     weights = _ewma_weights_cached(alpha, depth)
-    out_schema = _ewma_out_schema(key_col, ts_col, id_col, value_col)
+    out_schema = _ewma_out_schema(df.schema, key_col, ts_col, id_col, value_col)
 
     def func(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts_col, id_col])
         out, _ = _ewma_scan(
             pdf, [], weights, depth, min_prior, factor,
-            int(pdf[key_col].iloc[0]), ts_col, id_col, value_col, key_col,
+            pdf[key_col].iloc[0], ts_col, id_col, value_col, key_col,
         )
         return out
 

@@ -876,7 +876,15 @@ def test_multitouch_credits_hand_path(spark, tmp_path):
     q = out[6]
     assert q["n_touches"] == 1
     assert q["first_click"] == 5 and q["last_click"] == 5
-    assert q["credit_first"] == 1.0 and q["credit_middle_each"] == 0.0
+    # single touch: ALL credit on first, last zeroed (first IS last) —
+    # a consumer summing the two columns must never double-count
+    assert q["credit_first"] == 1.0 and q["credit_last"] == 0.0
+    assert q["credit_middle_each"] == 0.0
+    # every arm's credits sum to exactly 1.0 per purchase
+    for r in out.values():
+        total = r["credit_first"] + r["credit_last"] + \
+            r["credit_middle_each"] * max(r["n_touches"] - 2, 0)
+        assert total == 1.0
 
 
 def test_geo_grid_join_boundary_pairs_lossless(spark, tmp_path):

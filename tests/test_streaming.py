@@ -704,3 +704,123 @@ def test_stateful_ewma_alerts_equals_batch(spark, events_dir, events_batch, tmp_
         spark.read.parquet(str(tmp_path / "alerts")), cols
     )
     assert got == want_window
+
+
+def test_ewma_step_matches_scan():
+    """The per-row reference fold (`_ewma_step`) and the vectorized
+    production scan (`_ewma_scan`) must agree BIT-for-bit: same alert
+    rows, same n_prior, same ewma doubles, same carried history — on a
+    series long enough to exercise empty/partial/full lag frames and a
+    non-empty incoming history."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.operators.timeseries import (
+        ewma_weights,
+    )
+    from pubic_multi_platform_to_postgres_spark.streaming.stateful import (
+        _ewma_scan,
+        _ewma_step,
+    )
+
+    depth, min_prior, factor = 16, 4, 2.0
+    weights = ewma_weights(0.25, depth)
+    rng = np.random.default_rng(7)
+    vals = np.round(rng.uniform(1.0, 50.0, size=60), 3)
+    vals[[10, 25, 40]] *= 9.0  # planted spikes
+    base = dt.datetime(2024, 1, 1)
+    for pre in ([], [12.5, 3.25, 40.0]):  # fresh key and carried state
+        rows = pd.DataFrame(
+            {
+                "user_id": np.full(len(vals), 5, dtype=np.int64),
+                "ts": [base + dt.timedelta(minutes=i) for i in range(len(vals))],
+                "event_id": np.arange(len(vals), dtype=np.int64),
+                "value": vals,
+            }
+        )
+        got_pdf, got_hist = _ewma_scan(
+            rows, list(pre), weights, depth, min_prior, factor,
+            5, "ts", "event_id", "value", "user_id",
+        )
+        hist = list(pre)
+        want = []
+        for i, v in enumerate(vals):
+            n, ewma, is_alert = _ewma_step(
+                hist, float(v), weights, min_prior, factor
+            )
+            if is_alert:
+                want.append((i, n, ewma))
+            hist = [float(v)] + hist
+            hist = hist[:depth]
+        assert [
+            (int(r.event_id), int(r.n_prior), float(r.ewma))
+            for r in got_pdf.itertuples()
+        ] == want
+        assert got_hist == hist
+        assert len(want) > 0  # the fixture must actually alert
+
+
+def test_ewma_out_schema_derived_from_input(spark):
+    """r11 advisory: the output schema must track the INPUT field types
+    for key/ts/id (not hard-coded bigint/timestamp), and a non-numeric
+    value column must fail fast with a clear error."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from pubic_multi_platform_to_postgres_spark.streaming.stateful import (
+        _ewma_out_schema,
+        ewma_alerts_batch,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("sensor", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("reading_id", T.IntegerType()),
+            T.StructField("value", T.FloatType()),
+        ]
+    )
+    out = _ewma_out_schema(schema, "sensor", "ts", "reading_id", "value")
+    assert out["sensor"].dataType == T.StringType()
+    assert out["reading_id"].dataType == T.IntegerType()
+    assert out["value"].dataType == T.DoubleType()  # fold is double math
+
+    with _pytest.raises(TypeError, match="must be numeric"):
+        _ewma_out_schema(
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("ts", T.TimestampType()),
+                    T.StructField("id", T.LongType()),
+                    T.StructField("value", T.StringType()),
+                ]
+            ),
+            "k", "ts", "id", "value",
+        )
+    with _pytest.raises(ValueError, match="not in input schema"):
+        _ewma_out_schema(schema, "nope", "ts", "reading_id", "value")
+
+    # end-to-end: a string-keyed, int32-id table runs through the batch
+    # face and keeps its types (the r11 hard-coded schema raised Arrow
+    # cast errors here)
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("a", base + dt.timedelta(minutes=i), i, v)
+            for i, v in enumerate([10.0, 11.0, 9.0, 10.5, 10.2, 99.0, 10.0])
+        ],
+        schema,
+    )
+    alerts = ewma_alerts_batch(
+        df, key_col="sensor", ts_col="ts", id_col="reading_id",
+        value_col="value",
+    )
+    assert alerts.schema["sensor"].dataType == T.StringType()
+    assert alerts.schema["reading_id"].dataType == T.IntegerType()
+    rows = alerts.collect()
+    assert [r["reading_id"] for r in rows] == [5]
+    assert rows[0]["sensor"] == "a"
