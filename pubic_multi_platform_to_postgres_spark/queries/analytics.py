@@ -811,6 +811,73 @@ def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mega-basket cap for the pair self-join (VERDICT r11 Next #1): C(items, 2)
+# per basket is quadratic on a power key, so baskets above the cap are
+# deterministically down-sampled to exactly the cap before pairing. 64 is
+# ~9× the largest TPC-H basket (7 distinct parts per order), so the gate
+# fixture's output is bit-identical to the uncapped plan, while a planted
+# 10⁵-item basket costs C(64,2) = 2,016 pair rows instead of ~5×10⁹.
+_BASKET_ITEM_CAP = 64
+
+
+def basket_pair_supports(
+    items: DataFrame, min_support: int, cap: int | None
+) -> DataFrame:
+    """Co-occurrence supports ``(part_a, part_b, n_pair)`` over distinct
+    ``(l_orderkey, l_partkey)`` basket items, with the mega-basket cap.
+
+    ``cap=None`` is the exact uncapped self-join (the measurement face
+    ``tools/bench_skew.py`` runs to price the cap); otherwise baskets
+    with more than ``cap`` distinct items keep only their top-``cap``
+    items by a GLOBAL deterministic priority — ``xxhash64(l_partkey)``
+    with the key itself as tiebreak. Priority is a pure function of the
+    part key (not the basket), so two mega baskets sharing a part set
+    keep the SAME subset and kept×kept pair supports stay exact; only
+    pairs touching a dropped item undercount (see the loss contract in
+    ``basket_lift_part_pairs``).
+
+    Plan shape: basket sizes are one partial-agg shuffle; the (few, by
+    definition skew-headed) over-cap basket keys broadcast, so the
+    common path pays one broadcast ANTI join and only over-cap rows pay
+    the rank. The rank over a 10⁷-item power basket is one O(m log m)
+    sort group — the bounded replacement for the m² join fan-out it
+    prevents."""
+    if cap is not None:
+        mega = (
+            items.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > cap)
+            .select("l_orderkey")
+        )
+        keep_w = Window.partitionBy("l_orderkey").orderBy(
+            F.xxhash64("l_partkey"), "l_partkey"
+        )
+        capped_mega = (
+            items.join(F.broadcast(mega), "l_orderkey", "left_semi")
+            .withColumn("_rk", F.row_number().over(keep_w))
+            .filter(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
+        items = items.join(
+            F.broadcast(mega), "l_orderkey", "left_anti"
+        ).unionAll(capped_mega)
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+
+
 @query(
     "basket_lift_part_pairs",
     oracle="""
@@ -853,33 +920,36 @@ def basket_lift_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrored double divisions, so the gate hash-checks them.
 
     Scale: the pair generator is a SELF-JOIN of distinct basket items on
-    the basket key — fan-out per order is C(items, 2), bounded by basket
-    size (≤7 here; cap or sample mega-baskets at 100 TB, the same
-    hot-key rule as the URL dedup's citer sets), so candidates are
-    linear in orders. Frequencies broadcast (parts is a dimension); the
-    1-row order count rides in as a broadcast too. Min-support prunes
-    BEFORE the frequency joins, keeping the joined stream output-sized."""
+    the basket key — fan-out per order is C(items, 2), so a single power
+    key (a crawl sitemap page, a B2B catalog order with 10⁵ lines) costs
+    m² alone. The MEGA-BASKET CAP (``_BASKET_ITEM_CAP``) bounds it:
+    baskets above the cap are deterministically sampled down to the cap
+    BEFORE the self-join (top-N by a global xxhash64 priority on the
+    part key — the same subset of a part set is kept in EVERY basket, so
+    co-occurrence among kept items stays exact). TPC-H baskets are ≤7
+    items, far under the cap, so the fixture output — and the oracle —
+    is unchanged; ``BENCH_SKEW_r12.json``'s basket section measures the
+    capped-vs-uncapped curve on a planted power basket.
+
+    LOSS CONTRACT (stated, enforced, measured): pair supports only
+    UNDERCOUNT, and only for pairs where a mega basket's dropped items
+    participate — a kept×kept pair keeps every one of its baskets' votes
+    (the kept set is a pure function of the part keys, not the basket).
+    ``freq`` and ``n_orders`` come from the UNCAPPED items, so
+    confidence and lift for an affected pair are biased DOWN (never up)
+    — a capped run can hide a rule, never invent one.
+
+    Frequencies broadcast (parts is a dimension); the 1-row order count
+    rides in as a broadcast too. Min-support prunes BEFORE the frequency
+    joins, keeping the joined stream output-sized."""
     li = load(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = items.select("l_orderkey").distinct().count()
     freq = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_part")
     )
-    a = items.alias("a")
-    b = items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
-        .filter(F.col("n_pair") >= 3)
-    )
+    pairs = basket_pair_supports(items, min_support=3,
+                                 cap=_BASKET_ITEM_CAP)
     fa = freq.select(
         F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
     )

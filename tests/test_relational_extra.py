@@ -926,3 +926,62 @@ def test_geo_grid_join_boundary_pairs_lossless(spark, tmp_path):
         if (pts[a][0] // 50, pts[a][1] // 50) != (pts[b][0] // 50, pts[b][1] // 50)
     ]
     assert crosses, "fixture must exercise the cross-cell path"
+
+
+def test_basket_mega_cap_deterministic_and_conservative(spark, tmp_path, monkeypatch):
+    """Mega-basket cap (VERDICT r11 Next #1): baskets above the cap are
+    down-sampled to exactly `cap` items by a GLOBAL part-key hash
+    priority, so (a) replicas of the same mega basket keep the SAME
+    subset and kept-pair supports stay exact, (b) small baskets pass
+    through untouched, and (c) supports only ever undercount."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries import (
+        analytics as A,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    rows = [(o, 100 + i) for o in (1, 2, 3) for i in range(10)]  # 3 mega
+    rows += [(o, p) for o in (4, 5, 6) for p in (500, 501)]      # 3 small
+    items = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    )
+    uncapped = {
+        (r["part_a"], r["part_b"]): r["n_pair"]
+        for r in A.basket_pair_supports(items, 3, cap=None).collect()
+    }
+    capped = {
+        (r["part_a"], r["part_b"]): r["n_pair"]
+        for r in A.basket_pair_supports(items, 3, cap=5).collect()
+    }
+    # uncapped: C(10,2)=45 mega pairs + the small-basket pair
+    assert len(uncapped) == 46 and set(uncapped.values()) == {3}
+    # capped: C(5,2)=10 mega pairs (same subset in every replica, so
+    # their support survives min-support=3 EXACTLY) + the small pair
+    assert len(capped) == 11 and set(capped.values()) == {3}
+    assert capped[(500, 501)] == 3  # small basket untouched
+    # conservative: capped is a SUBSET of uncapped with equal supports
+    assert set(capped) <= set(uncapped)
+    assert all(capped[k] == uncapped[k] for k in capped)
+    # the kept subset is the hash-priority top-5 — recompute it
+    from pyspark.sql import functions as F
+
+    prio = spark.createDataFrame(
+        [(100 + i,) for i in range(10)], "l_partkey long"
+    ).select("l_partkey", F.xxhash64("l_partkey").alias("h")) \
+        .orderBy("h", "l_partkey").limit(5).collect()
+    kept = {r["l_partkey"] for r in prio}
+    assert {p for ab in capped for p in ab if p >= 100 and p < 200} == kept
+
+    # the registered query wires the cap in (monkeypatched low here)
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+        tmp_path / "lineitem.parquet"
+    )
+    monkeypatch.setattr(A, "_BASKET_ITEM_CAP", 5)
+    out = REGISTRY["basket_lift_part_pairs"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 11
+    by_pair = {(r["part_a"], r["part_b"]): r for r in out}
+    # frequencies/n_orders come from the UNCAPPED items: lift for the
+    # kept mega pairs uses n_a = n_b = 3 and n_orders = 6 -> 3*6/(3*3)=2
+    mega_pair = next(k for k in by_pair if k != (500, 501))
+    assert by_pair[mega_pair]["n_a"] == 3 and by_pair[mega_pair]["lift"] == 2.0

@@ -55,7 +55,17 @@ CLONE = " ".join(f"cl{i}" for i in range(41))
 _CLONE_MOD, _QUOTE_MOD, _BOILER_MOD = 3, 4, 154
 
 
-def build(base: str, factor: int, out: str) -> None:
+def build(
+    base: str, factor: int, out: str, clone_mod: int = _CLONE_MOD
+) -> None:
+    """``clone_mod`` widens the clone stratum (per-mille of docs that are
+    byte-identical copies of one page) while keeping the quote and
+    boiler strata their default SIZES — the CLONE-HEAVY face
+    ``tools/bench_skew.py``'s strategy section uses to exercise the
+    collapse branch of ``operators/dedup.py collapse_strategy``. The
+    default reproduces the committed r11 fixture bit-for-bit."""
+    quote_mod = clone_mod + (_QUOTE_MOD - _CLONE_MOD)
+    boiler_mod = clone_mod + (_BOILER_MOD - _CLONE_MOD)
     con = duckdb.connect()
     outp = Path(out) / "documents.parquet"
     outp.mkdir(parents=True, exist_ok=True)
@@ -78,26 +88,26 @@ def build(base: str, factor: int, out: str) -> None:
                 )
                 SELECT doc_id,
                        CASE
-                         WHEN doc_id % 1000 < {_CLONE_MOD} THEN '{CLONE}'
-                         WHEN doc_id % 1000 < {_QUOTE_MOD}
+                         WHEN doc_id % 1000 < {clone_mod} THEN '{CLONE}'
+                         WHEN doc_id % 1000 < {quote_mod}
                            THEN '{QUOTE} uq' || doc_id
-                         WHEN doc_id % 1000 < {_BOILER_MOD}
+                         WHEN doc_id % 1000 < {boiler_mod}
                            THEN '{BOILER} ' || array_to_string(
                                     list_transform(range(60),
                                         j -> 'u' || doc_id || 'w' || j), ' ')
                          ELSE body_text
                        END AS text,
                        CASE
-                         WHEN doc_id % 1000 < {_BOILER_MOD} THEN 'en'
+                         WHEN doc_id % 1000 < {boiler_mod} THEN 'en'
                          WHEN doc_id % 10 < 7 THEN 'en'
                          ELSE base_lang
                        END AS lang,
                        source,
                        CAST(length(CASE
-                         WHEN doc_id % 1000 < {_CLONE_MOD} THEN '{CLONE}'
-                         WHEN doc_id % 1000 < {_QUOTE_MOD}
+                         WHEN doc_id % 1000 < {clone_mod} THEN '{CLONE}'
+                         WHEN doc_id % 1000 < {quote_mod}
                            THEN '{QUOTE} uq' || doc_id
-                         WHEN doc_id % 1000 < {_BOILER_MOD}
+                         WHEN doc_id % 1000 < {boiler_mod}
                            THEN '{BOILER} ' || array_to_string(
                                     list_transform(range(60),
                                         j -> 'u' || doc_id || 'w' || j), ' ')
@@ -111,11 +121,11 @@ def build(base: str, factor: int, out: str) -> None:
         f"""
         SELECT COUNT(*),
                COUNT(*) FILTER (lang = 'en'),
-               COUNT(*) FILTER (doc_id % 1000 >= {_QUOTE_MOD}
-                                AND doc_id % 1000 < {_BOILER_MOD}),
-               COUNT(*) FILTER (doc_id % 1000 < {_CLONE_MOD}),
-               COUNT(*) FILTER (doc_id % 1000 >= {_CLONE_MOD}
-                                AND doc_id % 1000 < {_QUOTE_MOD})
+               COUNT(*) FILTER (doc_id % 1000 >= {quote_mod}
+                                AND doc_id % 1000 < {boiler_mod}),
+               COUNT(*) FILTER (doc_id % 1000 < {clone_mod}),
+               COUNT(*) FILTER (doc_id % 1000 >= {clone_mod}
+                                AND doc_id % 1000 < {quote_mod})
         FROM read_parquet('{outp}/*.parquet')
         """
     ).fetchone()
@@ -175,6 +185,65 @@ def build_relational_skew(base: str, factor: int, out: str) -> None:
     print(f"built {out} relational: {n} orders, hot key owns {hot}")
 
 
+def build_basket_skew(base: str, factor: int, out: str) -> None:
+    """MEGA-BASKET lineitem fixture (VERDICT r11 Next #1): two planted
+    strata on top of replica-scaled ``(l_orderkey, l_partkey)`` rows —
+
+    - **power** (0.5% of rows → basket key ``-1``): part keys keep their
+      per-replica shift, so the basket's DISTINCT item count grows
+      linearly with the corpus — the C(m,2) fan-out case the item cap
+      exists for (uncapped pair volume grows quadratically; these pairs
+      co-occur once, so they never reach min-support and the cap loses
+      NO output here).
+    - **repeat** (0.1% of rows → basket keys ``-2/-3/-4``, parts folded
+      into a dense 600-key universe shared across replicas): three
+      near-identical dense baskets of BOUNDED size, so true
+      above-support pair output exists at every factor — the stratum
+      that makes the cap's loss contract measurable (capped output is
+      the kept-64-priority subset of these pairs).
+
+    Idempotent (skips an existing lineitem dir)."""
+    con = duckdb.connect()
+    tdir = Path(out) / "lineitem.parquet"
+    if tdir.exists():
+        return
+    tdir.mkdir(parents=True, exist_ok=True)
+    max_o, max_p = con.execute(
+        f"SELECT MAX(l_orderkey), MAX(l_partkey) "
+        f"FROM read_parquet('{base}/lineitem.parquet')"
+    ).fetchone()
+    for k in range(factor):
+        ko, kp = k * max_o, k * max_p
+        con.execute(
+            f"""
+            COPY (
+                SELECT CASE
+                         WHEN (l_orderkey + {ko}) % 1000 < 5 THEN -1
+                         WHEN (l_orderkey + {ko}) % 1000 = 5
+                           THEN -(2 + (l_orderkey + {ko}) % 3)
+                         ELSE l_orderkey + {ko}
+                       END AS l_orderkey,
+                       CASE
+                         WHEN (l_orderkey + {ko}) % 1000 = 5
+                           THEN l_partkey % 600
+                         ELSE l_partkey + {kp}
+                       END AS l_partkey
+                FROM read_parquet('{base}/lineitem.parquet')
+            ) TO '{tdir}/part-{k:05d}.parquet' (FORMAT PARQUET)
+            """
+        )
+    n, power_items, repeat_items = con.execute(
+        f"""SELECT COUNT(*),
+                   COUNT(DISTINCT l_partkey) FILTER (l_orderkey = -1),
+                   COUNT(DISTINCT l_partkey) FILTER (l_orderkey < -1)
+            FROM read_parquet('{tdir}/*.parquet')"""
+    ).fetchone()
+    print(
+        f"built {out} basket lineitem: {n} rows, power basket "
+        f"{power_items} distinct items, repeat universe {repeat_items}"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default=BASE)
@@ -183,6 +252,7 @@ def main() -> int:
     args = ap.parse_args()
     build(args.base, args.factor, args.out)
     build_relational_skew(args.base, args.factor, args.out)
+    build_basket_skew(args.base, args.factor, args.out)
     return 0
 
 
