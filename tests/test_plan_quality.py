@@ -476,3 +476,23 @@ def test_scale_census_has_no_undispositioned_rows():
     for name, row in c["rows"].items():
         if row["disposition"] == "exempt":
             assert len(row["reason"]) > 40, (name, row["reason"])
+
+
+def test_ewma_python_stage_has_partition_floor(spark):
+    """VERDICT r11 Next #2: AQE's bytes-based coalescing must NOT
+    collapse the applyInPandas stage to one task (150 keys serializing
+    through one Python worker at sf0.1). The batch face repartitions by
+    the key with an explicit COUNT — shuffle origin REPARTITION_BY_NUM,
+    exempt from AQE coalescing — and that hash clustering already
+    satisfies applyInPandas, so the plan keeps exactly ONE exchange at
+    the session's defaultParallelism."""
+    import re
+
+    plan = plan_of(spark, "stream_ewma_alerts")
+    assert plan.count("Exchange") == 1, plan
+    m = re.search(
+        r"Exchange hashpartitioning\(user_id#\d+L?, (\d+)\), "
+        r"REPARTITION_BY_NUM", plan,
+    )
+    assert m, plan
+    assert int(m.group(1)) == spark.sparkContext.defaultParallelism
