@@ -28,12 +28,13 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (round-8 advisory: ordering must not depend on driver artifacts).
 # History: rounds 1–7 sampled [0:50), round 8 sampled [50:100), round 9
 # sampled [100:150), round 10 sampled [143:177)+[0:16) — completing the
-# ledger (every row driver-sampled at least once). Round 11 starts at 16
-# so the window [16:66) re-verifies the stalest rows — [16:50) last
-# sampled round 7, [50:66) round 8 — and picks up the round-11 additions
-# seated at index 16 by ``queries/__init__.py``.
+# ledger (every row driver-sampled at least once). Round 11 sampled
+# [16:66) (stalest rows + the r11 additions seated at 16). Round 12
+# starts at 66 so the window [66:116) — disjoint from r11's — re-verifies
+# the rows last driver-sampled in rounds 8–9 and picks up the round-12
+# planner rows seated at index 66 by ``queries/__init__.py``.
 # ``SPARK_GRAFT_REGISTRY_ROT`` overrides for local testing.
-REGISTRY_OFFSET = 16
+REGISTRY_OFFSET = 66
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -55,8 +55,11 @@ for _tail_rotated in (
 _R11_SEAT_AT = 16
 _R11_ADDED = (
     "dedup_minhash_eval_sampled",
-    "dedup_ngram_jaccard_collapsed",
-    "dedup_containment_pairs_collapsed",
+    # (the r11 forced-collapse rows dedup_ngram_jaccard_collapsed /
+    # dedup_containment_pairs_collapsed were RETIRED from the registry
+    # in r12 — VERDICT r11 Next #3 — in favor of the planner rows
+    # seated in the r12 block below; the functions remain as
+    # measurement faces for tools/bench_skew.py and the equality tests)
     # second r11 batch: filtered ANN (both planner branches), EWMA
     # anomaly flags, canonical-URL dedup, FK-integrity audit
     "sim_topk_filtered",
@@ -79,3 +82,20 @@ _order = (
 _reseated = {n: REGISTRY[n] for n in _order}
 REGISTRY.clear()
 REGISTRY.update(_reseated)
+
+# Round-12 additions — seated at index 66 so the round-12 driver window
+# [66:116) (``__spark_entry__.REGISTRY_OFFSET = 66``) samples each
+# addition in its debut round (the r10 ledger-completeness rule). Same
+# deterministic committed device as the r11 block above.
+_R12_SEAT_AT = 66
+_R12_ADDED = (
+    "dedup_ngram_jaccard_auto",
+    "dedup_containment_pairs_auto",
+)
+_names12 = [n for n in REGISTRY if n not in _R12_ADDED]
+_order12 = (
+    _names12[:_R12_SEAT_AT] + list(_R12_ADDED) + _names12[_R12_SEAT_AT:]
+)
+_reseated12 = {n: REGISTRY[n] for n in _order12}
+REGISTRY.clear()
+REGISTRY.update(_reseated12)

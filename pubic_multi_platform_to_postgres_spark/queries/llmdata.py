@@ -97,9 +97,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard_collapsed",
-    oracle="""
+_JACCARD_PAIRS_ORACLE = """
     WITH t AS (
         SELECT doc_id, lang, n_chars // 50 AS len_bucket,
                list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS grams
@@ -113,25 +111,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t a JOIN t b
           ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
     ) WHERE jaccard >= 0.5
-    """,
-)
+    """
+
+
 def dedup_ngram_jaccard_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``dedup_ngram_jaccard`` through the mass-duplication re-plan
-    (BENCH_SKEW_r11): identical (gram set, block) classes collapse to
-    one representative before the prefix filter, verified rep pairs
-    expand to member cross products, within-class cliques emit directly
-    at jaccard 1.0. SAME ANSWER as the direct row — the oracle is the
-    identical blocked all-pairs scorer — but a page duplicated m times
-    costs the candidate/verify stages one row instead of m², which is
-    the difference between surviving and not surviving a crawl where
-    the head page has 10⁷ copies. The direct row stays registered: on a
-    clone-free corpus it skips the class groupBy this plan pays."""
+    """``dedup_ngram_jaccard`` through the FORCED mass-duplication
+    re-plan (BENCH_SKEW_r11): identical (gram set, block) classes
+    collapse to one representative before the prefix filter, verified
+    rep pairs expand to member cross products, within-class cliques
+    emit directly at jaccard 1.0. SAME ANSWER as the direct row — a
+    page duplicated m times costs the candidate/verify stages one row
+    instead of m². Demoted from a permanent gate row to a measurement
+    FACE in r12 (VERDICT r11 Next #3): the collapse-vs-direct choice is
+    now the planner rule behind ``dedup_ngram_jaccard_auto``
+    (``operators/dedup.py collapse_strategy``); ``tools/bench_skew.py``
+    still measures this forced face beside the direct one, and
+    ``test_jaccard_collapse_exact_identical_pairs`` still pins output
+    equality."""
     docs = load(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.col("n_chars") / 50)
     )
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", block_cols=["lang", "len_bucket"],
         threshold=0.5, ngram=1, collapse_exact=True,
+    )
+
+
+@query("dedup_ngram_jaccard_auto", oracle=_JACCARD_PAIRS_ORACLE)
+def dedup_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLANNER row for jaccard near-dup pairs (VERDICT r11 Next #3,
+    modeled on the filtered-ANN rule): a cheap first pass measures the
+    corpus's exact-clone class histogram (``clone_mass`` — one
+    map-side hash + one partial-agg groupBy), and the pure decision
+    function ``collapse_strategy`` picks the plan — ``direct`` (skip
+    the class groupBy the collapse pays; right for clone-light corpora
+    like this fixture) or ``collapse`` (clique mass ≥ ~1 pair/doc: a
+    mass-duplicated crawl head, where the direct plan's m² clique
+    candidates dominate everything). BOTH branches produce the
+    identical answer (property-pinned), so ONE oracle gates the row on
+    either branch; the collapse branch is oracle-replayed on a
+    clone-heavy corpus by ``test_llmdata.py::
+    test_jaccard_auto_collapse_branch_matches_oracle`` and measured on
+    both fixtures by ``tools/bench_skew.py``'s strategy section."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        clone_mass,
+        collapse_strategy,
+    )
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / 50)
+    )
+    n_rows, clique_pairs = clone_mass(docs, "text")
+    strategy = collapse_strategy(n_rows, clique_pairs)
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=["lang", "len_bucket"],
+        threshold=0.5, ngram=1, collapse_exact=(strategy == "collapse"),
     )
 
 
@@ -7413,9 +7447,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_containment_pairs_collapsed",
-    oracle="""
+_CONTAINMENT_PAIRS_ORACLE = """
     WITH toks AS (
         SELECT doc_id, lang,
                string_split_regex(trim(lower(text)), '\\s+') AS w
@@ -7437,20 +7469,24 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / CAST(len(a.grams) AS DOUBLE) AS containment
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
     ) WHERE containment >= 0.5
-    """,
-)
+    """
+
+
 def dedup_containment_pairs_collapsed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """``dedup_containment_pairs`` through the mass-duplication re-plan
-    (the jaccard collapse's asymmetric sibling): identical (gram set,
-    lang) classes run the one-sided prefix filter as one
+    """``dedup_containment_pairs`` through the FORCED mass-duplication
+    re-plan (the jaccard collapse's asymmetric sibling): identical
+    (gram set, lang) classes run the one-sided prefix filter as one
     representative; verified ordered rep pairs expand to member cross
     products (containment is a pure function of the two gram sets) and
-    within-class ordered pairs emit directly at containment 1.0
-    (identical sets contain each other, both directions). SAME ANSWER
-    as the direct row — same all-pairs oracle — at m²→1 candidate cost
-    per clone clique."""
+    within-class ordered pairs emit directly at containment 1.0. SAME
+    ANSWER as the direct row at m²→1 candidate cost per clone clique.
+    Demoted from a permanent gate row to a measurement FACE in r12
+    (VERDICT r11 Next #3) — the choice is now the planner rule behind
+    ``dedup_containment_pairs_auto``; ``tools/bench_skew.py`` still
+    measures this forced face and the property tests still pin output
+    equality."""
     from pubic_multi_platform_to_postgres_spark.operators.dedup import (
         containment_pairs,
     )
@@ -7459,4 +7495,33 @@ def dedup_containment_pairs_collapsed(
     return containment_pairs(
         docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3,
         collapse_exact=True,
+    )
+
+
+@query("dedup_containment_pairs_auto", oracle=_CONTAINMENT_PAIRS_ORACLE)
+def dedup_containment_pairs_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PLANNER row for asymmetric containment pairs — the same
+    measured-duplication-mass rule as ``dedup_ngram_jaccard_auto``
+    (``clone_mass`` first pass → ``collapse_strategy`` pure decision):
+    ``direct`` on clone-light corpora (this fixture; the forced
+    collapse face measured ~1.4× slower at skew30 despite the clone
+    clique, because the quote stratum's expansion joins dominate),
+    ``collapse`` once clique pair mass clears ~1 pair/doc. Both
+    branches are bit-identical in output, so one oracle gates either
+    branch; the collapse branch is oracle-replayed on a clone-heavy
+    corpus in ``test_llmdata.py``."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        clone_mass,
+        collapse_strategy,
+        containment_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n_rows, clique_pairs = clone_mass(docs, "text")
+    strategy = collapse_strategy(n_rows, clique_pairs)
+    return containment_pairs(
+        docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3,
+        collapse_exact=(strategy == "collapse"),
     )

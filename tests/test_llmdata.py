@@ -2363,3 +2363,72 @@ def test_url_dedup_collapses_fixture_neighbors(spark):
             or (chars[r["kept_doc"]] == chars[d] and r["kept_doc"] < d)
             for d in dropped
         )
+
+
+def test_collapse_strategy_pure_decision():
+    """VERDICT r11 Next #3: the collapse-vs-direct choice is a pure
+    function of measured duplication mass — pinned on the measured
+    anchors (base fixtures ~zero clique mass → direct; a crawl head's
+    clique mass → collapse) and the breakeven boundary."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        collapse_strategy,
+    )
+
+    # measured fixture anchors (clone_mass over the committed corpora)
+    assert collapse_strategy(500, 0) == "direct"        # sf0.01
+    assert collapse_strategy(5000, 8) == "direct"       # sf0.1
+    assert collapse_strategy(5000, 113) == "direct"     # skew1
+    assert collapse_strategy(50000, 11255) == "direct"  # skew10
+    # the crawl-head case: one page x 10^7 copies
+    assert collapse_strategy(10**8, 10**7 * (10**7 - 1) // 2) == "collapse"
+    # boundary: >= is collapse; empty corpus is direct
+    assert collapse_strategy(100, 100) == "collapse"
+    assert collapse_strategy(100, 99) == "direct"
+    assert collapse_strategy(0, 0) == "direct"
+    assert collapse_strategy(100, 1000, breakeven=20.0) == "direct"
+
+
+def test_auto_rows_collapse_branch_matches_oracle(spark, tmp_path):
+    """Both planner rows on a CLONE-HEAVY corpus (clique mass >> docs →
+    the rule must pick 'collapse') replayed against the registered
+    DuckDB oracle — the collapse branch is oracle-gated, not just
+    equality-pinned against the direct plan."""
+    import duckdb
+    import pandas as pd
+
+    from oracle import to_multiset
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        clone_mass,
+        collapse_strategy,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    clone = "alpha beta gamma delta epsilon zeta"
+    texts = [clone] * 12                                # one clique: 66 pairs
+    texts += [f"unique{i} solo{i} word{i} tok{i}" for i in range(8)]
+    texts += ["alpha beta gamma delta epsilon theta"]   # near-dup of clique
+    pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+
+    docs = load(spark, str(tmp_path), "documents")
+    n_rows, cp = clone_mass(docs, "text")
+    assert (n_rows, cp) == (21, 66)
+    assert collapse_strategy(n_rows, cp) == "collapse"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name in ("dedup_ngram_jaccard_auto", "dedup_containment_pairs_auto"):
+        spdf = REGISTRY[name].fn(spark, str(tmp_path)).toPandas()
+        opdf = con.execute(REGISTRY[name].oracle).df()
+        assert sorted(spdf.columns) == sorted(opdf.columns), name
+        assert to_multiset(spdf) == to_multiset(opdf), name
+        assert len(spdf) >= 66, name  # the clique actually dominates

@@ -221,9 +221,12 @@ SF10_QUERIES = [
     "stats_zipf_exponent", "stats_ks_source_chars",
     # r11: the constant-cost claim holds through 100× or it is false
     "dedup_minhash_eval_sampled",
-    # r11: the mass-duplication re-plan faces (same answer, clone-safe
-    # candidate stage) — measured beside the direct rows
-    "dedup_ngram_jaccard_collapsed", "dedup_containment_pairs_collapsed",
+    # r12: the collapse PLANNER rows (VERDICT r11 Next #3) replace the
+    # retired forced-collapse gate rows here — on the benign replica
+    # corpora the rule measures ~zero clique mass and takes the direct
+    # branch, so these rows price the stats pass + direct plan; the
+    # forced faces stay measured in tools/bench_skew.py
+    "dedup_ngram_jaccard_auto", "dedup_containment_pairs_auto",
     # r11 (VERDICT r10 Next #2a): the containment VERIFY join at 100× —
     # r10 measured only the candidate face there; the verify join is
     # output-sized, and the 100× replica corpus keeps output linear
@@ -235,7 +238,7 @@ SF10_QUERIES = [
 # not the single sf1 measurement. One repeat — a curve check, not a pin.
 SF3_QUERIES = [
     "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_collapsed", "dedup_containment_pairs_collapsed",
+    "dedup_ngram_jaccard_auto", "dedup_containment_pairs_auto",
     "dedup_levenshtein_prefix",
     # r7 (VERDICT r6 #5): end-to-end curve for the re-planned candidate
     # generator feeding connected components.

@@ -14,7 +14,11 @@ volume (the quantity that must stay output-bounded for the 100-TB story
 to hold under skew). A second fixture face plants a hot relational key
 (one customer owning 30% of orders) and measures the plain vs salted
 join, the hot-key aggregate, and the skew audit's detection of the key
-(``relational_hot_key``).
+(``relational_hot_key``). A third fixture face (r12) plants a POWER
+BASKET whose distinct item count grows with the corpus plus a dense
+repeated-basket stratum, and prices the mega-basket item cap:
+capped-vs-uncapped pair-stage wall clock and the pairs the cap loses
+(``basket_mega_cap``).
 
 Usage::
 
@@ -44,16 +48,30 @@ SKEW10 = "/tmp/spark_graft_skew10"
 SKEW30 = "/tmp/spark_graft_skew30"
 POINTS = (("skew1", SKEW1, 1), ("skew10", SKEW10, 10), ("skew30", SKEW30, 30))
 
-# The r10-named faces + the r11 collapse re-plans. All read only `documents`.
+# The r10-named faces + the r11 collapse re-plans + the r12 planner
+# rows. All read only `documents`. The two forced `_collapsed` faces
+# were retired from the registry in r12 (planner rule, VERDICT r11 Next
+# #3) but stay measured here via their demoted module functions.
 QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_collapsed",
+    "dedup_ngram_jaccard_auto",
     "dedup_containment_pairs",
     "dedup_containment_pairs_collapsed",
+    "dedup_containment_pairs_auto",
     "dedup_shared_substrings",
     "corpus_leakage_safe_split",
     "dedup_minhash_pairs",
 ]
+
+
+def _resolve_query(qs: dict, name: str):
+    """Registry row, or a demoted measurement face from queries.llmdata."""
+    if name in qs:
+        return qs[name]
+    from pubic_multi_platform_to_postgres_spark.queries import llmdata
+
+    return getattr(llmdata, name)
 
 
 def _run_guarded(spark, fn, timeout_s: float):
@@ -85,11 +103,11 @@ def _run_guarded(spark, fn, timeout_s: float):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=str(REPO / "BENCH_SKEW_r11.json"))
+    ap.add_argument("--out", default=str(REPO / "BENCH_SKEW_r12.json"))
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument(
         "--sections",
-        default="queries,candidates,relational",
+        default="queries,candidates,relational,basket,strategy",
         help="comma list of sections to (re)run; others merge from --out",
     )
     args = ap.parse_args()
@@ -114,15 +132,17 @@ def main() -> int:
     out_path = Path(args.out)
     if out_path.exists():
         prior = json.loads(out_path.read_text())
-        for key in ("queries", "candidate_counts", "relational_hot_key"):
+        for key in ("queries", "candidate_counts", "relational_hot_key",
+                    "basket_mega_cap", "collapse_strategy"):
             if key in prior:
                 report[key] = prior[key]
     qs = entry.queries()
     for name in QUERIES if "queries" in sections else []:
+        fn = _resolve_query(qs, name)
         report["queries"][name] = {}
         for label, sf_dir, _ in POINTS:
             wall, rows, to = _run_guarded(
-                spark, lambda: qs[name](spark, sf_dir), args.timeout
+                spark, lambda: fn(spark, sf_dir), args.timeout
             )
             row = (
                 {"timed_out": True, "timeout_s": args.timeout}
@@ -221,6 +241,118 @@ def main() -> int:
         rel[label] = row
         print(f"  rel     {label}: {row}", file=sys.stderr)
         report["relational_hot_key"] = rel
+        out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # Mega-basket cap (VERDICT r11 Next #1): the planted power basket's
+    # distinct item count grows linearly with the corpus, so the
+    # UNCAPPED pair self-join is quadratic in the factor (expected to
+    # blow past the watchdog by 30×) while the capped plan — the
+    # registered query's only mode — stays output-bounded. The repeat
+    # stratum's dense above-support pairs price the cap's LOSS.
+    from make_skew_fixture import build_basket_skew
+
+    from pubic_multi_platform_to_postgres_spark.queries.analytics import (
+        _BASKET_ITEM_CAP,
+        basket_pair_supports,
+    )
+
+    bas: dict = report.get("basket_mega_cap", {})
+    for label, sf_dir, factor in POINTS if "basket" in sections else []:
+        build_basket_skew("/root/testdata/sf0.1", factor, sf_dir)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        items = (
+            li.select("l_orderkey", "l_partkey").distinct()
+            .localCheckpoint()  # price the pair stage, not the scan
+        )
+        row: dict = {
+            "cap": _BASKET_ITEM_CAP,
+            "power_basket_items": int(
+                items.filter(F.col("l_orderkey") == -1).count()
+            ),
+        }
+        for face, cap in (("capped", _BASKET_ITEM_CAP), ("uncapped", None)):
+            wall, rows_, to = _run_guarded(
+                spark,
+                lambda c=cap: basket_pair_supports(items, 3, cap=c),
+                args.timeout,
+            )
+            row[face] = (
+                {"timed_out": True, "timeout_s": args.timeout}
+                if to
+                else {"wall_s": round(wall, 3), "pairs_out": rows_}
+            )
+        if "pairs_out" in row["capped"] and "pairs_out" in row["uncapped"]:
+            # loss contract, measured: capped output is a subset
+            row["pairs_lost_to_cap"] = (
+                row["uncapped"]["pairs_out"] - row["capped"]["pairs_out"]
+            )
+        wall, rows_, to = _run_guarded(
+            spark, lambda: qs["basket_lift_part_pairs"](spark, sf_dir),
+            args.timeout,
+        )
+        row["rule_query_end_to_end"] = (
+            {"timed_out": True, "timeout_s": args.timeout}
+            if to
+            else {"wall_s": round(wall, 3), "rules_out": rows_}
+        )
+        bas[label] = row
+        print(f"  basket  {label}: {row}", file=sys.stderr)
+        report["basket_mega_cap"] = bas
+        out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # Collapse planner rule (VERDICT r11 Next #3): record the measured
+    # duplication mass and the decision per corpus, and on a CLONE-HEAVY
+    # fixture (10% of docs byte-identical copies of one page — the
+    # crawl-head case) show the rule flipping to 'collapse' and the
+    # collapse plan beating the forced-direct one there.
+    from make_skew_fixture import build as build_docs
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        clone_mass,
+        collapse_strategy,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries.registry import (
+        load as load_table,
+    )
+
+    CLONEHEAVY = "/tmp/spark_graft_cloneheavy"
+    strat: dict = report.get("collapse_strategy", {})
+    spoints = list(POINTS) + [("cloneheavy", CLONEHEAVY, 3)]
+    for label, sf_dir, factor in spoints if "strategy" in sections else []:
+        if label == "cloneheavy" and not Path(
+            CLONEHEAVY, "documents.parquet"
+        ).exists():
+            build_docs("/root/testdata/sf0.1", factor, CLONEHEAVY,
+                       clone_mod=100)
+        docs = load_table(spark, sf_dir, "documents")
+        n_rows, clique_pairs = clone_mass(docs, "text")
+        row = {
+            "n_docs": n_rows,
+            "clique_pairs": clique_pairs,
+            "decision": collapse_strategy(n_rows, clique_pairs),
+        }
+        names = ["dedup_ngram_jaccard_auto", "dedup_containment_pairs_auto"]
+        if label == "cloneheavy":
+            # forced faces beside the planner rows: the rule must have
+            # picked the measured winner
+            names += [
+                "dedup_ngram_jaccard", "dedup_ngram_jaccard_collapsed",
+                "dedup_containment_pairs",
+                "dedup_containment_pairs_collapsed",
+            ]
+        for name in names:
+            fn = _resolve_query(qs, name)
+            wall, rows_, to = _run_guarded(
+                spark, lambda f=fn: f(spark, sf_dir), args.timeout
+            )
+            row[name] = (
+                {"timed_out": True, "timeout_s": args.timeout}
+                if to
+                else {"wall_s": round(wall, 3), "output_rows": rows_}
+            )
+        strat[label] = row
+        print(f"  strat   {label}: {row}", file=sys.stderr)
+        report["collapse_strategy"] = strat
         out_path.write_text(json.dumps(report, indent=2) + "\n")
 
     # Growth ratios vs skew1, normalized per 10× of data.
