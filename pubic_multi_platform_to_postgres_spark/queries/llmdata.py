@@ -6535,18 +6535,33 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme/www/query dressings are exactly the rows this returns.
 
     Scale: map-side regex extract/normalize (JVM codegen), one DISTINCT
-    on (doc, canon), one window + one aggregate keyed on canon, and a
-    canon-keyed mention rollup joined back — all shuffles on the same
-    key, so AQE coalesces them over one exchange footprint; nothing is
-    collected and no state exceeds the group. A canonical URL cited by
-    millions of pages (the Zipf head) skews its group; the window only
-    ranks DISTINCT citing docs (bounded by docs, not mentions) and the
-    mention count is a plain associative rollup, so the hot-key cost is
-    one large sort group — salt the rank (two-level tournament on
-    (n_chars, doc_id)) if a single canon's citer set ever exceeds a
-    partition."""
+    on (doc, canon), then — HOT-CANON-PROOF by construction (VERDICT
+    r11 Next #4) — the keep-doc election runs as a pure ASSOCIATIVE
+    aggregate, not a rank window: ``kept_doc = max_by(doc_id,
+    (n_chars, −doc_id))`` and ``dropped_chars = Σ n_chars − kept's
+    n_chars``, both partial-aggregable, so a Zipf-head canonical URL
+    cited by 10% of the corpus is map-side-combined before the shuffle
+    and there is no per-canon sort group to salt at ANY citer-set size
+    (the r11 docstring promised tournament salting as the remedy;
+    deleting the sort beats salting it — measured on the planted
+    hot-canon fixture by ``tools/bench_skew.py``'s urlhot section,
+    where this plan holds flat while the retained window face
+    :func:`url_dedup_window_face` pays the hot sort group). Output is
+    bit-identical: the election key (n_chars, −doc_id) is unique per
+    (canon, doc), so argmax ≡ rank-1."""
     docs = load(spark, sf_dir, "documents")
     wrapped = docs.select("doc_id", "n_chars", _url_wrap_col().alias("body"))
+    return url_dedup_over(wrapped)
+
+
+def url_dedup_over(wrapped: DataFrame, use_window: bool = False) -> DataFrame:
+    """Canonical-URL dedup over ``(doc_id, n_chars, body)`` — the plan
+    behind ``corpus_url_dedup``. ``use_window=True`` is the retired
+    rank-window election kept as a measurement face (one sort group per
+    canon — the hot-canon liability); the default aggregate-only
+    election is output-identical (pinned by
+    ``test_llmdata.py::test_url_dedup_window_and_aggregate_faces_agree``)
+    and partial-aggregable end to end."""
     urls = wrapped.select(
         "doc_id",
         "n_chars",
@@ -6568,19 +6583,63 @@ def corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mentions = with_canon.groupBy("canon").agg(
         F.count(F.lit(1)).cast("long").alias("n_mentions")
     )
-    w = Window.partitionBy("canon").orderBy(F.desc("n_chars"), "doc_id")
-    ranked = pairs.withColumn("rn", F.row_number().over(w))
-    grp = ranked.groupBy("canon").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
-        F.coalesce(
-            F.sum(F.when(F.col("rn") > 1, F.col("n_chars"))), F.lit(0)
-        ).cast("long").alias("dropped_chars"),
-    )
+    if use_window:
+        w = Window.partitionBy("canon").orderBy(F.desc("n_chars"), "doc_id")
+        ranked = pairs.withColumn("rn", F.row_number().over(w))
+        grp = ranked.groupBy("canon").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "kept_doc"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") > 1, F.col("n_chars"))), F.lit(0)
+            ).cast("long").alias("dropped_chars"),
+        )
+    else:
+        # argmax election: lexicographic max of (n_chars, -doc_id) IS
+        # rank-1 of ORDER BY n_chars DESC, doc_id — and every term here
+        # map-side-combines, so the hot canon never forms a sort group
+        key = F.struct(
+            F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nid")
+        )
+        grp = pairs.groupBy("canon").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max_by("doc_id", key).alias("kept_doc"),
+            (F.sum("n_chars") - F.max(key).getField("nc"))
+            .cast("long").alias("dropped_chars"),
+        )
     return (
         grp.join(mentions, "canon")
         .filter(F.col("n_docs") >= 2)
         .select("canon", "kept_doc", "n_docs", "n_mentions", "dropped_chars")
+    )
+
+
+def url_dedup_window_face(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retired RANK-WINDOW election as a measurement face for
+    ``tools/bench_skew.py`` (same wrap, ``use_window=True``) — exists so
+    the hot-canon fixture can price the sort group the aggregate plan
+    deleted."""
+    docs = load(spark, sf_dir, "documents")
+    wrapped = docs.select("doc_id", "n_chars", _url_wrap_col().alias("body"))
+    return url_dedup_over(wrapped, use_window=True)
+
+
+def _url_wrap_hot_col(hot_mod: int = 10) -> Column:
+    """The standard URL wrap PLUS a planted Zipf-head citation: every
+    ``doc_id % hot_mod == 0`` document also cites one canonical URL
+    (``hub.example/front``) under a per-doc query-string dressing — at
+    ``hot_mod=10`` that is 10% of the corpus citing ONE canon, the
+    hot-canon case the r11 verdict asked to measure (Next #4)."""
+    d = F.col("doc_id")
+    return F.concat(
+        _url_wrap_col(),
+        F.when(
+            d % hot_mod == 0,
+            F.concat(
+                F.lit(" https://hub.example/front?src="), d.cast("string")
+            ),
+        ).otherwise(F.lit("")),
     )
 
 

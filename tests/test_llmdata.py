@@ -2432,3 +2432,47 @@ def test_auto_rows_collapse_branch_matches_oracle(spark, tmp_path):
         assert sorted(spdf.columns) == sorted(opdf.columns), name
         assert to_multiset(spdf) == to_multiset(opdf), name
         assert len(spdf) >= 66, name  # the clique actually dominates
+
+
+def test_url_dedup_window_and_aggregate_faces_agree(spark, tmp_path):
+    """VERDICT r11 Next #4: the aggregate-only keep-doc election must be
+    row-identical to the retired rank-window election — including on a
+    corpus with a planted Zipf-head canon (10% of docs citing one URL)
+    and n_chars TIES inside the hot citer set (the argmax ≡ rank-1
+    argument leans on the (n_chars, -doc_id) key being unique)."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.queries.llmdata import (
+        _url_wrap_hot_col,
+        url_dedup_over,
+    )
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    pd.DataFrame({
+        "doc_id": range(200),
+        "text": [f"doc body {i}" for i in range(200)],
+        "lang": ["en"] * 200,
+        "source": ["s"] * 200,
+        # deliberate heavy ties: only 3 distinct lengths
+        "n_chars": [(i % 3) * 10 + 50 for i in range(200)],
+    }).to_parquet(tmp_path / "documents.parquet")
+    docs = load(spark, str(tmp_path), "documents")
+    wrapped = docs.select(
+        "doc_id", "n_chars", _url_wrap_hot_col().alias("body")
+    )
+
+    def as_rows(df):
+        return sorted(
+            (r["canon"], r["kept_doc"], r["n_docs"], r["n_mentions"],
+             r["dropped_chars"]) for r in df.collect()
+        )
+
+    agg_rows = as_rows(url_dedup_over(wrapped))
+    win_rows = as_rows(url_dedup_over(wrapped, use_window=True))
+    assert agg_rows == win_rows
+    hot = [r for r in agg_rows if r[0] == "hub.example/front"]
+    assert len(hot) == 1
+    # 20 citing docs; keeper = longest (n_chars=70 -> i%3==2) lowest id
+    assert hot[0][2] == 20 and hot[0][3] == 20
+    keeper = min(i for i in range(0, 200, 10) if (i % 3) * 10 + 50 == 70)
+    assert hot[0][1] == keeper

@@ -496,3 +496,14 @@ def test_ewma_python_stage_has_partition_floor(spark):
     )
     assert m, plan
     assert int(m.group(1)) == spark.sparkContext.defaultParallelism
+
+
+def test_url_dedup_keep_election_has_no_sort_window(spark):
+    """VERDICT r11 Next #4: the canonical-URL keep-doc election must be
+    a pure partial-aggregable aggregate — no rank window, so a Zipf-head
+    canon cited by any fraction of the corpus never forms a per-canon
+    sort group (the plan deletes the sort the r11 docstring proposed to
+    salt)."""
+    plan = plan_of(spark, "corpus_url_dedup")
+    assert "Window" not in plan, plan
+    assert "max_by" in plan.lower() or "maxby" in plan.lower(), plan

@@ -18,11 +18,15 @@ join, the hot-key aggregate, and the skew audit's detection of the key
 BASKET whose distinct item count grows with the corpus plus a dense
 repeated-basket stratum, and prices the mega-basket item cap:
 capped-vs-uncapped pair-stage wall clock and the pairs the cap loses
-(``basket_mega_cap``).
+(``basket_mega_cap``). Two more r12 sections: ``collapse_strategy``
+records the measured duplication mass + the planner rule's decision per
+corpus (including a CLONE-HEAVY point where the rule flips to
+'collapse'), and ``url_hot_canon`` prices the aggregate-only vs
+rank-window keep-doc election under a planted Zipf-head URL.
 
 Usage::
 
-    python tools/bench_skew.py --out BENCH_SKEW_r11.json
+    python tools/bench_skew.py --out BENCH_SKEW_r12.json
 """
 
 from __future__ import annotations
@@ -107,7 +111,7 @@ def main() -> int:
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument(
         "--sections",
-        default="queries,candidates,relational,basket,strategy",
+        default="queries,candidates,relational,basket,strategy,urlhot",
         help="comma list of sections to (re)run; others merge from --out",
     )
     args = ap.parse_args()
@@ -133,7 +137,7 @@ def main() -> int:
     if out_path.exists():
         prior = json.loads(out_path.read_text())
         for key in ("queries", "candidate_counts", "relational_hot_key",
-                    "basket_mega_cap", "collapse_strategy"):
+                    "basket_mega_cap", "collapse_strategy", "url_hot_canon"):
             if key in prior:
                 report[key] = prior[key]
     qs = entry.queries()
@@ -353,6 +357,44 @@ def main() -> int:
         strat[label] = row
         print(f"  strat   {label}: {row}", file=sys.stderr)
         report["collapse_strategy"] = strat
+        out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # Hot-canon URL dedup (VERDICT r11 Next #4): plant a Zipf-head
+    # canonical URL cited by 10% of every corpus point and measure the
+    # registered AGGREGATE-ONLY keep-doc election against the retired
+    # rank-window face — the sort group the aggregate plan deleted.
+    from pubic_multi_platform_to_postgres_spark.queries.llmdata import (
+        _url_wrap_hot_col,
+        url_dedup_over,
+    )
+
+    urlhot: dict = report.get("url_hot_canon", {})
+    for label, sf_dir, _ in POINTS if "urlhot" in sections else []:
+        docs = load(spark, sf_dir, "documents")
+        wrapped = docs.select(
+            "doc_id", "n_chars", _url_wrap_hot_col().alias("body")
+        ).localCheckpoint()  # price the election, not the wrap/scan
+        row = {}
+        for face, use_window in (("aggregate", False), ("window", True)):
+            wall, rows_, to = _run_guarded(
+                spark,
+                lambda w=use_window: url_dedup_over(wrapped, use_window=w),
+                args.timeout,
+            )
+            row[face] = (
+                {"timed_out": True, "timeout_s": args.timeout}
+                if to
+                else {"wall_s": round(wall, 3), "output_rows": rows_}
+            )
+        hot = (
+            url_dedup_over(wrapped)
+            .filter(F.col("canon") == "hub.example/front")
+            .first()
+        )
+        row["hot_canon_citing_docs"] = int(hot["n_docs"]) if hot else 0
+        urlhot[label] = row
+        print(f"  urlhot  {label}: {row}", file=sys.stderr)
+        report["url_hot_canon"] = urlhot
         out_path.write_text(json.dumps(report, indent=2) + "\n")
 
     # Growth ratios vs skew1, normalized per 10× of data.
