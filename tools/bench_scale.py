@@ -377,15 +377,9 @@ EXEMPT = {
     # scale claims are measured, not argued)
     "window_rolling_median_value": _R["win"],
     "dq_k_anonymity": _R["rel"],
-    "geo_grid_radius_join": "output-bound pair generator: the synthetic "
-                            "coordinate space is FIXED (keys mod 1000), so "
-                            "replica scaling raises density and the TRUE "
-                            "pair count quadratically — a measurement would "
-                            "price the output, not the plan; at real scale "
-                            "the map grows with the data and grid "
-                            "candidates stay proportional to output (same "
-                            "blocked-join shape as the measured dedup pair "
-                            "generators)",
+    # geo_grid_radius_join: measured via the DENSITY-PRESERVING section
+    # (measure_geo_density / report["geo_density"]) — the r11 exemption
+    # argument made executable (VERDICT r11 Next #5); see emit_census.
     "attribution_multitouch": "user-keyed bounded-interval range join "
                               "(same shape as the measured "
                               "join_range_followup_events family) + two "
@@ -400,7 +394,16 @@ def emit_census(report: dict) -> list[str]:
     measured = set(SF1_QUERIES) | set(SF3_QUERIES) | set(SF10_QUERIES)
     census, undisp = {}, []
     for name in entry.queries():
-        if name in measured:
+        if name == "geo_grid_radius_join":
+            # measured on the density-preserving generated point sets
+            # (replica corpora would price the quadratic TRUE-pair
+            # growth of a fixed coordinate space, not the plan)
+            census[name] = {
+                "disposition": "measured",
+                "sf_points": ["geo1", "geo10", "geo30"],
+                "section": "geo_density",
+            }
+        elif name in measured:
             pts = report.get("queries", {}).get(name, {})
             census[name] = {
                 "disposition": "measured",
@@ -427,6 +430,59 @@ def emit_census(report: dict) -> list[str]:
         "rows": census,
     }
     return undisp
+
+
+def measure_geo_density(spark, timeout_s: float) -> dict:
+    """Density-preserving scale curve for the grid radius join (VERDICT
+    r11 Next #5 — the census exemption made executable). The replica
+    corpora can't scale this query honestly: coordinates are keys mod a
+    FIXED 1000, so 10× the points means ~100× the TRUE pairs and a
+    measurement prices the output. Here the modulus grows with √factor,
+    holding pair DENSITY constant, and the curve records what the plan
+    argument claims: candidate volume tracks output (both ~linear in
+    points), never |points|²."""
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.queries.lifecycle import (
+        _grid_radius_blocked,
+        grid_radius_pairs,
+    )
+
+    n_base = 15_000  # sf0.1 customer count
+    section: dict = {
+        "design": "n = 15000*factor points at (k*37 % m, k*91 % m), "
+                  "m = 1000*sqrt(factor) — constant density; same "
+                  "radius 30 / cell 50 as the registered query",
+        "points": {},
+    }
+    for label, factor in (("geo1", 1), ("geo10", 10), ("geo30", 30)):
+        n = n_base * factor
+        m = int(1000 * math.sqrt(factor))
+        pts = spark.range(1, n + 1).select(
+            F.col("id").alias("c_custkey"),
+            ((F.col("id") * 37) % m).cast("double").alias("x"),
+            ((F.col("id") * 91) % m).cast("double").alias("y"),
+        )
+        t0 = time.perf_counter()
+        out_rows = grid_radius_pairs(pts).count()
+        wall = time.perf_counter() - t0
+        cand = _grid_radius_blocked(pts).count()
+        section["points"][label] = {
+            "n_points": n,
+            "modulus": m,
+            "wall_s": round(wall, 3),
+            "output_pairs": int(out_rows),
+            "candidate_pairs": int(cand),
+            "candidates_per_point": round(cand / n, 2),
+            "pairs_per_point": round(out_rows / n, 3),
+        }
+        print(f"  geo    {label}: {section['points'][label]}",
+              file=sys.stderr)
+    base = section["points"]["geo1"]["wall_s"]
+    for label, factor in (("geo10", 10), ("geo30", 30)):
+        p = section["points"][label]
+        p["growth_vs_geo1"] = round(p["wall_s"] / base, 2) if base else None
+    return section
 
 
 def _stages(app_id: str) -> list[dict]:
@@ -612,6 +668,9 @@ def main() -> int:
             # never lose the measured rows
             Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
+    if only and "geo_grid_radius_join" in only:
+        report["geo_density"] = measure_geo_density(spark, args.timeout)
+        Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
     if only:
         # merge mode: the pair/cluster/candidate evidence sections cover
         # fixed query families measured in the full sweep — leave them.
@@ -806,6 +865,9 @@ def main() -> int:
         print(f"  pr     {label}: {prstats[label]}", file=sys.stderr)
         report["pagerank_early_exit"] = prstats
         Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+
+    report["geo_density"] = measure_geo_density(spark, args.timeout)
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
     undisp = emit_census(report)
     if undisp:
