@@ -107,6 +107,14 @@ def scan() -> dict[str, list[str]]:
                     r"example)(?:[/.:]|$)", tok
                 ):
                     continue
+                # RFC 2606/6761 reserved TLDs (.example/.test/.invalid/
+                # .localhost) can never name a real host — the fixture
+                # URL device (hub.example etc.) lives there by design
+                if key == "internal-url" and re.search(
+                    r"https?://[\w.-]*\.(?:example|test|invalid|localhost)"
+                    r"(?:[/:?]|$)", tok
+                ):
+                    continue
                 hits[key].append(f"{rel}: {tok[:120]}")
     return hits
 
