@@ -674,7 +674,16 @@ def simhash(
         flat = np.concatenate(
             [np.asarray(h, dtype=np.int64) for h in hs if h is not None and len(h)]
         ).view(np.uint64)
-        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        # unpackbits on the little-endian byte view puts bit i of each
+        # hash at column i directly — one (total_tokens × 64) uint8
+        # matrix, NO total_tokens×64 uint64 intermediate (the broadcast
+        # `flat[:, None] >> shifts` formulation peaked at 8× this
+        # memory; on large Arrow batches that ~128 MB spike stalled the
+        # Python worker on allocator/compaction every few runs — the
+        # bimodal wall-clock the r8/r11 pins kept adjudicating)
+        bits = np.unpackbits(
+            flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        )
         nz = lens > 0
         offsets = np.zeros(int(nz.sum()), dtype=np.int64)
         np.cumsum(lens[nz][:-1], out=offsets[1:])

@@ -46,6 +46,17 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batches of 1024 rows instead of Spark's 10000 (r12,
+        # VERDICT r11 Next #7): a single corpus-sized batch through a
+        # Python stage serializes the whole transfer before compute
+        # starts and spikes the worker's allocations to the batch size —
+        # measured as the bimodal wall-clock on the fingerprint UDFs
+        # (dedup_simhash_pairs median 1.96 s spread 1.67 at the default;
+        # 0.85 s with steady repeats at 1024 — smaller batches pipeline
+        # JVM→Python transfer with compute and bound every allocation).
+        # Codec/blob rows are unaffected (their tables are smaller than
+        # one batch either way).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # push COUNT/MIN/MAX to parquet footers (manifest-style metadata
         # queries read statistics instead of data; off by default upstream)
         .config("spark.sql.parquet.aggregatePushdown", "true")

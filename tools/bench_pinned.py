@@ -53,6 +53,26 @@ def main() -> int:
     spark = get_session(app_name="spark_graft_bench_pinned")
     sf = float(os.path.basename(args.sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
+    # Python-worker PREWARM (VERDICT r11 Next #7): populate the daemon
+    # worker pool across every core before any timed run. Rows whose
+    # plan crosses the Python boundary in a 1-task stage (the sf0.1
+    # single-row-group parquet leaves the pandas-UDF fingerprint stages
+    # at scan parallelism = 1) otherwise time bimodally on whether THAT
+    # task lands on a warm worker — the "worker-reuse jitter" the r8 and
+    # r11 rows needed adjudicating. Warm the pool once, deterministically,
+    # instead of refuting the mode per row.
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _prewarm(s):
+        import numpy as np  # noqa: F401 — the import cost IS the warmup
+        return s
+
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(n_cores * 4, numPartitions=n_cores).select(
+        _prewarm("id")
+    ).write.format("noop").mode("overwrite").save()
+
     queries: dict[str, dict] = {}
     if only and Path(args.out).exists():
         queries = json.loads(Path(args.out).read_text())["queries"]
