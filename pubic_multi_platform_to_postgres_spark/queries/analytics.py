@@ -943,7 +943,15 @@ def basket_lift_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides in as a broadcast too. Min-support prunes BEFORE the frequency
     joins, keeping the joined stream output-sized."""
     li = load(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # materialize the distinct basket items ONCE: the order count, the
+    # part frequencies, the mega-basket size pass, and both pair-join
+    # sides all read this subtree — without the checkpoint Catalyst
+    # replays the scan+distinct per consumer (measured: 20 lineitem
+    # scans / 26 exchanges in the uncheckpointed plan; at 100 TB that
+    # is re-reading the fact table per consumer)
+    items = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    )
     n_orders = items.select("l_orderkey").distinct().count()
     freq = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_part")

@@ -2353,9 +2353,14 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Pass 1: per-(lang, bucket) histogram; language totals + budgets
     # derive from it (map-side combine, then |langs|·65536 rows max).
+    # Checkpointed: budgets, cumulative bounds, and thresholds all read
+    # this aggregate — without it Catalyst replays the corpus-wide
+    # groupBy per consumer (measured: 8 documents scans in the plan,
+    # and this row's pin had crept 0.32 → 0.71 s across rounds).
     hist = (
         d.groupBy("lang", F.expr("h div 65536").alias("bkt"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     # corpus totals via unpartitioned windows over the |languages|-row
     # aggregate — a few rows in one partition, and no 1-row cross join
