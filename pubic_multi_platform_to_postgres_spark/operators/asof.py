@@ -35,6 +35,7 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     strict: bool = False,
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """Left as-of join: all left columns + the latest right ``payload_cols``
     with ``right_ts <= left_ts`` (or ``<`` when ``strict``) per key.
@@ -45,7 +46,15 @@ def asof_join(
     unspecified — give the right side unique (key, ts) pairs (true for
     event streams with point timestamps) or pre-dedup with
     ``dedup_latest``.
-    """
+
+    ``tolerance_s`` (r12) is the STALENESS BOUND — the feature-store /
+    pandas ``merge_asof(tolerance=...)`` contract: when the latest prior
+    right row is older than ``tolerance_s`` seconds (timestamp ts
+    columns) or ``tolerance_s`` ts-units (numeric ts columns), the
+    payload is nulled — the row survives, the stale feature does not.
+    Zero extra shuffles: the matched right timestamp rides inside the
+    payload struct the window already carries, and the bound is one
+    map-side comparison after the fill."""
     lcols = left.columns
     # side marker: right rows must sort before left rows at the same ts for
     # inclusive (<=) semantics, after left rows for strict (<)
@@ -58,7 +67,17 @@ def asof_join(
     # column (DuckDB ASOF JOIN carries the whole row, nulls included). The
     # struct itself is non-null on every right row, so last(ignorenulls) picks
     # exactly the latest qualifying right row — null fields and all.
-    payload_t = T.StructType([right.schema[c] for c in payload_cols])
+    payload_fields = [right.schema[c] for c in payload_cols]
+    if tolerance_s is not None:
+        # the matched right ts travels with its row's payload so the
+        # staleness bound compares against the ROW the window picked
+        payload_fields.append(
+            T.StructField("__asof_rts", right.schema[right_ts].dataType)
+        )
+    payload_t = T.StructType(payload_fields)
+    r_payload = [F.col(c) for c in payload_cols]
+    if tolerance_s is not None:
+        r_payload.append(F.col(right_ts).alias("__asof_rts"))
     l_tagged = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_ts"),
@@ -71,7 +90,7 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(right_rank).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.struct(*[F.col(c) for c in payload_cols]).alias("_payload"),
+        F.struct(*r_payload).alias("_payload"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -84,7 +103,26 @@ def asof_join(
         "*",
         F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_asof"),
     )
-    return filled.filter(F.col("_side") == left_rank).select(
+    out = filled.filter(F.col("_side") == left_rank)
+    if tolerance_s is not None:
+        lt, rt = F.col("_ts"), F.col("_asof.__asof_rts")
+        # the union coerces _ts to the common type, so compare in it:
+        # epoch microseconds for timestamps, plain subtraction otherwise
+        if isinstance(out.schema["_ts"].dataType, (T.TimestampType, T.DateType)):
+            fresh = (
+                F.unix_micros(lt.cast("timestamp"))
+                - F.unix_micros(rt.cast("timestamp"))
+            ) <= F.lit(int(tolerance_s * 1_000_000))
+        else:
+            fresh = (lt - rt) <= F.lit(tolerance_s)
+        return out.select(
+            *[F.col(c) for c in lcols],
+            *[
+                F.when(fresh, F.col(f"_asof.{c}")).alias(c)
+                for c in payload_cols
+            ],
+        )
+    return out.select(
         *[F.col(c) for c in lcols],
         *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
     )

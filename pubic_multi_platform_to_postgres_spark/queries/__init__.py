@@ -91,6 +91,10 @@ _R12_SEAT_AT = 66
 _R12_ADDED = (
     "dedup_ngram_jaccard_auto",
     "dedup_containment_pairs_auto",
+    # second r12 batch: the staleness-bounded as-of join and the
+    # l-diversity governance audit
+    "join_asof_tolerance_events",
+    "dq_l_diversity",
 )
 _names12 = [n for n in REGISTRY if n not in _R12_ADDED]
 _order12 = (

@@ -1462,6 +1462,53 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIVERSITY_THRESHOLD = 3
+
+
+@query(
+    "dq_l_diversity",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_group,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+           COUNT(DISTINCT c_mktsegment) < {L_DIVERSITY_THRESHOLD} AS at_risk
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (r12) — k-anonymity's necessary complement: a
+    QI class can be large (k-anonymous) while every member shares ONE
+    sensitive value, so membership alone discloses it (the homogeneity
+    attack k-anonymity cannot see). Per quasi-identifier class (nation ×
+    account-balance bucket — the linkable attributes), the count of
+    DISTINCT sensitive values (market segment stands in for the
+    sensitive column) with an at-risk flag below l=3. Release policy:
+    generalize or suppress at-risk classes — this audit and
+    ``dq_k_anonymity`` together are the minimal pre-share screen.
+
+    Scale: one groupBy on the QI tuple with an exact COUNT(DISTINCT) —
+    Spark plans it as the standard two-phase expand-aggregate, both
+    phases partial; the distinct cardinality per group is bounded by
+    |segments| (tiny), so no group's state grows with rows. The bucket
+    floor is IEEE-exact in both engines (one division + floor)."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_group"),
+        F.count_distinct(F.col("c_mktsegment")).cast("long").alias(
+            "n_sensitive"
+        ),
+        (
+            F.count_distinct(F.col("c_mktsegment"))
+            < L_DIVERSITY_THRESHOLD
+        ).alias("at_risk"),
+    )
+
+
 _ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7 days in microseconds
 
 

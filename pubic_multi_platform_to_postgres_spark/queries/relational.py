@@ -839,6 +839,55 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance_events",
+    oracle="""
+    SELECT o.o_orderkey,
+           CASE WHEN e.ts >= o.o_orderdate - INTERVAL 7 DAY
+                THEN e.event_type END AS last_event_type,
+           CASE WHEN e.ts >= o.o_orderdate - INTERVAL 7 DAY
+                THEN CAST(e.value AS DOUBLE) END AS last_event_value
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (r12) — the feature-store /
+    ``pandas.merge_asof(tolerance=...)`` contract the plain as-of row
+    lacks: per order, the customer's latest event at or before the
+    order date, but only if it is at most 7 days old; older matches
+    null the payload (the row survives — a stale feature must read as
+    missing, not as a silently ancient value, or the training set
+    leaks long-dead behavior into fresh labels). Same union+window
+    plan as ``join_asof_latest_event`` — the matched event's timestamp
+    rides inside the payload struct, so the bound is one map-side
+    comparison, zero extra shuffles (ONE exchange total, pinned in
+    test_plan_quality). Oracle: DuckDB's native ASOF JOIN post-nulled
+    by the same bound (the as-of match is unique, so nulling after the
+    join ≡ bounding inside it)."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    joined = asof_join(
+        orders, events,
+        left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        payload_cols=["event_type", "value"],
+        tolerance_s=7 * 86400,
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_event_value"),
+    )
+
+
+@query(
     "join_range_followup_events",
     oracle="""
     SELECT a.event_id AS id_a,

@@ -507,3 +507,15 @@ def test_url_dedup_keep_election_has_no_sort_window(spark):
     plan = plan_of(spark, "corpus_url_dedup")
     assert "Window" not in plan, plan
     assert "max_by" in plan.lower() or "maxby" in plan.lower(), plan
+
+
+def test_asof_tolerance_single_exchange_no_extra_shuffle(spark):
+    """The staleness bound must be FREE: the matched right timestamp
+    rides inside the payload struct the as-of window already carries,
+    so the tolerance variant plans the SAME single key exchange as the
+    plain as-of row — no join, no second window."""
+    plain = plan_of(spark, "join_asof_latest_event")
+    tol = plan_of(spark, "join_asof_tolerance_events")
+    assert tol.count("Exchange") == plain.count("Exchange") == 1
+    assert tol.count("Window") == plain.count("Window") == 1
+    assert "Join" not in tol

@@ -985,3 +985,80 @@ def test_basket_mega_cap_deterministic_and_conservative(spark, tmp_path, monkeyp
     # kept mega pairs uses n_a = n_b = 3 and n_orders = 6 -> 3*6/(3*3)=2
     mega_pair = next(k for k in by_pair if k != (500, 501))
     assert by_pair[mega_pair]["n_a"] == 3 and by_pair[mega_pair]["lift"] == 2.0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """The staleness bound (r12): a match older than tolerance nulls the
+    payload but keeps the row; a fresh match passes whole-row; the
+    boundary is inclusive. Numeric-ts path (ints as time units)."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50)], "k int, lts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 95, "fresh"), (1, 110, "stale_for_200"), (2, 10, "old")],
+        "k int, rts int, tag string",
+    )
+    rows = {(r["k"], r["lts"]): r for r in asof_join(
+        left, right, "k", "k", "lts", "rts", ["tag"], tolerance_s=10
+    ).collect()}
+    assert rows[(1, 100)]["tag"] == "fresh"        # gap 5 <= 10
+    assert rows[(1, 200)]["tag"] is None           # latest is 110, gap 90
+    assert rows[(2, 50)]["tag"] is None            # gap 40 > 10
+    # inclusive boundary: gap exactly == tolerance keeps the payload
+    rows = {r["lts"]: r for r in asof_join(
+        spark.createDataFrame([(1, 105)], "k int, lts int"),
+        right, "k", "k", "lts", "rts", ["tag"], tolerance_s=10,
+    ).collect()}
+    assert rows[105]["tag"] == "fresh"             # gap exactly 10
+    # a row with NO prior match stays NULL (left-outer preserved)
+    rows = asof_join(
+        spark.createDataFrame([(9, 1)], "k int, lts int"),
+        right, "k", "k", "lts", "rts", ["tag"], tolerance_s=10,
+    ).collect()
+    assert rows[0]["tag"] is None
+
+
+def test_asof_tolerance_timestamp_path(spark):
+    """Timestamp ts columns compare in epoch microseconds — sub-second
+    staleness must count (unix_timestamp flooring would miss it)."""
+    import datetime as dt
+
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, base)], "k int, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, base - dt.timedelta(seconds=5, microseconds=1), "x")],
+        "k int, rts timestamp, tag string",
+    )
+    got = asof_join(left, right, "k", "k", "lts", "rts", ["tag"],
+                    tolerance_s=5).collect()[0]
+    assert got["tag"] is None  # 5.000001 s > 5 s — micros decide
+    got = asof_join(left, right, "k", "k", "lts", "rts", ["tag"],
+                    tolerance_s=5.000001).collect()[0]
+    assert got["tag"] == "x"
+
+
+def test_l_diversity_flags_homogeneous_classes(spark, tmp_path):
+    """A large (k-anonymous) class whose members all share one sensitive
+    value must flag; a small diverse class must not."""
+    import pandas as pd
+
+    rows = [(i, f"c{i}", 1, 500.0, "BUILDING") for i in range(20)]  # homogeneous
+    rows += [(100, "a", 2, 500.0, "AUTOMOBILE"), (101, "b", 2, 600.0, "FURNITURE"),
+             (102, "c", 2, 900.0, "MACHINERY")]                      # diverse
+    pd.DataFrame(rows, columns=[
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    ]).to_parquet(tmp_path / "customer.parquet")
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    got = {(r["c_nationkey"], r["bal_bucket"]): r for r in
+           REGISTRY["dq_l_diversity"].fn(spark, str(tmp_path)).collect()}
+    homog = got[(1, 0)]
+    assert homog["n_group"] == 20 and homog["n_sensitive"] == 1
+    assert homog["at_risk"] is True   # k-anonymous but l-poor
+    div = got[(2, 0)]
+    assert div["n_group"] == 3 and div["n_sensitive"] == 3
+    assert div["at_risk"] is False

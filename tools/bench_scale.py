@@ -377,6 +377,11 @@ EXEMPT = {
     # scale claims are measured, not argued)
     "window_rolling_median_value": _R["win"],
     "dq_k_anonymity": _R["rel"],
+    "dq_l_diversity": _R["rel"],
+    "join_asof_tolerance_events": "the measured asof union+window shape "
+                                  "(join_asof_latest_event family) plus one "
+                                  "map-side staleness comparison — no new "
+                                  "scale face",
     # geo_grid_radius_join: measured via the DENSITY-PRESERVING section
     # (measure_geo_density / report["geo_density"]) — the r11 exemption
     # argument made executable (VERDICT r11 Next #5); see emit_census.
