@@ -69,6 +69,14 @@ def asof_join(
     # exactly the latest qualifying right row — null fields and all.
     payload_fields = [right.schema[c] for c in payload_cols]
     if tolerance_s is not None:
+        if "__asof_rts" in payload_cols:
+            # the matched-right-ts slot would collide with a payload
+            # column of the same name → duplicate struct fields and an
+            # ambiguous `_asof.__asof_rts` extraction
+            raise ValueError(
+                "payload column '__asof_rts' collides with the internal "
+                "matched-timestamp slot used by tolerance_s; rename it"
+            )
         # the matched right ts travels with its row's payload so the
         # staleness bound compares against the ROW the window picked
         payload_fields.append(

@@ -932,9 +932,13 @@ def basket_lift_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped-vs-uncapped curve on a planted power basket.
 
     LOSS CONTRACT (stated, enforced, measured): pair supports only
-    UNDERCOUNT, and only for pairs where a mega basket's dropped items
-    participate — a kept×kept pair keeps every one of its baskets' votes
-    (the kept set is a pure function of the part keys, not the basket).
+    UNDERCOUNT — never over — and only baskets over the cap can drop a
+    vote. Within one over-cap basket the kept top-N is ranked by a
+    global hash priority on the part key, so kept×kept supports are
+    exact across baskets sharing the SAME part set (the planted-fixture
+    case); a pair spanning differently-composed mega baskets may
+    additionally undercount, because each basket keeps its own top-N
+    and a part kept in one mix can be dropped in another.
     ``freq`` and ``n_orders`` come from the UNCAPPED items, so
     confidence and lift for an affected pair are biased DOWN (never up)
     — a capped run can hide a rule, never invent one.
@@ -948,9 +952,14 @@ def basket_lift_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides all read this subtree — without the checkpoint Catalyst
     # replays the scan+distinct per consumer (measured: 20 lineitem
     # scans / 26 exchanges in the uncheckpointed plan; at 100 TB that
-    # is re-reading the fact table per consumer)
+    # is re-reading the fact table per consumer). Lazy (eager=False):
+    # materializes at the n_orders fetch below, not at plan
+    # construction, and repeated invocations in one session don't each
+    # queue an extra eager job before first use.
     items = (
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     n_orders = items.select("l_orderkey").distinct().count()
     freq = items.groupBy("l_partkey").agg(

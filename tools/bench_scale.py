@@ -469,9 +469,25 @@ def measure_geo_density(spark, timeout_s: float) -> dict:
             ((F.col("id") * 91) % m).cast("double").alias("y"),
         )
         t0 = time.perf_counter()
-        out_rows = grid_radius_pairs(pts).count()
+        out_rows, out_to = _guarded_count(spark, grid_radius_pairs(pts), timeout_s)
         wall = time.perf_counter() - t0
-        cand = _grid_radius_blocked(pts).count()
+        if out_to:
+            section["points"][label] = {
+                "n_points": n, "modulus": m,
+                "timed_out": True, "timeout_s": timeout_s,
+            }
+            print(f"  geo    {label}: TIMED OUT", file=sys.stderr)
+            break  # larger points would only hang longer
+        cand, cand_to = _guarded_count(spark, _grid_radius_blocked(pts), timeout_s)
+        if cand_to:
+            section["points"][label] = {
+                "n_points": n, "modulus": m, "wall_s": round(wall, 3),
+                "output_pairs": int(out_rows),
+                "candidates_timed_out": True, "timeout_s": timeout_s,
+            }
+            print(f"  geo    {label}: candidate count TIMED OUT",
+                  file=sys.stderr)
+            break
         section["points"][label] = {
             "n_points": n,
             "modulus": m,
@@ -483,11 +499,39 @@ def measure_geo_density(spark, timeout_s: float) -> dict:
         }
         print(f"  geo    {label}: {section['points'][label]}",
               file=sys.stderr)
-    base = section["points"]["geo1"]["wall_s"]
+    base = section["points"].get("geo1", {}).get("wall_s")
     for label, factor in (("geo10", 10), ("geo30", 30)):
-        p = section["points"][label]
-        p["growth_vs_geo1"] = round(p["wall_s"] / base, 2) if base else None
+        p = section["points"].get(label)
+        if p and "wall_s" in p:
+            p["growth_vs_geo1"] = round(p["wall_s"] / base, 2) if base else None
     return section
+
+
+def _guarded_count(spark, df, timeout_s: float) -> tuple[int, bool]:
+    """count() under the same job-group watchdog every other section
+    uses — a pathological point records ``timed_out`` instead of
+    hanging the bench (ADVICE r12)."""
+    group = f"scale-geo-{time.monotonic_ns()}"
+    sc = spark.sparkContext
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            sc.cancelJobGroup(group)
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    sc.setJobGroup(group, "bench_scale_geo", interruptOnCancel=True)
+    t.start()
+    t0 = time.perf_counter()
+    try:
+        return int(df.count()), False
+    except Exception:  # noqa: BLE001
+        if time.perf_counter() - t0 < timeout_s:
+            raise  # a REAL error, not the watchdog cancel
+        return 0, True
+    finally:
+        done.set()
+        sc.setJobGroup("", "")
 
 
 def _stages(app_id: str) -> list[dict]:
