@@ -152,16 +152,25 @@ def dedup_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     either branch; the collapse branch is oracle-replayed on a
     clone-heavy corpus by ``test_llmdata.py::
     test_jaccard_auto_collapse_branch_matches_oracle`` and measured on
-    both fixtures by ``tools/bench_skew.py``'s strategy section."""
+    both fixtures by ``tools/bench_skew.py``'s strategy section.
+
+    r13 (VERDICT r12 Next #1): the statistic is read through the
+    catalog registry (``plans/stats.py CORPUS_STATS``) — one live probe
+    per corpus snapshot, then free (fingerprint-invalidated; a landing
+    pipeline maintaining a ``CloneHistogram`` can publish it so even
+    the first read skips the probe). Decision equality stat-read vs
+    live-probe is pinned by ``test_auto_rows_read_stat_not_rescan``."""
     from pubic_multi_platform_to_postgres_spark.operators.dedup import (
-        clone_mass,
         collapse_strategy,
     )
+    from pubic_multi_platform_to_postgres_spark.plans.stats import CORPUS_STATS
 
     docs = load(spark, sf_dir, "documents").withColumn(
         "len_bucket", F.floor(F.col("n_chars") / 50)
     )
-    n_rows, clique_pairs = clone_mass(docs, "text")
+    n_rows, clique_pairs = CORPUS_STATS.clone_summary(
+        docs, "text", source_path=f"{sf_dir.rstrip('/')}/documents.parquet"
+    )
     strategy = collapse_strategy(n_rows, clique_pairs)
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", block_cols=["lang", "len_bucket"],
@@ -7575,15 +7584,22 @@ def dedup_containment_pairs_auto(
     ``collapse`` once clique pair mass clears ~1 pair/doc. Both
     branches are bit-identical in output, so one oracle gates either
     branch; the collapse branch is oracle-replayed on a clone-heavy
-    corpus in ``test_llmdata.py``."""
+    corpus in ``test_llmdata.py``.
+
+    r13: reads the statistic through ``plans/stats.py CORPUS_STATS``
+    under the same (corpus snapshot, column) key as the jaccard auto
+    row — in a sweep, whichever auto row runs first pays the one probe
+    and the other reads it for free."""
     from pubic_multi_platform_to_postgres_spark.operators.dedup import (
-        clone_mass,
         collapse_strategy,
         containment_pairs,
     )
+    from pubic_multi_platform_to_postgres_spark.plans.stats import CORPUS_STATS
 
     docs = load(spark, sf_dir, "documents")
-    n_rows, clique_pairs = clone_mass(docs, "text")
+    n_rows, clique_pairs = CORPUS_STATS.clone_summary(
+        docs, "text", source_path=f"{sf_dir.rstrip('/')}/documents.parquet"
+    )
     strategy = collapse_strategy(n_rows, clique_pairs)
     return containment_pairs(
         docs, "text", "doc_id", ["lang"], threshold=0.5, ngram=3,

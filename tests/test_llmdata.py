@@ -2434,6 +2434,107 @@ def test_auto_rows_collapse_branch_matches_oracle(spark, tmp_path):
         assert len(spdf) >= 66, name  # the clique actually dominates
 
 
+def _write_docs_parquet(tmp_path, texts):
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": range(len(texts)),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    }).to_parquet(tmp_path / "documents.parquet")
+
+
+def test_auto_rows_read_stat_not_rescan(spark, tmp_path, monkeypatch):
+    """VERDICT r12 Next #1: the _auto rows read the clone statistic
+    through the catalog registry — ONE live probe per corpus snapshot
+    shared by BOTH rows, decision identical stat-read vs live-probe,
+    and a changed snapshot re-probes (fingerprint invalidation)."""
+    from pubic_multi_platform_to_postgres_spark.operators import dedup
+    from pubic_multi_platform_to_postgres_spark.plans import stats
+    from pubic_multi_platform_to_postgres_spark.queries import REGISTRY
+
+    texts = ["aa bb cc dd"] * 3 + [f"solo{i} tok{i} w{i}" for i in range(5)]
+    _write_docs_parquet(tmp_path, texts)
+
+    calls = {"n": 0}
+    real = dedup.clone_mass
+
+    def counting(df, col):
+        calls["n"] += 1
+        return real(df, col)
+
+    # patch the name plans.stats binds at import time — the registry's
+    # only probe path
+    monkeypatch.setattr(stats, "clone_mass", counting)
+    monkeypatch.setattr(stats, "CORPUS_STATS", stats.StatsRegistry())
+    import pubic_multi_platform_to_postgres_spark.queries.llmdata  # noqa: F401
+
+    jac = REGISTRY["dedup_ngram_jaccard_auto"].fn(spark, str(tmp_path))
+    jac_rows_probe = jac.count()
+    assert calls["n"] == 1  # the one live probe
+    con = REGISTRY["dedup_containment_pairs_auto"].fn(spark, str(tmp_path))
+    con.count()
+    assert calls["n"] == 1  # second row read the stored stat (same key)
+    # stat-read decision == live-probe decision, and same output
+    jac2 = REGISTRY["dedup_ngram_jaccard_auto"].fn(spark, str(tmp_path))
+    assert calls["n"] == 1
+    assert jac2.count() == jac_rows_probe
+    n, cp = stats.CORPUS_STATS.clone_summary(
+        None, "text", source_path=str(tmp_path / "documents.parquet")
+    )  # df unused on a cache hit
+    assert (n, cp) == (8, 3) and dedup.collapse_strategy(n, cp) == "direct"
+
+    # rewrite the corpus → fingerprint moves → next read re-probes
+    _write_docs_parquet(tmp_path, texts + ["aa bb cc dd"])
+    REGISTRY["dedup_ngram_jaccard_auto"].fn(spark, str(tmp_path)).count()
+    assert calls["n"] == 2
+    # unknown source path (no fingerprint): never cached, always a probe
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    stats.CORPUS_STATS.clone_summary(docs, "text", source_path=None)
+    stats.CORPUS_STATS.clone_summary(docs, "text", source_path=None)
+    assert calls["n"] == 4
+
+
+def test_clone_histogram_incremental_matches_full_scan(spark, tmp_path):
+    """The landing-path side of the statistic: a CloneHistogram folded
+    forward batch-by-batch (the dedup_incremental_new_batch split —
+    corpus first, then the new delivery) equals a fresh full-corpus
+    clone_mass, and publish() makes the planner read free."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import clone_mass
+    from pubic_multi_platform_to_postgres_spark.plans.stats import (
+        CloneHistogram,
+        StatsRegistry,
+    )
+
+    texts = (
+        ["dup one two three"] * 4
+        + ["other copy here now"] * 2
+        + [f"uniq{i} a{i} b{i}" for i in range(6)]
+    )
+    _write_docs_parquet(tmp_path, texts)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
+    hist = CloneHistogram()
+    # batch-by-batch: landed corpus (doc_id % 5 != 0), then the delivery
+    hist.merge_batch(docs.filter(F.col("doc_id") % 5 != 0), "text")
+    hist.merge_batch(docs.filter(F.col("doc_id") % 5 == 0), "text")
+    assert hist.summary() == clone_mass(docs, "text") == (12, 7)
+
+    reg = StatsRegistry()
+    published = hist.publish(
+        reg, str(tmp_path / "documents.parquet"), "text"
+    )
+    # planner read comes from the published histogram — no probe (df=None
+    # would throw if the registry touched it)
+    assert reg.clone_summary(
+        None, "text", source_path=str(tmp_path / "documents.parquet")
+    ) == published == (12, 7)
+
+
 def test_url_dedup_window_and_aggregate_faces_agree(spark, tmp_path):
     """VERDICT r11 Next #4: the aggregate-only keep-doc election must be
     row-identical to the retired rank-window election — including on a
