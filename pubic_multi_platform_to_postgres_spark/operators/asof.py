@@ -136,6 +136,176 @@ def asof_join(
     )
 
 
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    strict: bool = False,
+    tolerance_s: float | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``asof_join`` for HOT keys (VERDICT r12 Next #5): identical
+    output, but the window partitions on (key, time-bucket) instead of
+    the key alone, so one symbol owning 90% of the rows — the realistic
+    market-data shape — fans out over ``n_buckets`` sort groups instead
+    of serializing into one.
+
+    The stitch: within a bucket, the same union + ``last(ignorenulls)``
+    running fill as the base plan. A left row whose bucket holds no
+    earlier right row needs the CARRY-IN — the latest right payload
+    from any earlier bucket of its key. That is computed from the
+    bucket-FINAL payloads: one partial-aggregable ``max_by`` per
+    (key, bucket) over right rows only (map-side combined, so the hot
+    key contributes one row per bucket per partition to the shuffle),
+    then a running ``last(ignorenulls)`` over the (|keys|·n_buckets)-row
+    aggregate ordered by bucket — tiny — shifted one bucket so a bucket
+    sees only strictly-earlier finals. ``coalesce(within-bucket fill,
+    carry-in)`` restores exactly the base semantics: an in-bucket match
+    is never older than any carry-in (its bucket is later), equal
+    timestamps always share a bucket (so strict/inclusive tie handling
+    stays inside the window's ``_side`` ordering), and the carry-join
+    keys (key, bucket) match the window's partitioning, so the big side
+    reuses its exchange.
+
+    Cost: the same one big shuffle + sort as the base plan (at
+    ``n_buckets``× the hot-key parallelism) plus one aggregate-sized
+    shuffle and a broadcast-or-tiny join. Bucket boundaries come from
+    the observed right-ts range (one 1-row aggregate at plan time).
+    Output equality with ``asof_join`` — including strict, tolerance,
+    hot keys, and carry-across-empty-buckets — is pinned by
+    ``tests/test_relational_extra.py::test_asof_salted_matches_base``;
+    the hot-key curve is measured in ``BENCH_SKEW_r13.json
+    asof_hot_key``."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    ts_type = right.schema[right_ts].dataType
+    is_temporal = isinstance(ts_type, (T.TimestampType, T.DateType, T.TimestampNTZType))
+
+    def _num(col):
+        return F.unix_micros(col.cast("timestamp")) if is_temporal else col.cast("double")
+
+    # bucket geometry from the RIGHT side's observed range (the matches
+    # all come from it); left rows outside clamp into the edge buckets
+    bounds = right.agg(
+        F.min(_num(F.col(right_ts))).alias("lo"),
+        F.max(_num(F.col(right_ts))).alias("hi"),
+    ).first()
+    if bounds["lo"] is None or bounds["hi"] is None or n_buckets == 1:
+        return asof_join(
+            left, right, left_key, right_key, left_ts, right_ts,
+            payload_cols, strict=strict, tolerance_s=tolerance_s,
+        )
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    width = max((hi - lo) / n_buckets, 1e-9)
+
+    def _bucket(col):
+        raw = F.floor((_num(col) - F.lit(lo)) / F.lit(width))
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
+
+    lcols = left.columns
+    right_rank = 0 if not strict else 1
+    left_rank = 1 - right_rank
+    payload_fields = [right.schema[c] for c in payload_cols]
+    if "__asof_rts" in payload_cols:
+        raise ValueError(
+            "payload column '__asof_rts' collides with the internal "
+            "matched-timestamp slot; rename it"
+        )
+    # the matched right ts always rides along: the tolerance bound needs
+    # it, and the carry-in needs no extra column either way
+    payload_fields.append(T.StructField("__asof_rts", right.schema[right_ts].dataType))
+    payload_t = T.StructType(payload_fields)
+    r_payload = [F.col(c) for c in payload_cols] + [
+        F.col(right_ts).alias("__asof_rts")
+    ]
+    l_tagged = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        _bucket(F.col(left_ts)).alias("_b"),
+        F.lit(left_rank).alias("_side"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(payload_t).alias("_payload"),
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        _bucket(F.col(right_ts)).alias("_b"),
+        F.lit(right_rank).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.struct(*r_payload).alias("_payload"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy("_k", "_b")
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_in_bucket"),
+    )
+
+    # bucket-final right payloads → running carry shifted one bucket.
+    # The carry must exist for every (key, bucket) the LEFT occupies —
+    # a bucket with no right rows still inherits from earlier buckets —
+    # so the running fill runs over the occupied-bucket grid (one
+    # map-side-combined distinct, (|keys|·n_buckets)-bounded), not just
+    # the buckets holding right rows.
+    finals = (
+        r_tagged.groupBy("_k", "_b")
+        .agg(F.max_by(F.col("_payload"), F.col("_ts")).alias("_final"))
+    )
+    buckets = unioned.select("_k", "_b").distinct()
+    wc = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        buckets.join(finals, ["_k", "_b"], "left")
+        .select(
+            "_k",
+            "_b",
+            F.last(F.col("_final"), ignorenulls=True).over(wc).alias("_carry"),
+        )
+        .filter(F.col("_carry").isNotNull())
+    )
+
+    out = (
+        filled.filter(F.col("_side") == left_rank)
+        .join(carry, ["_k", "_b"], "left")
+        .select(
+            "*",
+            F.coalesce(F.col("_in_bucket"), F.col("_carry")).alias("_asof"),
+        )
+    )
+    if tolerance_s is not None:
+        lt, rt = F.col("_ts"), F.col("_asof.__asof_rts")
+        if is_temporal:
+            fresh = (
+                F.unix_micros(lt.cast("timestamp"))
+                - F.unix_micros(rt.cast("timestamp"))
+            ) <= F.lit(int(tolerance_s * 1_000_000))
+        else:
+            fresh = (lt - rt) <= F.lit(tolerance_s)
+        return out.select(
+            *[F.col(c) for c in lcols],
+            *[
+                F.when(fresh, F.col(f"_asof.{c}")).alias(c)
+                for c in payload_cols
+            ],
+        )
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -888,6 +888,53 @@ def join_asof_tolerance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_salted_events",
+    oracle="""
+    SELECT o.o_orderkey,
+           e.event_type AS last_event_type,
+           CAST(e.value AS DOUBLE) AS last_event_value
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-KEY as-of plan (r13, VERDICT r12 Next #5): same answer
+    as ``join_asof_latest_event`` (same oracle — output equality also
+    property-pinned in ``test_asof_salted_matches_base``) through
+    ``asof_join_salted``, which windows on (key, time-bucket) and
+    stitches bucket boundaries with a carry-in of bucket-final
+    payloads. This is the plan for the market-data shape — one symbol
+    owning 90% of the quotes — where the base plan's per-key sort
+    group serializes; measured on a planted hot key at 1×/10×/30× in
+    ``BENCH_SKEW_r13.json asof_hot_key``. On this skew-free fixture it
+    prices the salting overhead (one extra aggregate-sized shuffle +
+    tiny join) against the base row directly above it."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_join_salted,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    joined = asof_join_salted(
+        orders, events,
+        left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        payload_cols=["event_type", "value"],
+        n_buckets=32,
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_event_value"),
+    )
+
+
+@query(
     "join_range_followup_events",
     oracle="""
     SELECT a.event_id AS id_a,

@@ -3,6 +3,8 @@ the driver gate): approx-distinct error bound, IVF recall vs brute force."""
 
 from __future__ import annotations
 
+import pytest
+
 from pubic_multi_platform_to_postgres_spark.operators.similarity import (
     topk_cosine_bruteforce,
     topk_cosine_ivf,
@@ -1062,3 +1064,67 @@ def test_l_diversity_flags_homogeneous_classes(spark, tmp_path):
     div = got[(2, 0)]
     assert div["n_group"] == 3 and div["n_sensitive"] == 3
     assert div["at_risk"] is False
+
+
+def test_asof_salted_matches_base(spark):
+    """VERDICT r12 Next #5: the (key, time-bucket) salted as-of join is
+    output-identical to the single-sort-group base plan — on a hot key
+    owning ~85% of both sides, across strict/inclusive, with and
+    without a staleness bound, at several bucket counts (including
+    buckets the hot key leaves empty), with keys missing from either
+    side and equal left/right timestamps."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    # right: unique (key, ts); hot key 0 carries 170 of 200 quotes
+    right_rows = [(0, 5 * j + 3, f"q{j}", float(j)) for j in range(170)]
+    right_rows += [
+        (1 + (j % 4), 40 * j + 7, f"r{j}", float(-j)) for j in range(30)
+    ]
+    # left: hot key dominates; ts land on, between, and beyond right ts;
+    # key 9 has no right rows; key 4 has right rows but early left rows
+    left_rows = [(0, 3 * i) for i in range(120)]
+    left_rows += [(1 + (i % 5), 29 * i) for i in range(60)]
+    left_rows += [(9, 100), (4, 0)]
+    right = spark.createDataFrame(
+        right_rows, "k int, rts int, tag string, score double"
+    )
+    left = spark.createDataFrame(left_rows, "k int, lts int")
+
+    def norm(df):
+        return sorted(
+            tuple(r) for r in df.select("k", "lts", "tag", "score").collect()
+        )
+
+    for strict in (False, True):
+        for tol in (None, 50):
+            base = norm(asof_join(
+                left, right, "k", "k", "lts", "rts", ["tag", "score"],
+                strict=strict, tolerance_s=tol,
+            ))
+            for nb in (1, 3, 32, 500):
+                got = norm(asof_join_salted(
+                    left, right, "k", "k", "lts", "rts", ["tag", "score"],
+                    strict=strict, tolerance_s=tol, n_buckets=nb,
+                ))
+                assert got == base, (strict, tol, nb)
+
+
+def test_asof_salted_empty_right_and_collision_guard(spark):
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_join_salted,
+    )
+
+    left = spark.createDataFrame([(1, 10)], "k int, lts int")
+    empty = spark.createDataFrame([], "k int, rts int, tag string")
+    rows = asof_join_salted(
+        left, empty, "k", "k", "lts", "rts", ["tag"], n_buckets=8
+    ).collect()
+    assert rows[0]["tag"] is None
+    bad = spark.createDataFrame([(1, 5, "x")], "k int, rts int, `__asof_rts` string")
+    with pytest.raises(ValueError, match="__asof_rts"):
+        asof_join_salted(
+            left, bad, "k", "k", "lts", "rts", ["__asof_rts"], n_buckets=8
+        )

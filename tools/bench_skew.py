@@ -111,7 +111,7 @@ def main() -> int:
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument(
         "--sections",
-        default="queries,candidates,relational,basket,strategy,urlhot",
+        default="queries,candidates,relational,basket,strategy,urlhot,asofhot",
         help="comma list of sections to (re)run; others merge from --out",
     )
     args = ap.parse_args()
@@ -137,7 +137,8 @@ def main() -> int:
     if out_path.exists():
         prior = json.loads(out_path.read_text())
         for key in ("queries", "candidate_counts", "relational_hot_key",
-                    "basket_mega_cap", "collapse_strategy", "url_hot_canon"):
+                    "basket_mega_cap", "collapse_strategy", "url_hot_canon",
+                    "asof_hot_key"):
             if key in prior:
                 report[key] = prior[key]
     qs = entry.queries()
@@ -395,6 +396,78 @@ def main() -> int:
         urlhot[label] = row
         print(f"  urlhot  {label}: {row}", file=sys.stderr)
         report["url_hot_canon"] = urlhot
+        out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # Hot-key AS-OF join (VERDICT r12 Next #5): the market-data shape —
+    # ONE symbol owning 90% of both quotes and trades — serializes the
+    # base union+window plan into a single per-key sort group. Measure
+    # base vs the (key, time-bucket) salted plan at 1×/10×/30×, with
+    # output equality asserted at 1×.
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    def _asof_fixture(f: int):
+        """Deterministic hot-key quote/trade frames at factor f: 90% of
+        rows on symbol 0, unique (key, ts) on the quote side."""
+        n_q, n_t = 1_500_000 * f, 500_000 * f
+        quotes = spark.range(n_q).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(1 + F.col("id") % 997).alias("sym"),
+            # unique per key: hot rows get even ts by row index; cold
+            # rows odd ts (row index is unique, so (key, ts) is too)
+            (F.col("id") * 2 + (F.col("id") % 2)).alias("qts"),
+            (F.col("id") % 1000).cast("double").alias("bid"),
+        )
+        trades = spark.range(n_t).select(
+            F.col("id").alias("trade_id"),
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(1 + F.col("id") % 997).alias("sym"),
+            (F.col("id") * 6 + 1).alias("tts"),
+        )
+        return trades, quotes
+
+    def _asof_face(f: int, salted: bool):
+        trades, quotes = _asof_fixture(f)
+        fn = asof_join_salted if salted else asof_join
+        kw = {"n_buckets": 32} if salted else {}
+        joined = fn(
+            trades, quotes, "sym", "sym", "tts", "qts", ["bid"], **kw
+        )
+        # count MATCHED rows: a bare count() lets Catalyst prune the
+        # payload and delete the window itself — the timing must pay
+        # for the fill
+        return joined.where(F.col("bid").isNotNull())
+
+    asof: dict = report.get("asof_hot_key", {})
+    if "asofhot" in sections:
+        asof["design"] = (
+            "90% of quotes AND trades on one symbol; 1.5M/0.5M rows per "
+            "factor; unique (key, ts) quotes; salted n_buckets=32"
+        )
+        spark.range(1_000_000).groupBy((F.col("id") % 7)).count().count()  # warm the JVM/codegen paths before timing
+    for label, _sf_dir, factor in POINTS if "asofhot" in sections else []:
+        row = {}
+        for face, salted in (("base", False), ("salted", True)):
+            wall, rows_, to = _run_guarded(
+                spark, lambda s=salted, f=factor: _asof_face(f, s),
+                args.timeout,
+            )
+            row[face] = (
+                {"timed_out": True, "timeout_s": args.timeout}
+                if to
+                else {"wall_s": round(wall, 3), "output_rows": rows_}
+            )
+        if factor == 1:
+            b = _asof_face(1, False)
+            s = _asof_face(1, True)
+            row["outputs_identical"] = bool(
+                b.exceptAll(s).isEmpty() and s.exceptAll(b).isEmpty()
+            )
+        asof[label] = row
+        print(f"  asofhot {label}: {row}", file=sys.stderr)
+        report["asof_hot_key"] = asof
         out_path.write_text(json.dumps(report, indent=2) + "\n")
 
     # Growth ratios vs skew1, normalized per 10× of data.
