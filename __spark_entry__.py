@@ -32,9 +32,12 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # [16:66) (stalest rows + the r11 additions seated at 16). Round 12
 # starts at 66 so the window [66:116) — disjoint from r11's — re-verifies
 # the rows last driver-sampled in rounds 8–9 and picks up the round-12
-# planner rows seated at index 66 by ``queries/__init__.py``.
+# planner rows seated at index 66 by ``queries/__init__.py``. Round 13
+# advances to 116 (VERDICT r12 Next #6): the window [116:166) is
+# disjoint from r12's and re-verifies the rows last driver-sampled in
+# rounds 9–10.
 # ``SPARK_GRAFT_REGISTRY_ROT`` overrides for local testing.
-REGISTRY_OFFSET = 66
+REGISTRY_OFFSET = 116
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -103,3 +103,19 @@ _order12 = (
 _reseated12 = {n: REGISTRY[n] for n in _order12}
 REGISTRY.clear()
 REGISTRY.update(_reseated12)
+
+# Round-13 additions — seated at index 116 so the round-13 driver window
+# [116:166) (``__spark_entry__.REGISTRY_OFFSET = 116``) samples each
+# addition in its debut round. Same deterministic committed device as
+# the r11/r12 blocks above.
+_R13_SEAT_AT = 116
+_R13_ADDED = (
+    "join_asof_salted_events",
+)
+_names13 = [n for n in REGISTRY if n not in _R13_ADDED]
+_order13 = (
+    _names13[:_R13_SEAT_AT] + list(_R13_ADDED) + _names13[_R13_SEAT_AT:]
+)
+_reseated13 = {n: REGISTRY[n] for n in _order13}
+REGISTRY.clear()
+REGISTRY.update(_reseated13)

@@ -50,8 +50,12 @@ REPO = Path(__file__).resolve().parent.parent
 DOCS = ["SCALE.md", "BASELINE.md"]
 
 TAG_RE = re.compile(r"<!--\s*doccheck:\s*(end|[A-Za-z0-9_.,\s]+?)\s*-->")
-NUM_RE = re.compile(r"(~?)(\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+)([kMB]?)\b")
-SUFFIX = {"": 1.0, "k": 1e3, "M": 1e6, "B": 1e9}
+NUM_RE = re.compile(
+    r"(~?)(\d{1,3}(?:,\d{3})+(?:\.\d+)?|\d+\.\d+|\d+)"
+    r"((?:\s?[KMGT]B)|[kMB]?)\b"
+)
+SUFFIX = {"": 1.0, "k": 1e3, "M": 1e6, "B": 1e9,
+          "KB": 1e3, "MB": 1e6, "GB": 1e9, "TB": 1e12}
 
 
 def artifact_numbers(path: Path) -> set[float]:
@@ -112,7 +116,7 @@ def scrub(line: str) -> str:
 def token_matches(raw: str, suffix: str, nums: set[float]) -> bool:
     clean = raw.replace(",", "")
     v = float(clean)
-    scale = SUFFIX[suffix]
+    scale = SUFFIX[suffix.strip()]
     frac = len(clean.split(".")[1]) if "." in clean else 0
     tol = 0.5 * 10**-frac
     return any(abs(a / scale - v) <= tol + 1e-12 for a in nums)
