@@ -399,7 +399,17 @@ def emit_census(report: dict) -> list[str]:
     measured = set(SF1_QUERIES) | set(SF3_QUERIES) | set(SF10_QUERIES)
     census, undisp = {}, []
     for name in entry.queries():
-        if name == "geo_grid_radius_join":
+        if name == "join_asof_salted_events":
+            # measured on the planted hot-key fixture (the skew bench's
+            # asof_hot_key section: base vs salted at 1x/10x/30x) — the
+            # replica corpora plant no hot key, so the skew face is the
+            # honest scale evidence for this plan
+            census[name] = {
+                "disposition": "measured",
+                "sf_points": ["skew1", "skew10", "skew30"],
+                "section": "BENCH_SKEW asof_hot_key",
+            }
+        elif name == "geo_grid_radius_join":
             # measured on the density-preserving generated point sets
             # (replica corpora would price the quadratic TRUE-pair
             # growth of a fixed coordinate space, not the plan)
@@ -435,6 +445,44 @@ def emit_census(report: dict) -> list[str]:
         "rows": census,
     }
     return undisp
+
+
+def measure_stats_registry(spark, timeout_s: float) -> dict:
+    """VERDICT r12 Next #1 done-criterion: the sf10 auto rows
+    re-measured WITHOUT the extra corpus scan. First invocation per
+    corpus pays the live ``clone_mass`` probe (cold registry), the
+    second reads the stored statistic — the delta should track the
+    separately-timed probe cost."""
+    import time as _t
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        clone_mass,
+    )
+    from pubic_multi_platform_to_postgres_spark.plans import stats
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    section: dict = {"design": (
+        "per auto row at sf10: cold run (live clone_mass probe, empty "
+        "registry) vs warm run (fingerprint-cached stat); probe_s is "
+        "the scan the registry saves, timed alone"
+    )}
+    docs = load(spark, SF10, "documents")
+    t0 = _t.perf_counter()
+    n_rows, cp = clone_mass(docs, "text")
+    section["probe_s"] = round(_t.perf_counter() - t0, 3)
+    section["clone_mass"] = {"n_rows": n_rows, "clique_pairs": cp}
+    for name in ("dedup_ngram_jaccard_auto", "dedup_containment_pairs_auto"):
+        stats.CORPUS_STATS.invalidate(f"{SF10}/documents.parquet")
+        fn = entry.queries()[name]
+        row = {}
+        for face in ("cold_probe", "warm_stat_read"):
+            el, to = _run_once(spark, fn, SF10, timeout_s)
+            row[f"{face}_s"] = (
+                {"timed_out": True} if to else round(el, 3)
+            )
+        section[name] = row
+        print(f"  stats  {name}: {row}", file=sys.stderr)
+    return section
 
 
 def measure_geo_density(spark, timeout_s: float) -> dict:
@@ -720,6 +768,9 @@ def main() -> int:
     if only and "geo_grid_radius_join" in only:
         report["geo_density"] = measure_geo_density(spark, args.timeout)
         Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+    if only and "stats_registry" in only:
+        report["stats_registry"] = measure_stats_registry(spark, args.timeout)
+        Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
     if only:
         # merge mode: the pair/cluster/candidate evidence sections cover
         # fixed query families measured in the full sweep — leave them.
@@ -916,6 +967,9 @@ def main() -> int:
         Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
     report["geo_density"] = measure_geo_density(spark, args.timeout)
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+
+    report["stats_registry"] = measure_stats_registry(spark, args.timeout)
     Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
 
     undisp = emit_census(report)
