@@ -29,7 +29,7 @@ PUBLIC_IMPORT_ROOTS = {
     "pubic_multi_platform_to_postgres_spark", "__spark_entry__", "oracle",
     "conftest", "make_scaled_sf", "make_skew_fixture", "bench_scale",
     "plan_audit", "gate_sweep", "leakcheck", "bench_skew", "bench_pinned",
-    "bench_mode_check", "tests",
+    "bench_mode_check", "tests", "doccheck", "bench_ab_pin",
     # stdlib (the scan treats anything in sys.stdlib_module_names as public)
 }
 
