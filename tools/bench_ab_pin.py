@@ -133,6 +133,36 @@ def main() -> int:
         },
     }
     Path(args.out).write_text(json.dumps(report, indent=1) + "\n")
+
+    # The B side IS the controlled r13 pin — emit it in the
+    # BENCH_PINNED format (median/spread over the pooled interleaved
+    # runs) so BASELINE.md can anchor on it.
+    pinned_q = {}
+    for n, r in runs["b"].items():
+        med_n = statistics.median(r)
+        pinned_q[n] = {
+            "median": round(med_n, 4),
+            "spread": round((max(r) - min(r)) / med_n, 4) if med_n else 0.0,
+            "runs": [round(x, 4) for x in sorted(r, reverse=True)],
+        }
+    spreads = sorted(v["spread"] for v in pinned_q.values())
+    pinned = {
+        "metric": "pinned_suite_median_per_query_sum",
+        "value": round(sum(v["median"] for v in pinned_q.values()), 4),
+        "unit": "sec",
+        "sf": 0.1,
+        "repeats": args.repeats * args.windows,
+        "protocol": (
+            "interleaved A/B windows (tools/bench_ab_pin.py): runs pooled "
+            "across this tree's windows of the controlled experiment"
+        ),
+        "max_spread": spreads[-1] if spreads else 0.0,
+        "p90_spread": spreads[int(0.9 * (len(spreads) - 1))] if spreads else 0.0,
+        "queries": pinned_q,
+    }
+    pinned_path = REPO / "BENCH_PINNED_r13.json"
+    pinned_path.write_text(json.dumps(pinned, indent=1) + "\n")
+    print(f"-> {args.out} + {pinned_path.name}", file=sys.stderr)
     print(json.dumps({k: v for k, v in report.items()
                       if k not in ("per_query",)}, indent=1))
     return 0
