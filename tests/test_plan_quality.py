@@ -519,3 +519,18 @@ def test_asof_tolerance_single_exchange_no_extra_shuffle(spark):
     assert tol.count("Exchange") == plain.count("Exchange") == 1
     assert tol.count("Window") == plain.count("Window") == 1
     assert "Join" not in tol
+
+
+def test_asof_salted_fact_stream_exchanges_once(spark):
+    """The hot-key salted as-of (r13): the unioned fact stream pays ONE
+    hash exchange (the (key, bucket) window); everything else is
+    aggregate-sized — bucket-final max_by, the occupied-bucket grid,
+    and the carry's per-key window — so the plan adds no second
+    fact-sized shuffle and no product. Pinned loosely (≤4 hash
+    exchanges, no single-partition exchange) so AQE/broadcast freedom
+    doesn't flake the test."""
+    plan = plan_of(spark, "join_asof_salted_events")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
