@@ -36,55 +36,87 @@ def asof_join(
     payload_cols: list[str],
     strict: bool = False,
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: all left columns + the latest right ``payload_cols``
-    with ``right_ts <= left_ts`` (or ``<`` when ``strict``) per key.
+    """Left as-of join: all left columns + one right row's
+    ``payload_cols`` per key, selected by ``direction`` — the full
+    pandas ``merge_asof`` contract:
 
-    Left rows with no prior right row keep NULL payloads (left-outer
-    semantics, matching ``ASOF LEFT JOIN``). If several right rows share a
-    key's greatest qualifying timestamp, the window order among them is
-    unspecified — give the right side unique (key, ts) pairs (true for
-    event streams with point timestamps) or pre-dedup with
-    ``dedup_latest``.
+    - ``'backward'`` (default): the latest right row with ``right_ts <=
+      left_ts`` (``<`` when ``strict``) — the market-data / feature
+      lookup.
+    - ``'forward'`` (r13): the earliest right row with ``right_ts >=
+      left_ts`` (``>`` when ``strict``) — "next event at or after",
+      the follow-up/label join.
+    - ``'nearest'`` (r13): whichever of the two is closer in time;
+      exact backward ties win (pandas' rule). ``strict`` is not
+      supported for nearest (``allow_exact_matches=False`` has no
+      single-ordering formulation in the union+window plan).
 
-    ``tolerance_s`` (r12) is the STALENESS BOUND — the feature-store /
-    pandas ``merge_asof(tolerance=...)`` contract: when the latest prior
-    right row is older than ``tolerance_s`` seconds (timestamp ts
-    columns) or ``tolerance_s`` ts-units (numeric ts columns), the
-    payload is nulled — the row survives, the stale feature does not.
-    Zero extra shuffles: the matched right timestamp rides inside the
+    Left rows with no qualifying right row keep NULL payloads
+    (left-outer semantics, matching ``ASOF LEFT JOIN``). If several
+    right rows share a key's best qualifying timestamp, the window
+    order among them is unspecified — give the right side unique
+    (key, ts) pairs (true for event streams with point timestamps) or
+    pre-dedup with ``dedup_latest``.
+
+    ``tolerance_s`` (r12) is the STALENESS BOUND — pandas
+    ``merge_asof(tolerance=...)``: when the matched row is further than
+    ``tolerance_s`` seconds (timestamp ts columns) or ``tolerance_s``
+    ts-units (numeric ts columns) in the match direction, the payload
+    is nulled — the row survives, the stale feature does not. Zero
+    extra shuffles: the matched right timestamp rides inside the
     payload struct the window already carries, and the bound is one
-    map-side comparison after the fill."""
+    map-side comparison after the fill.
+
+    Cost in every direction: ONE shuffle on the key, one per-partition
+    sort, zero row blow-up — ``nearest`` adds a second frame over the
+    SAME window partitioning (no second exchange, plan-pinned by
+    ``test_asof_directions_single_exchange``)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    if direction == "nearest" and strict:
+        raise ValueError("strict/exclusive matching is not supported "
+                         "for direction='nearest'")
     lcols = left.columns
-    # side marker: right rows must sort before left rows at the same ts for
-    # inclusive (<=) semantics, after left rows for strict (<)
-    right_rank = 0 if not strict else 1
+    # side marker: for inclusive (<=) backward semantics right rows must
+    # sort BEFORE left rows at the same ts (after, when strict); forward
+    # mirrors it. nearest uses the backward convention — an equal-ts
+    # right row lands in the backward frame with distance 0 and wins
+    # either way (pandas' exact-match rule).
+    if direction == "forward":
+        right_rank = 1 if not strict else 0
+    else:
+        right_rank = 0 if not strict else 1
     left_rank = 1 - right_rank
+    need_rts = tolerance_s is not None or direction == "nearest"
 
     # The payloads travel as ONE struct so every output column comes from the
     # SAME right row: filling columns independently with last(ignorenulls)
-    # would mix rows whenever the latest right row holds a NULL in one payload
-    # column (DuckDB ASOF JOIN carries the whole row, nulls included). The
-    # struct itself is non-null on every right row, so last(ignorenulls) picks
-    # exactly the latest qualifying right row — null fields and all.
+    # would mix rows whenever the matched right row holds a NULL in one
+    # payload column (DuckDB ASOF JOIN carries the whole row, nulls
+    # included). The struct itself is non-null on every right row, so the
+    # ignorenulls fill picks exactly the qualifying right row — null
+    # fields and all.
     payload_fields = [right.schema[c] for c in payload_cols]
-    if tolerance_s is not None:
+    if need_rts:
         if "__asof_rts" in payload_cols:
             # the matched-right-ts slot would collide with a payload
             # column of the same name → duplicate struct fields and an
             # ambiguous `_asof.__asof_rts` extraction
             raise ValueError(
                 "payload column '__asof_rts' collides with the internal "
-                "matched-timestamp slot used by tolerance_s; rename it"
+                "matched-timestamp slot; rename it"
             )
         # the matched right ts travels with its row's payload so the
-        # staleness bound compares against the ROW the window picked
+        # staleness bound / nearest arbitration compares against the ROW
+        # the window picked
         payload_fields.append(
             T.StructField("__asof_rts", right.schema[right_ts].dataType)
         )
     payload_t = T.StructType(payload_fields)
     r_payload = [F.col(c) for c in payload_cols]
-    if tolerance_s is not None:
+    if need_rts:
         r_payload.append(F.col(right_ts).alias("__asof_rts"))
     l_tagged = left.select(
         F.col(left_key).alias("_k"),
@@ -102,27 +134,57 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = Window.partitionBy("_k").orderBy(F.col("_ts"), F.col("_side"))
+    back_fill = F.last(F.col("_payload"), ignorenulls=True).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_asof"),
+    fwd_fill = F.first(F.col("_payload"), ignorenulls=True).over(
+        wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+
+    # the union coerces _ts to the common type, so compare in it:
+    # epoch microseconds for timestamps, plain arithmetic otherwise
+    is_temporal = isinstance(
+        unioned.schema["_ts"].dataType, (T.TimestampType, T.DateType)
+    )
+
+    def _num(col):
+        return F.unix_micros(col.cast("timestamp")) if is_temporal else col
+
+    if direction == "backward":
+        filled = unioned.select("*", back_fill.alias("_asof"))
+    elif direction == "forward":
+        filled = unioned.select("*", fwd_fill.alias("_asof"))
+    else:  # nearest: both frames over the SAME window partitioning —
+        # one exchange, one sort, per-row arbitration by distance
+        both = unioned.select(
+            "*", back_fill.alias("_b"), fwd_fill.alias("_f")
+        )
+        bd = _num(F.col("_ts")) - _num(F.col("_b.__asof_rts"))
+        fd = _num(F.col("_f.__asof_rts")) - _num(F.col("_ts"))
+        filled = both.select(
+            "*",
+            F.when(F.col("_b").isNull(), F.col("_f"))
+            .when(F.col("_f").isNull(), F.col("_b"))
+            .when(fd < bd, F.col("_f"))
+            .otherwise(F.col("_b"))  # ties -> backward (pandas rule)
+            .alias("_asof"),
+        ).drop("_b", "_f")
     out = filled.filter(F.col("_side") == left_rank)
     if tolerance_s is not None:
         lt, rt = F.col("_ts"), F.col("_asof.__asof_rts")
-        # the union coerces _ts to the common type, so compare in it:
-        # epoch microseconds for timestamps, plain subtraction otherwise
-        if isinstance(out.schema["_ts"].dataType, (T.TimestampType, T.DateType)):
-            fresh = (
-                F.unix_micros(lt.cast("timestamp"))
-                - F.unix_micros(rt.cast("timestamp"))
-            ) <= F.lit(int(tolerance_s * 1_000_000))
+        tol = (
+            F.lit(int(tolerance_s * 1_000_000))
+            if is_temporal
+            else F.lit(tolerance_s)
+        )
+        if direction == "backward":
+            dist = _num(lt) - _num(rt)
+        elif direction == "forward":
+            dist = _num(rt) - _num(lt)
         else:
-            fresh = (lt - rt) <= F.lit(tolerance_s)
+            dist = F.abs(_num(rt) - _num(lt))
+        fresh = dist <= tol
         return out.select(
             *[F.col(c) for c in lcols],
             *[

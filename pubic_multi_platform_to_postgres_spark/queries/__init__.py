@@ -111,6 +111,9 @@ REGISTRY.update(_reseated12)
 _R13_SEAT_AT = 116
 _R13_ADDED = (
     "join_asof_salted_events",
+    # second r13 batch: the forward / nearest as-of directions
+    "join_asof_forward_events",
+    "join_asof_nearest_events",
 )
 _names13 = [n for n in REGISTRY if n not in _R13_ADDED]
 _order13 = (

@@ -935,6 +935,114 @@ def join_asof_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward_events",
+    oracle="""
+    SELECT o.o_orderkey,
+           e.event_type AS next_event_type,
+           CAST(e.value AS DOUBLE) AS next_event_value
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id
+     AND -epoch_ns(e.ts) <= -epoch_ns(o.o_orderdate)
+    """,
+)
+def join_asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (r13): per order, the customer's EARLIEST
+    event at or after the order date — the follow-up / label join
+    (``merge_asof(direction='forward')``). Same union+window plan as
+    the backward row with the frame mirrored (``first(ignorenulls)``
+    over current→following), so the cost is still ONE key shuffle.
+    Oracle: DuckDB has no forward ASOF, but forward-on-ts ≡
+    backward-on-negated-ts — the native ASOF over ``-epoch_ns`` is an
+    independent engine computing the identical relation."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    joined = asof_join(
+        orders, events,
+        left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        payload_cols=["event_type", "value"],
+        direction="forward",
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("event_type").alias("next_event_type"),
+        F.col("value").alias("next_event_value"),
+    )
+
+
+@query(
+    "join_asof_nearest_events",
+    oracle="""
+    WITH b AS (
+        SELECT o.o_orderkey, e.ts AS bts, e.event_type AS btag,
+               CAST(e.value AS DOUBLE) AS bval
+        FROM orders o
+        ASOF LEFT JOIN events e
+          ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    ),
+    f AS (
+        SELECT o.o_orderkey, e.ts AS fts, e.event_type AS ftag,
+               CAST(e.value AS DOUBLE) AS fval
+        FROM orders o
+        ASOF LEFT JOIN events e
+          ON o.o_custkey = e.user_id
+         AND -epoch_ns(e.ts) <= -epoch_ns(o.o_orderdate)
+    )
+    SELECT o.o_orderkey,
+           CASE WHEN bts IS NULL THEN ftag
+                WHEN fts IS NULL THEN btag
+                WHEN epoch_ns(fts) - epoch_ns(o.o_orderdate)
+                     < epoch_ns(o.o_orderdate) - epoch_ns(bts) THEN ftag
+                ELSE btag END AS nearest_event_type,
+           CASE WHEN bts IS NULL THEN fval
+                WHEN fts IS NULL THEN bval
+                WHEN epoch_ns(fts) - epoch_ns(o.o_orderdate)
+                     < epoch_ns(o.o_orderdate) - epoch_ns(bts) THEN fval
+                ELSE bval END AS nearest_event_value
+    FROM orders o
+    JOIN b USING (o_orderkey)
+    JOIN f USING (o_orderkey)
+    """,
+)
+def join_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (r13): per order, the customer's event
+    closest in time in either direction, exact/backward ties winning
+    (``merge_asof(direction='nearest')`` — also property-pinned against
+    pandas itself in ``test_asof_directions_match_pandas_merge_asof``).
+    Both frames ride the SAME window partitioning, so the plan still
+    pays ONE key shuffle (``test_asof_directions_single_exchange``).
+    Oracle: the backward native ASOF and the negated-ts forward ASOF
+    arbitrated by the same distance rule in SQL."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    joined = asof_join(
+        orders, events,
+        left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        payload_cols=["event_type", "value"],
+        direction="nearest",
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("event_type").alias("nearest_event_type"),
+        F.col("value").alias("nearest_event_value"),
+    )
+
+
+@query(
     "join_range_followup_events",
     oracle="""
     SELECT a.event_id AS id_a,

@@ -534,3 +534,17 @@ def test_asof_salted_fact_stream_exchanges_once(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_asof_directions_single_exchange(spark):
+    """Forward mirrors the backward frame (one exchange, one window);
+    nearest computes BOTH frames over the same window partitioning —
+    still exactly one exchange, no join, no second sort of the fact
+    stream."""
+    fwd = plan_of(spark, "join_asof_forward_events")
+    assert fwd.count("Exchange") == 1 and fwd.count("Window") == 1
+    assert "Join" not in fwd
+    near = plan_of(spark, "join_asof_nearest_events")
+    assert near.count("Exchange") == 1
+    assert "Join" not in near
+    assert near.count("Sort") <= 2  # one physical sort feeding the window(s)

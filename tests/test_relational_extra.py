@@ -1128,3 +1128,60 @@ def test_asof_salted_empty_right_and_collision_guard(spark):
         asof_join_salted(
             left, bad, "k", "k", "lts", "rts", ["__asof_rts"], n_buckets=8
         )
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """The direction surface (r13) is pinned against pandas
+    ``merge_asof`` itself — backward/forward/nearest, each with and
+    without a tolerance, on keys with hot/missing/boundary shapes."""
+    import pandas as pd
+
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    left_pd = pd.DataFrame({
+        "k": [0] * 40 + [1 + i % 4 for i in range(20)] + [9],
+        "lts": [3 * i for i in range(40)] + [17 * i for i in range(20)] + [50],
+    })
+    right_pd = pd.DataFrame({
+        "k": [0] * 30 + [1 + i % 3 for i in range(15)],
+        "rts": [4 * i + 1 for i in range(30)] + [23 * i + 2 for i in range(15)],
+        "tag": [f"t{i}" for i in range(45)],
+    })
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 7):
+            got = sorted(
+                tuple(r)
+                for r in asof_join(
+                    left, right, "k", "k", "lts", "rts", ["tag"],
+                    tolerance_s=tol, direction=direction,
+                ).select("k", "lts", "tag").collect()
+            )
+            exp_pd = pd.merge_asof(
+                left_pd.sort_values("lts", kind="stable"),
+                right_pd.sort_values("rts", kind="stable"),
+                left_on="lts", right_on="rts", by="k",
+                direction=direction,
+                tolerance=tol,
+            )
+            exp = sorted(
+                (int(r.k), int(r.lts),
+                 None if pd.isna(r.tag) else r.tag)
+                for r in exp_pd.itertuples()
+            )
+            assert got == exp, (direction, tol)
+
+
+def test_asof_nearest_rejects_strict(spark):
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, lts int")
+    right = spark.createDataFrame([(1, 5, "x")], "k int, rts int, tag string")
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(left, right, "k", "k", "lts", "rts", ["tag"],
+                  strict=True, direction="nearest")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "k", "k", "lts", "rts", ["tag"],
+                  direction="sideways")

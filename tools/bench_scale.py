@@ -382,6 +382,14 @@ EXEMPT = {
                                   "(join_asof_latest_event family) plus one "
                                   "map-side staleness comparison — no new "
                                   "scale face",
+    "join_asof_forward_events": "the measured asof union+window shape with "
+                                "the frame mirrored (first-over-following "
+                                "instead of last-over-preceding) — same one "
+                                "key shuffle, no new scale face",
+    "join_asof_nearest_events": "both asof frames over the SAME window "
+                                "partitioning (one exchange, plan-pinned) "
+                                "plus a map-side distance arbitration — no "
+                                "new scale face beyond the measured family",
     # geo_grid_radius_join: measured via the DENSITY-PRESERVING section
     # (measure_geo_density / report["geo_density"]) — the r11 exemption
     # argument made executable (VERDICT r11 Next #5); see emit_census.
