@@ -83,8 +83,47 @@ class StatsRegistry:
     landing pipeline publishes a histogram it maintains (see
     :class:`CloneHistogram`) so the planner never probes at all."""
 
-    def __init__(self) -> None:
+    def __init__(self, path: str | None = None) -> None:
         self._entries: dict[tuple[str, str], tuple[_Fingerprint, tuple[int, int]]] = {}
+        self._path = path
+        if path:
+            self._load()
+
+    def _load(self) -> None:
+        """Best-effort restore from the JSON store: a missing or corrupt
+        file means an empty registry (the planner falls back to the live
+        probe — a statistic can always be recomputed)."""
+        import json
+
+        try:
+            raw = json.loads(open(self._path).read())
+            for row in raw.get("entries", []):
+                fp = tuple(tuple(e) for e in row["fingerprint"])
+                self._entries[(row["source_path"], row["text_col"])] = (
+                    fp, (int(row["n_rows"]), int(row["clique_pairs"]))
+                )
+        except (OSError, ValueError, KeyError, TypeError):
+            self._entries = {}
+
+    def _save(self) -> None:
+        """Crash-safe write (tmp + rename), same discipline as the
+        bookmark store: a torn write must never corrupt the statistic a
+        later planner reads."""
+        import json
+        import os
+
+        if not self._path:
+            return
+        payload = {"entries": [
+            {"source_path": k[0], "text_col": k[1],
+             "fingerprint": [list(e) for e in fp],
+             "n_rows": s[0], "clique_pairs": s[1]}
+            for k, (fp, s) in sorted(self._entries.items())
+        ]}
+        tmp = f"{self._path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, self._path)
 
     def clone_summary(
         self, df: DataFrame, text_col: str, source_path: str | None = None
@@ -101,6 +140,7 @@ class StatsRegistry:
         summary = clone_mass(df, text_col)
         if fp is not None:
             self._entries[key] = (fp, summary)
+            self._save()
         return summary
 
     def put(
@@ -113,21 +153,27 @@ class StatsRegistry:
         fp = fingerprint if fingerprint is not None else source_fingerprint(source_path)
         if fp is not None:
             self._entries[(str(source_path), text_col)] = (fp, summary)
+            self._save()
 
     def invalidate(self, source_path: str, text_col: str | None = None) -> None:
         if text_col is not None:
             self._entries.pop((str(source_path), text_col), None)
-            return
-        for k in [k for k in self._entries if k[0] == str(source_path)]:
-            self._entries.pop(k, None)
+        else:
+            for k in [k for k in self._entries if k[0] == str(source_path)]:
+                self._entries.pop(k, None)
+        self._save()
 
     def __len__(self) -> int:
         return len(self._entries)
 
 
-# The engine-wide registry the ``_auto`` gate rows consult. Session-scoped
-# process state, like the bookmark store: a driver restart re-probes once.
-CORPUS_STATS = StatsRegistry()
+# The engine-wide registry the ``_auto`` gate rows consult. In-memory by
+# default (a driver restart re-probes once); set SPARK_GRAFT_STATS_PATH
+# to a JSON file to make the statistic survive sessions — the catalog
+# semantics the docstring above describes (fingerprints guard staleness
+# either way, so persistence can only save probes, never change plans
+# on fresh data).
+CORPUS_STATS = StatsRegistry(path=os.environ.get("SPARK_GRAFT_STATS_PATH"))
 
 
 class CloneHistogram:

@@ -2577,3 +2577,53 @@ def test_url_dedup_window_and_aggregate_faces_agree(spark, tmp_path):
     assert hot[0][2] == 20 and hot[0][3] == 20
     keeper = min(i for i in range(0, 200, 10) if (i % 3) * 10 + 50 == 70)
     assert hot[0][1] == keeper
+
+
+def test_stats_registry_persists_across_instances(spark, tmp_path, monkeypatch):
+    """The registry is a CATALOG statistic: with a store path, a probe
+    recorded by one instance (session) is read by the next without
+    rescanning; a corrupt store degrades to an empty registry (the
+    probe path), never an error; invalidation persists too."""
+    from pubic_multi_platform_to_postgres_spark.operators import dedup
+    from pubic_multi_platform_to_postgres_spark.plans import stats
+
+    texts = ["pp qq rr"] * 4 + [f"x{i} y{i}" for i in range(4)]
+    _write_docs_parquet(tmp_path, texts)
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    store = tmp_path / "stats.json"
+
+    calls = {"n": 0}
+    real = dedup.clone_mass
+
+    def counting(df, col):
+        calls["n"] += 1
+        return real(df, col)
+
+    monkeypatch.setattr(stats, "clone_mass", counting)
+
+    r1 = stats.StatsRegistry(path=str(store))
+    assert r1.clone_summary(
+        docs, "text", source_path=str(tmp_path / "documents.parquet")
+    ) == (8, 6)
+    assert calls["n"] == 1 and store.exists()
+
+    r2 = stats.StatsRegistry(path=str(store))  # fresh "session"
+    assert r2.clone_summary(
+        None, "text", source_path=str(tmp_path / "documents.parquet")
+    ) == (8, 6)
+    assert calls["n"] == 1  # read from the store, no probe
+
+    r2.invalidate(str(tmp_path / "documents.parquet"))
+    r3 = stats.StatsRegistry(path=str(store))
+    assert len(r3) == 0  # invalidation persisted
+
+    store.write_text("{not json")
+    r4 = stats.StatsRegistry(path=str(store))  # corrupt -> empty, no raise
+    assert len(r4) == 0
+    assert r4.clone_summary(
+        docs, "text", source_path=str(tmp_path / "documents.parquet")
+    ) == (8, 6)
+    assert calls["n"] == 2  # re-probed and re-recorded over the bad file
+    assert stats.StatsRegistry(path=str(store)).clone_summary(
+        None, "text", source_path=str(tmp_path / "documents.parquet")
+    ) == (8, 6)
