@@ -104,6 +104,28 @@ def main() -> int:
                             collapse_exact=collapse).count()
     run(spark, "clone-light corpus", corpus(spark, clone_frac=0.0))
     run(spark, "crawl-head corpus (40% one page)", corpus(spark, clone_frac=0.4))
+
+    # r13: the statistic as CATALOG state — a landing pipeline folds
+    # each ingest batch into a CloneHistogram (batch-sized aggregates,
+    # the corpus is never rescanned) and publishes the summary; the
+    # planner then reads it for free instead of probing.
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.plans.stats import (
+        CloneHistogram,
+        StatsRegistry,
+    )
+
+    docs = corpus(spark, clone_frac=0.4)
+    hist, reg = CloneHistogram(), StatsRegistry()
+    for b in range(4):  # four daily deliveries
+        hist.merge_batch(docs.filter(F.col("doc_id") % 4 == b), "text")
+    n, cp = hist.publish(reg, "demo://crawl", "text",
+                         fingerprint=(("demo", 0, 0),))
+    assert (n, cp) == clone_mass(docs, "text")
+    print(f"\n== landing path: 4 batches folded into the histogram -> "
+          f"published ({n} docs, {cp:,} clique pairs); planner reads it "
+          f"free -> {collapse_strategy(n, cp).upper()}")
     print("\ndemo complete: one job, two corpora, two plans, one answer")
     return 0
 
