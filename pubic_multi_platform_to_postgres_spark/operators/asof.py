@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _check_reserved(lcols: list[str], payload_cols: list[str]) -> None:
+    """Every internal column this module adds (tag/union/window/carry
+    slots and the matched-timestamp slot ``__asof_rts``) lives under the
+    ``__asof`` prefix; a same-named user column would turn into a
+    duplicate/ambiguous reference mid-plan (ADVICE r13). Left columns
+    and payload columns are the only user names that survive into the
+    tagged frame, so they are the ones validated."""
+    reserved = [c for c in (*lcols, *payload_cols) if c.startswith("__asof")]
+    if reserved:
+        raise ValueError(
+            f"column(s) {reserved} collide with the reserved '__asof' "
+            "internal column prefix; rename them before the as-of join"
+        )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -79,6 +94,7 @@ def asof_join(
         raise ValueError("strict/exclusive matching is not supported "
                          "for direction='nearest'")
     lcols = left.columns
+    _check_reserved(lcols, payload_cols)
     # side marker: for inclusive (<=) backward semantics right rows must
     # sort BEFORE left rows at the same ts (after, when strict); forward
     # mirrors it. nearest uses the backward convention — an equal-ts
@@ -100,14 +116,6 @@ def asof_join(
     # fields and all.
     payload_fields = [right.schema[c] for c in payload_cols]
     if need_rts:
-        if "__asof_rts" in payload_cols:
-            # the matched-right-ts slot would collide with a payload
-            # column of the same name → duplicate struct fields and an
-            # ambiguous `_asof.__asof_rts` extraction
-            raise ValueError(
-                "payload column '__asof_rts' collides with the internal "
-                "matched-timestamp slot; rename it"
-            )
         # the matched right ts travels with its row's payload so the
         # staleness bound / nearest arbitration compares against the ROW
         # the window picked
@@ -119,60 +127,64 @@ def asof_join(
     if need_rts:
         r_payload.append(F.col(right_ts).alias("__asof_rts"))
     l_tagged = left.select(
-        F.col(left_key).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(left_rank).alias("_side"),
+        F.col(left_key).alias("__asof_k"),
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(left_rank).alias("__asof_side"),
         *[F.col(c) for c in lcols],
-        F.lit(None).cast(payload_t).alias("_payload"),
+        F.lit(None).cast(payload_t).alias("__asof_payload"),
     )
     r_tagged = right.select(
-        F.col(right_key).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(right_rank).alias("_side"),
+        F.col(right_key).alias("__asof_k"),
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(right_rank).alias("__asof_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.struct(*r_payload).alias("_payload"),
+        F.struct(*r_payload).alias("__asof_payload"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    wb = Window.partitionBy("_k").orderBy(F.col("_ts"), F.col("_side"))
-    back_fill = F.last(F.col("_payload"), ignorenulls=True).over(
+    wb = Window.partitionBy("__asof_k").orderBy(F.col("__asof_ts"), F.col("__asof_side"))
+    back_fill = F.last(F.col("__asof_payload"), ignorenulls=True).over(
         wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd_fill = F.first(F.col("_payload"), ignorenulls=True).over(
+    fwd_fill = F.first(F.col("__asof_payload"), ignorenulls=True).over(
         wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
 
-    # the union coerces _ts to the common type, so compare in it:
-    # epoch microseconds for timestamps, plain arithmetic otherwise
+    # the union coerces the ts column to the common type, so compare in
+    # it: epoch microseconds for temporal types (incl. TimestampNTZ —
+    # ADVICE r13: with both ts columns NTZ the numeric branch would
+    # compare an interval against a double literal), plain arithmetic
+    # otherwise
     is_temporal = isinstance(
-        unioned.schema["_ts"].dataType, (T.TimestampType, T.DateType)
+        unioned.schema["__asof_ts"].dataType,
+        (T.TimestampType, T.DateType, T.TimestampNTZType),
     )
 
     def _num(col):
         return F.unix_micros(col.cast("timestamp")) if is_temporal else col
 
     if direction == "backward":
-        filled = unioned.select("*", back_fill.alias("_asof"))
+        filled = unioned.select("*", back_fill.alias("__asof_m"))
     elif direction == "forward":
-        filled = unioned.select("*", fwd_fill.alias("_asof"))
+        filled = unioned.select("*", fwd_fill.alias("__asof_m"))
     else:  # nearest: both frames over the SAME window partitioning —
         # one exchange, one sort, per-row arbitration by distance
         both = unioned.select(
-            "*", back_fill.alias("_b"), fwd_fill.alias("_f")
+            "*", back_fill.alias("__asof_bwd"), fwd_fill.alias("__asof_fwd")
         )
-        bd = _num(F.col("_ts")) - _num(F.col("_b.__asof_rts"))
-        fd = _num(F.col("_f.__asof_rts")) - _num(F.col("_ts"))
+        bd = _num(F.col("__asof_ts")) - _num(F.col("__asof_bwd.__asof_rts"))
+        fd = _num(F.col("__asof_fwd.__asof_rts")) - _num(F.col("__asof_ts"))
         filled = both.select(
             "*",
-            F.when(F.col("_b").isNull(), F.col("_f"))
-            .when(F.col("_f").isNull(), F.col("_b"))
-            .when(fd < bd, F.col("_f"))
-            .otherwise(F.col("_b"))  # ties -> backward (pandas rule)
-            .alias("_asof"),
-        ).drop("_b", "_f")
-    out = filled.filter(F.col("_side") == left_rank)
+            F.when(F.col("__asof_bwd").isNull(), F.col("__asof_fwd"))
+            .when(F.col("__asof_fwd").isNull(), F.col("__asof_bwd"))
+            .when(fd < bd, F.col("__asof_fwd"))
+            .otherwise(F.col("__asof_bwd"))  # ties -> backward (pandas rule)
+            .alias("__asof_m"),
+        ).drop("__asof_bwd", "__asof_fwd")
+    out = filled.filter(F.col("__asof_side") == left_rank)
     if tolerance_s is not None:
-        lt, rt = F.col("_ts"), F.col("_asof.__asof_rts")
+        lt, rt = F.col("__asof_ts"), F.col("__asof_m.__asof_rts")
         tol = (
             F.lit(int(tolerance_s * 1_000_000))
             if is_temporal
@@ -188,13 +200,13 @@ def asof_join(
         return out.select(
             *[F.col(c) for c in lcols],
             *[
-                F.when(fresh, F.col(f"_asof.{c}")).alias(c)
+                F.when(fresh, F.col(f"__asof_m.{c}")).alias(c)
                 for c in payload_cols
             ],
         )
     return out.select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+        *[F.col(f"__asof_m.{c}").alias(c) for c in payload_cols],
     )
 
 
@@ -269,14 +281,10 @@ def asof_join_salted(
         return F.least(F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1))
 
     lcols = left.columns
+    _check_reserved(lcols, payload_cols)
     right_rank = 0 if not strict else 1
     left_rank = 1 - right_rank
     payload_fields = [right.schema[c] for c in payload_cols]
-    if "__asof_rts" in payload_cols:
-        raise ValueError(
-            "payload column '__asof_rts' collides with the internal "
-            "matched-timestamp slot; rename it"
-        )
     # the matched right ts always rides along: the tolerance bound needs
     # it, and the carry-in needs no extra column either way
     payload_fields.append(T.StructField("__asof_rts", right.schema[right_ts].dataType))
@@ -285,31 +293,31 @@ def asof_join_salted(
         F.col(right_ts).alias("__asof_rts")
     ]
     l_tagged = left.select(
-        F.col(left_key).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        _bucket(F.col(left_ts)).alias("_b"),
-        F.lit(left_rank).alias("_side"),
+        F.col(left_key).alias("__asof_k"),
+        F.col(left_ts).alias("__asof_ts"),
+        _bucket(F.col(left_ts)).alias("__asof_bkt"),
+        F.lit(left_rank).alias("__asof_side"),
         *[F.col(c) for c in lcols],
-        F.lit(None).cast(payload_t).alias("_payload"),
+        F.lit(None).cast(payload_t).alias("__asof_payload"),
     )
     r_tagged = right.select(
-        F.col(right_key).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        _bucket(F.col(right_ts)).alias("_b"),
-        F.lit(right_rank).alias("_side"),
+        F.col(right_key).alias("__asof_k"),
+        F.col(right_ts).alias("__asof_ts"),
+        _bucket(F.col(right_ts)).alias("__asof_bkt"),
+        F.lit(right_rank).alias("__asof_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.struct(*r_payload).alias("_payload"),
+        F.struct(*r_payload).alias("__asof_payload"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
     w = (
-        Window.partitionBy("_k", "_b")
-        .orderBy(F.col("_ts"), F.col("_side"))
+        Window.partitionBy("__asof_k", "__asof_bkt")
+        .orderBy(F.col("__asof_ts"), F.col("__asof_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         "*",
-        F.last(F.col("_payload"), ignorenulls=True).over(w).alias("_in_bucket"),
+        F.last(F.col("__asof_payload"), ignorenulls=True).over(w).alias("__asof_in_bucket"),
     )
 
     # bucket-final right payloads → running carry shifted one bucket.
@@ -319,35 +327,35 @@ def asof_join_salted(
     # map-side-combined distinct, (|keys|·n_buckets)-bounded), not just
     # the buckets holding right rows.
     finals = (
-        r_tagged.groupBy("_k", "_b")
-        .agg(F.max_by(F.col("_payload"), F.col("_ts")).alias("_final"))
+        r_tagged.groupBy("__asof_k", "__asof_bkt")
+        .agg(F.max_by(F.col("__asof_payload"), F.col("__asof_ts")).alias("__asof_final"))
     )
-    buckets = unioned.select("_k", "_b").distinct()
+    buckets = unioned.select("__asof_k", "__asof_bkt").distinct()
     wc = (
-        Window.partitionBy("_k")
-        .orderBy("_b")
+        Window.partitionBy("__asof_k")
+        .orderBy("__asof_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = (
-        buckets.join(finals, ["_k", "_b"], "left")
+        buckets.join(finals, ["__asof_k", "__asof_bkt"], "left")
         .select(
-            "_k",
-            "_b",
-            F.last(F.col("_final"), ignorenulls=True).over(wc).alias("_carry"),
+            "__asof_k",
+            "__asof_bkt",
+            F.last(F.col("__asof_final"), ignorenulls=True).over(wc).alias("__asof_carry"),
         )
-        .filter(F.col("_carry").isNotNull())
+        .filter(F.col("__asof_carry").isNotNull())
     )
 
     out = (
-        filled.filter(F.col("_side") == left_rank)
-        .join(carry, ["_k", "_b"], "left")
+        filled.filter(F.col("__asof_side") == left_rank)
+        .join(carry, ["__asof_k", "__asof_bkt"], "left")
         .select(
             "*",
-            F.coalesce(F.col("_in_bucket"), F.col("_carry")).alias("_asof"),
+            F.coalesce(F.col("__asof_in_bucket"), F.col("__asof_carry")).alias("__asof_m"),
         )
     )
     if tolerance_s is not None:
-        lt, rt = F.col("_ts"), F.col("_asof.__asof_rts")
+        lt, rt = F.col("__asof_ts"), F.col("__asof_m.__asof_rts")
         if is_temporal:
             fresh = (
                 F.unix_micros(lt.cast("timestamp"))
@@ -358,13 +366,13 @@ def asof_join_salted(
         return out.select(
             *[F.col(c) for c in lcols],
             *[
-                F.when(fresh, F.col(f"_asof.{c}")).alias(c)
+                F.when(fresh, F.col(f"__asof_m.{c}")).alias(c)
                 for c in payload_cols
             ],
         )
     return out.select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+        *[F.col(f"__asof_m.{c}").alias(c) for c in payload_cols],
     )
 
 

@@ -1130,6 +1130,79 @@ def test_asof_salted_empty_right_and_collision_guard(spark):
         )
 
 
+def test_asof_internal_names_cannot_collide_with_user_columns(spark):
+    """ADVICE r13: the nearest/salted paths used temp columns (_b, _f,
+    _in_bucket, _carry) a same-named LEFT column would shadow into a
+    duplicate/ambiguous reference. Internals now live under a reserved
+    ``__asof`` prefix: formerly-colliding user names flow through every
+    direction untouched, and a ``__asof``-prefixed user column is
+    rejected up front on both entry points."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "x", 7, 8, 9), (1, 25, "y", 7, 8, 9), (2, 5, "z", 7, 8, 9)],
+        "k int, lts int, _b string, _f int, _in_bucket int, _carry int",
+    )
+    right = spark.createDataFrame(
+        [(1, 9, 1.0), (1, 20, 2.0)], "k int, rts int, v double"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = asof_join(
+            left, right, "k", "k", "lts", "rts", ["v"],
+            direction=direction, tolerance_s=100.0,
+        )
+        assert sorted(got.columns) == sorted([*left.columns, "v"])
+        assert got.count() == 3
+    salted = asof_join_salted(
+        left, right, "k", "k", "lts", "rts", ["v"], n_buckets=4
+    )
+    assert sorted(salted.columns) == sorted([*left.columns, "v"])
+    assert {(r["_b"], r["v"]) for r in salted.collect()} == {
+        ("x", 1.0), ("y", 2.0), ("z", None)
+    }
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="__asof"):
+        asof_join(
+            left.withColumn("__asof_m", F.lit(1)), right,
+            "k", "k", "lts", "rts", ["v"],
+        )
+
+
+def test_asof_timestamp_ntz_tolerance_and_nearest(spark):
+    """ADVICE r13: with BOTH ts columns TIMESTAMP_NTZ, ``asof_join``'s
+    temporal branch must engage (the numeric branch would compare a
+    timestamp-subtraction interval against a double literal). Pinned
+    for the two code paths that consume the comparison: the staleness
+    bound and the nearest arbitration."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_join
+
+    left = spark.sql(
+        "SELECT * FROM VALUES (1, TIMESTAMP_NTZ'2024-01-01 00:00:10'),"
+        " (1, TIMESTAMP_NTZ'2024-01-01 00:01:00') AS t(k, lts)"
+    )
+    right = spark.sql(
+        "SELECT * FROM VALUES (1, TIMESTAMP_NTZ'2024-01-01 00:00:00', 1.0),"
+        " (1, TIMESTAMP_NTZ'2024-01-01 00:00:55', 2.0) AS t(k, rts, v)"
+    )
+    tol = asof_join(
+        left, right, "k", "k", "lts", "rts", ["v"], tolerance_s=20.0
+    )
+    assert [float(r["v"]) for r in tol.orderBy("lts").collect()] == [1.0, 2.0]
+    # bound tighter than both gaps -> stale payloads null out
+    tight = asof_join(
+        left, right, "k", "k", "lts", "rts", ["v"], tolerance_s=3.0
+    )
+    assert [r["v"] for r in tight.collect()] == [None, None]
+    near = asof_join(
+        left, right, "k", "k", "lts", "rts", ["v"], direction="nearest"
+    )
+    assert [float(r["v"]) for r in near.orderBy("lts").collect()] == [1.0, 2.0]
+
+
 def test_asof_directions_match_pandas_merge_asof(spark):
     """The direction surface (r13) is pinned against pandas
     ``merge_asof`` itself — backward/forward/nearest, each with and
