@@ -2627,3 +2627,195 @@ def test_stats_registry_persists_across_instances(spark, tmp_path, monkeypatch):
     assert stats.StatsRegistry(path=str(store)).clone_summary(
         None, "text", source_path=str(tmp_path / "documents.parquet")
     ) == (8, 6)
+
+
+def test_source_fingerprint_recurses_into_partitioned_layouts(tmp_path):
+    """ADVICE r13: a partitioned parquet layout (lang=en/ subdirs) whose
+    leaf file is rewritten IN PLACE (same name, same size, new mtime)
+    must move the fingerprint — the top-level listing alone cannot see
+    it. Also pins: hidden/_SUCCESS markers are ignored at every depth,
+    and the composite (multi-path) fingerprint is None when any side is
+    unknown."""
+    import os
+
+    from pubic_multi_platform_to_postgres_spark.plans.stats import (
+        _fingerprint_of,
+        source_fingerprint,
+    )
+
+    root = tmp_path / "docs.parquet"
+    (root / "lang=en").mkdir(parents=True)
+    (root / "lang=de").mkdir()
+    (root / "lang=en" / "part-0.parquet").write_bytes(b"aaaa")
+    (root / "lang=de" / "part-0.parquet").write_bytes(b"bbbb")
+    (root / "_SUCCESS").write_bytes(b"")
+    (root / "lang=en" / ".part-0.crc").write_bytes(b"x")
+    fp1 = source_fingerprint(str(root))
+    assert fp1 is not None
+    names = [e[0] for e in fp1]
+    assert names == ["lang=de/part-0.parquet", "lang=en/part-0.parquet"]
+
+    # same-size in-place rewrite inside the subdir -> fingerprint moves
+    (root / "lang=en" / "part-0.parquet").write_bytes(b"cccc")
+    os.utime(root / "lang=en" / "part-0.parquet", ns=(1, 2))
+    fp2 = source_fingerprint(str(root))
+    assert fp2 != fp1
+
+    # markers are identity-neutral
+    (root / "lang=de" / "_SUCCESS").write_bytes(b"")
+    assert source_fingerprint(str(root)) == fp2
+
+    # composite: tuple of per-path prints; any unknown side -> None
+    other = tmp_path / "events.parquet"
+    other.write_bytes(b"ev")
+    comp = _fingerprint_of((str(root), str(other)))
+    assert comp == (fp2, source_fingerprint(str(other)))
+    assert _fingerprint_of((str(root), str(tmp_path / "missing"))) is None
+    assert _fingerprint_of(None) is None
+
+
+def test_stats_registry_named_statistics_cache_and_invalidate(
+    spark, tmp_path
+):
+    """The r14 generalization: key_share and selectivity are
+    fingerprint-keyed statistics like the clone summary — one probe per
+    (snapshot, statistic), distinct predicates cache independently, and
+    a snapshot rewrite re-probes. The composite-path form (two source
+    tables) caches too."""
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.plans import stats
+
+    texts = ["hot"] * 6 + ["c1", "c2", "c3", "c4"]
+    _write_docs_parquet(tmp_path, texts)
+    path = str(tmp_path / "documents.parquet")
+    docs = spark.read.parquet(path)
+    reg = stats.StatsRegistry()
+
+    calls = {"n": 0}
+    real = reg.scalar
+
+    def counting(source_path, stat, compute):
+        def probed():
+            calls["n"] += 1
+            return compute()
+        return real(source_path, stat, probed)
+
+    reg.scalar = counting
+
+    n, share = reg.key_share(docs, "text", source_path=path)
+    assert (n, share) == (10, 0.6)
+    assert reg.key_share(None, "text", source_path=path) == (10, 0.6)
+    assert calls["n"] == 1  # second read served from the cache
+
+    pred_en = F.col("lang") == "en"
+    assert reg.selectivity(docs, pred_en, source_path=path) == (10, 10)
+    assert reg.selectivity(docs, F.col("n_chars") > 2, source_path=path) \
+        == (10, 6)
+    assert calls["n"] == 3  # two DIFFERENT predicates -> two stats
+    assert reg.selectivity(None, pred_en, source_path=path) == (10, 10)
+    assert calls["n"] == 3
+
+    # composite-path statistic (as-of reads two tables)
+    comp = (path, path)
+    assert reg.key_share(docs, "lang", source_path=comp) == (10, 1.0)
+    assert reg.key_share(None, "lang", source_path=comp) == (10, 1.0)
+    assert calls["n"] == 4
+
+    # snapshot rewrite -> every statistic under that path re-probes
+    _write_docs_parquet(tmp_path, texts + ["hot"])
+    assert reg.key_share(spark.read.parquet(path), "text", source_path=path) \
+        == (11, 7 / 11)
+    assert calls["n"] == 5
+
+
+def test_stats_registry_store_roundtrips_named_stats(spark, tmp_path):
+    """Named statistics (and composite fingerprints) survive the JSON
+    store across instances, and a pre-r14 store row (text_col/n_rows/
+    clique_pairs shape) still loads as the clone statistic."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.plans import stats
+
+    texts = ["zz ww"] * 3 + ["q1", "q2"]
+    _write_docs_parquet(tmp_path, texts)
+    path = str(tmp_path / "documents.parquet")
+    docs = spark.read.parquet(path)
+    store = tmp_path / "stats.json"
+
+    r1 = stats.StatsRegistry(path=str(store))
+    assert r1.key_share(docs, "text", source_path=path) == (5, 0.6)
+    assert r1.selectivity(docs, F.col("n_chars") > 2, source_path=path) \
+        == (5, 3)
+    assert r1.key_share(docs, "lang", source_path=(path, path)) == (5, 1.0)
+
+    r2 = stats.StatsRegistry(path=str(store))  # fresh "session"
+    assert len(r2) == 3
+    assert r2.key_share(None, "text", source_path=path) == (5, 0.6)
+    assert r2.selectivity(None, F.col("n_chars") > 2, source_path=path) \
+        == (5, 3)
+    assert r2.key_share(None, "lang", source_path=(path, path)) == (5, 1.0)
+
+    # pre-r14 row shape loads as clone:<col>
+    legacy = {"entries": [{
+        "source_path": path, "text_col": "text",
+        "fingerprint": [list(e) for e in
+                        stats.source_fingerprint(path)],
+        "n_rows": 5, "clique_pairs": 3,
+    }]}
+    store.write_text(json.dumps(legacy))
+    r3 = stats.StatsRegistry(path=str(store))
+    assert r3.clone_summary(None, "text", source_path=path) == (5, 3)
+
+
+def test_clone_histogram_retraction_and_disk_roundtrip(spark, tmp_path):
+    """The upsert-landing contract (VERDICT r13 Next #1): weight=-1
+    retracts replaced rows exactly (redelivered-identical content nets
+    to zero; changed content moves mass between classes; zeroed classes
+    leave the table), and save/load round-trips the maintained table
+    through parquet — including the empty histogram."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import clone_mass
+    from pubic_multi_platform_to_postgres_spark.plans.stats import CloneHistogram
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    hist = CloneHistogram()
+    hist.merge_batch(docs([(0, "aa"), (1, "aa"), (2, "bb")]), "text")
+    assert hist.summary() == (3, 1)
+
+    # redelivery: the same row lands again -> fold batch, retract the
+    # replaced copy -> unchanged
+    hist.merge_batch(docs([(1, "aa")]), "text")
+    hist.merge_batch(docs([(1, "aa")]), "text", weight=-1)
+    assert hist.summary() == (3, 1)
+
+    # an upsert REPLACES doc 1's content: class 'aa' loses a member,
+    # class 'bb' gains one
+    hist.merge_batch(docs([(1, "bb")]), "text")
+    hist.merge_batch(docs([(1, "aa")]), "text", weight=-1)
+    live = docs([(0, "aa"), (1, "bb"), (2, "bb")])
+    assert hist.summary() == clone_mass(live, "text") == (3, 1)
+
+    # zeroed classes are dropped from the maintained table
+    hist.merge_batch(docs([(0, "cc")]), "text")
+    hist.merge_batch(docs([(0, "aa")]), "text", weight=-1)
+    assert hist.hist.count() == 2  # bb(x2), cc(x1); aa is gone
+
+    hist.save(str(tmp_path / "hist.parquet"))
+    back = CloneHistogram.load(spark, str(tmp_path / "hist.parquet"))
+    assert back.summary() == hist.summary() == (3, 1)
+    # second save swaps over the first (staging + rename)
+    back.merge_batch(docs([(7, "cc")]), "text")
+    back.save(str(tmp_path / "hist.parquet"))
+    assert CloneHistogram.load(
+        spark, str(tmp_path / "hist.parquet")
+    ).summary() == (4, 2)
+
+    empty = CloneHistogram()
+    empty.save(str(tmp_path / "empty.parquet"))
+    loaded = CloneHistogram.load(spark, str(tmp_path / "empty.parquet"))
+    assert loaded is not None and loaded.summary() == (0, 0)
+    assert CloneHistogram.load(spark, str(tmp_path / "nowhere")) is None
