@@ -89,6 +89,22 @@ class ParquetUpsertSink:
     within the batch the latest by ``order_col`` wins. Applying the same
     batch twice is a no-op (the property the reference's run-time
     bookmarks depend on).
+
+    ``clone_stat_col`` (VERDICT r13 Next #1) turns on maintained
+    clone statistics for that text column: every landing cycle folds the
+    rows that actually changed the corpus — the batch rows that WON the
+    PK dedup, minus the existing rows they replaced, so at-least-once
+    redelivery and content re-sends stay exact — into an on-disk
+    ``CloneHistogram`` beside the table, then publishes its
+    ``(n_rows, clique_pairs)`` summary to the stats registry under this
+    table's path. The dedup planner (``operators/dedup.py
+    collapse_strategy`` via ``StatsRegistry.clone_summary``) then reads
+    the statistic for free — ingest maintains it; no query ever pays the
+    full-corpus probe. Crash consistency: the histogram is a CACHE keyed
+    by the table fingerprint (meta sidecar written only after both swaps
+    land); any torn state is detected as stale on the next landing and
+    re-bootstrapped from the landed table — one recovery scan, never a
+    wrong statistic.
     """
 
     def __init__(
@@ -98,6 +114,8 @@ class ParquetUpsertSink:
         keys: list[str],
         order_col: str | None = None,
         partition_by: list[str] | None = None,
+        clone_stat_col: str | None = None,
+        stats_registry=None,
     ) -> None:
         if not keys:
             raise ValueError("upsert requires at least one key column")
@@ -106,6 +124,21 @@ class ParquetUpsertSink:
         self.keys = keys
         self.order_col = order_col
         self.partition_by = partition_by or []
+        self.clone_stat_col = clone_stat_col
+        if stats_registry is None and clone_stat_col is not None:
+            from pubic_multi_platform_to_postgres_spark.plans.stats import (
+                CORPUS_STATS,
+            )
+
+            stats_registry = CORPUS_STATS
+        self.stats_registry = stats_registry
+
+    @property
+    def _hist_path(self) -> Path:
+        # leading underscore: identity-neutral to source_fingerprint, so
+        # the statistic table never invalidates the statistic about the
+        # data table it sits beside
+        return self.path.with_name(f"_stats_{self.path.name}_clonehist")
 
     def read(self) -> DataFrame | None:
         if not self.path.exists():
@@ -149,8 +182,124 @@ class ParquetUpsertSink:
             merged = self._merge_evolved(batch, existing)
         else:
             merged = batch.withColumn("_batch_seq", F.lit(1))
-        result = dedup_latest(merged, self.keys, self.order_col).drop("_batch_seq")
+        tagged = dedup_latest(merged, self.keys, self.order_col)
+        result = tagged.drop("_batch_seq")
+        # Fold the landing's clone-statistic delta and WRITE it to the
+        # staging dir before the table swap (the fold reads the
+        # pre-swap files); activated only after the swap succeeds.
+        hist_staging = self._fold_clone_stats(tagged, existing)
         self._swap_in(result)
+        if hist_staging is not None:
+            self._publish_clone_stats(hist_staging)
+
+    def _fold_clone_stats(
+        self, tagged: DataFrame, existing: DataFrame | None
+    ) -> Path | None:
+        """Maintain the clone histogram for this landing: +1 the batch
+        rows that won the PK dedup (``_batch_seq == 1`` — folding the
+        raw batch would double-count rows the dedup dropped), −1 the
+        existing rows those winners replaced (semi-join on the keys —
+        the same rows the merge itself just rewrote). Net effect:
+        redelivered-identical rows cancel; re-sent content moves mass
+        between classes; genuinely new rows add mass. Returns the
+        staging dir holding the folded table (materialized NOW, while
+        the pre-swap files still exist), or None when maintenance is
+        off / the column is absent (schema evolution)."""
+        col = self.clone_stat_col
+        if col is None or col not in tagged.columns:
+            return None
+        from pubic_multi_platform_to_postgres_spark.plans.stats import (
+            CloneHistogram,
+            source_fingerprint,
+        )
+
+        hist = None
+        if existing is not None:
+            # a landed row predating this column (schema evolution) is a
+            # NULL-content row in the merged table — fold it as such so
+            # the maintained table matches what a live probe would see
+            if col not in existing.columns:
+                existing = existing.withColumn(
+                    col, F.lit(None).cast(tagged.schema[col].dataType)
+                )
+            # reuse the maintained table only if it matches the CURRENT
+            # landed snapshot (meta written post-swap last cycle); any
+            # torn/missing state re-bootstraps from the landed table
+            meta = self._read_hist_meta()
+            if meta == self._jsonable_fp(source_fingerprint(str(self.path))):
+                hist = CloneHistogram.load(self.spark, str(self._hist_path))
+            if hist is None:
+                hist = CloneHistogram().merge_batch(existing, col)
+        else:
+            hist = CloneHistogram()
+        winners = tagged.filter(F.col("_batch_seq") == 1)
+        hist.merge_batch(winners, col)
+        if existing is not None:
+            replaced = existing.join(
+                winners.select(*self.keys).distinct(), self.keys, "left_semi"
+            )
+            hist.merge_batch(replaced, col, weight=-1)
+        staging = self._hist_path.with_name(
+            f"{self._hist_path.name}__staging_{uuid.uuid4().hex[:8]}"
+        )
+        base = (
+            hist.hist
+            if hist.hist is not None
+            else self.spark.createDataFrame([], CloneHistogram.SCHEMA)
+        )
+        base.write.mode("overwrite").parquet(str(staging))
+        return staging
+
+    def _publish_clone_stats(self, staging: Path) -> None:
+        """Post-swap half: move the folded histogram into place, stamp
+        it with the NEW table fingerprint, and publish the summary so
+        planner reads are free. A crash anywhere in here leaves meta ≠
+        table fingerprint → next landing re-bootstraps."""
+        import json
+
+        from pubic_multi_platform_to_postgres_spark.plans.stats import (
+            CloneHistogram,
+            source_fingerprint,
+        )
+
+        old = self._hist_path.with_name(
+            f"{self._hist_path.name}__old_{uuid.uuid4().hex[:8]}"
+        )
+        had_old = self._hist_path.exists()
+        if had_old:
+            self._hist_path.rename(old)
+        staging.rename(self._hist_path)
+        if had_old:
+            shutil.rmtree(old)
+        fp = source_fingerprint(str(self.path))
+        self._hist_path.with_name(
+            f"{self._hist_path.name}.meta.json"
+        ).write_text(
+            json.dumps({"fingerprint": self._jsonable_fp(fp)})
+        )
+        hist = CloneHistogram.load(self.spark, str(self._hist_path))
+        if self.stats_registry is not None and fp is not None:
+            hist.publish(
+                self.stats_registry, str(self.path), self.clone_stat_col,
+                fingerprint=fp,
+            )
+
+    def _read_hist_meta(self):
+        import json
+
+        try:
+            raw = json.loads(
+                self._hist_path.with_name(
+                    f"{self._hist_path.name}.meta.json"
+                ).read_text()
+            )
+            return raw["fingerprint"]
+        except (OSError, ValueError, KeyError):
+            return None
+
+    @staticmethod
+    def _jsonable_fp(fp):
+        return None if fp is None else [list(e) for e in fp]
 
     def _swap_in(self, result: DataFrame) -> None:
         tmp = self.path.with_name(f"{self.path.name}__staging_{uuid.uuid4().hex[:8]}")

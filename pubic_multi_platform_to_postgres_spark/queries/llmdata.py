@@ -2294,6 +2294,64 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_land_clone_stats",
+    oracle="""
+    WITH g AS (SELECT COUNT(*) AS m FROM documents GROUP BY text)
+    SELECT CAST(SUM(m) AS BIGINT) AS n_rows,
+           CAST(SUM((m * (m - 1)) // 2) AS BIGINT) AS clique_pairs
+    FROM g
+    """,
+)
+def corpus_land_clone_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-path-MAINTAINED clone statistic (VERDICT r13 Next #1):
+    the documents corpus is landed through the real PK-upsert sink
+    (``operators/upsert.py ParquetUpsertSink``) in two at-least-once
+    deliveries — batch 1 is doc_id % 3 ∈ {0, 1}; batch 2 REDELIVERS the
+    % 3 == 1 rows unchanged and adds the % 3 == 2 rows — with
+    ``clone_stat_col='text'``. Each landing cycle folds only the rows
+    that changed the corpus (batch winners + retraction of the rows
+    they replaced, so the redelivered third is NOT double-counted) into
+    an on-disk ``CloneHistogram`` and publishes its summary to the
+    stats registry under the landed table's snapshot fingerprint.
+
+    The row returns the PUBLISHED ``(n_rows, clique_pairs)`` — read back
+    through ``StatsRegistry.clone_summary`` with ``df=None``, which
+    would throw if the read fell back to a live probe — and the oracle
+    recomputes the same two scalars from the raw table in SQL: the
+    maintained statistic must equal ground truth exactly. This is the
+    production pattern behind the ``_auto`` planner rows: ingest
+    maintains the statistic (here), the planner reads it for free
+    (``dedup_ngram_jaccard_auto`` / ``dedup_containment_pairs_auto``),
+    and ``dedup_incremental_new_batch`` shows the matching content-level
+    dedup of each delivery. At 100 TB the histogram fold is batch-sized
+    (one map-side hash + partial-agg groupBy) plus a histogram-sized
+    merge — the corpus itself is never rescanned after bootstrap."""
+    import tempfile
+    from pathlib import Path
+
+    from pubic_multi_platform_to_postgres_spark.operators.upsert import (
+        ParquetUpsertSink,
+    )
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    docs = load(spark, sf_dir, "documents")
+    root = Path(tempfile.mkdtemp(prefix="spark_graft_land_stats_"))
+    reg = StatsRegistry()  # hermetic per-row registry; prod uses CORPUS_STATS
+    sink = ParquetUpsertSink(
+        spark, root / "documents", ["doc_id"],
+        clone_stat_col="text", stats_registry=reg,
+    )
+    sink.write(docs.filter(F.col("doc_id") % 3 != 2))
+    sink.write(docs.filter(F.col("doc_id") % 3 != 0))  # redelivers %3==1
+    n_rows, clique_pairs = reg.clone_summary(
+        None, "text", source_path=str(root / "documents")
+    )
+    return spark.createDataFrame(
+        [(n_rows, clique_pairs)], "n_rows long, clique_pairs long"
+    )
+
+
+@query(
     "corpus_temperature_mix",
     oracle="""
     WITH stats AS (

@@ -62,6 +62,11 @@ class StreamSpec:
     # "run_start" (§2.7 default) | "max_key" (analytics) | None (full table)
     bookmark_mode: str | None = "run_start"
     client_filter: bool = False  # F3-style client-side bookmark filter
+    # text column whose clone statistic ingest maintains (r14): each
+    # landed batch folds into the sink's on-disk CloneHistogram and the
+    # summary publishes to the stats registry — the dedup planner's
+    # input becomes catalog state no query ever re-probes
+    clone_stat_col: str | None = None
 
 
 @dataclass
@@ -199,6 +204,8 @@ class Pipeline:
                     spark, self.sink_root / table, keys,
                     order_col=stream.replication_key
                     if stream.replication_key in df.columns else None,
+                    clone_stat_col=spec.clone_stat_col
+                    if spec.clone_stat_col in df.columns else None,
                 )
                 sink.write(df)
                 report.tables[table] = df.count()

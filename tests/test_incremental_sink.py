@@ -556,3 +556,122 @@ def test_dbapi_upsert_rolls_back_on_failure(spark, tmp_path, monkeypatch):
     assert _sqlite_rows(
         db, "SELECT name FROM sqlite_master WHERE name LIKE '%staging%'"
     ) == []
+
+
+# ---------------------------------------------------------------------------
+# Maintained clone statistics on the landing path (VERDICT r13 Next #1)
+
+
+def _published(reg, path):
+    """Read the published statistic; df=None proves it never probes."""
+    return reg.clone_summary(None, "name", source_path=str(path))
+
+
+def test_sink_maintains_clone_stat_exactly_across_landing_cycles(spark, tmp_path):
+    """After EVERY landing cycle the published statistic equals a fresh
+    full-corpus clone_mass of the landed table — through new rows,
+    at-least-once redelivery (no double count), within-batch dup keys,
+    content replacement (mass moves between classes), and a batch that
+    drops the column (schema evolution lands typed NULLs)."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import clone_mass
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    path = tmp_path / "docs"
+    reg = StatsRegistry()
+    sink = ParquetUpsertSink(
+        spark, path, keys=["id"], order_col="updatedAt",
+        clone_stat_col="name", stats_registry=reg,
+    )
+
+    def check():
+        live = clone_mass(sink.read(), "name")
+        assert _published(reg, path) == live
+        return live
+
+    b1 = spark.createDataFrame([
+        Row(id="1", name="dup", updatedAt="2026-01-01"),
+        Row(id="2", name="dup", updatedAt="2026-01-01"),
+        Row(id="3", name="solo", updatedAt="2026-01-01"),
+    ])
+    sink.write(b1)
+    assert check() == (3, 1)
+
+    # at-least-once: the same batch redelivered is a statistic no-op
+    sink.write(b1)
+    assert check() == (3, 1)
+
+    # content replacement: id=3 joins the 'dup' class; within-batch dup
+    # key (id=4 sent twice, latest wins) lands once
+    b2 = spark.createDataFrame([
+        Row(id="3", name="dup", updatedAt="2026-02-01"),
+        Row(id="4", name="v1", updatedAt="2026-01-01"),
+        Row(id="4", name="v2", updatedAt="2026-01-05"),
+    ])
+    sink.write(b2)
+    assert check() == (4, 3)
+
+    # schema evolution: a batch without the column lands typed NULLs;
+    # the maintained statistic must count them like the live probe does
+    b3 = spark.createDataFrame([Row(id="5", updatedAt="2026-03-01")])
+    sink.write(b3)
+    assert check() == clone_mass(sink.read(), "name") == (5, 3)
+
+    # and a later batch WITH the column folds on top of that
+    b4 = spark.createDataFrame(
+        [Row(id="6", name="dup", updatedAt="2026-03-02")]
+    )
+    sink.write(b4)
+    assert check() == (6, 6)
+
+
+def test_sink_clone_stat_rebootstraps_from_torn_state(spark, tmp_path):
+    """Crash-consistency contract: the histogram is a fingerprint-keyed
+    cache. If the meta stamp does not match the landed table (torn
+    landing, manual table rewrite, deleted side table), the next
+    landing re-bootstraps from the landed corpus and stays exact."""
+    import shutil
+
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import clone_mass
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    path = tmp_path / "docs"
+    reg = StatsRegistry()
+    sink = ParquetUpsertSink(
+        spark, path, keys=["id"],
+        clone_stat_col="name", stats_registry=reg,
+    )
+    sink.write(spark.createDataFrame(
+        [Row(id="1", name="a"), Row(id="2", name="a")]
+    ))
+
+    # torn meta: junk stamp -> stale detected -> rebootstrap
+    meta = sink._hist_path.with_name(f"{sink._hist_path.name}.meta.json")
+    meta.write_text('{"fingerprint": [["gone", 0, 0]]}')
+    sink.write(spark.createDataFrame([Row(id="3", name="b")]))
+    assert _published(reg, path) == clone_mass(sink.read(), "name") == (3, 1)
+
+    # missing side table entirely -> rebootstrap
+    shutil.rmtree(sink._hist_path)
+    meta.unlink()
+    sink.write(spark.createDataFrame([Row(id="4", name="a")]))
+    assert _published(reg, path) == clone_mass(sink.read(), "name") == (4, 3)
+
+
+def test_sink_clone_stat_reader_needs_no_probe_in_fresh_registry(spark, tmp_path):
+    """The planner-side payoff: a DIFFERENT registry (a later session)
+    with the same store file reads the ingest-published statistic
+    without any probe, because the publish stamped the post-swap
+    fingerprint."""
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    store = tmp_path / "stats.json"
+    path = tmp_path / "docs"
+    sink = ParquetUpsertSink(
+        spark, path, keys=["id"],
+        clone_stat_col="name", stats_registry=StatsRegistry(path=str(store)),
+    )
+    sink.write(spark.createDataFrame(
+        [Row(id="1", name="x"), Row(id="2", name="x"), Row(id="3", name="y")]
+    ))
+    later_session = StatsRegistry(path=str(store))
+    assert _published(later_session, path) == (3, 1)

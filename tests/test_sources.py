@@ -575,6 +575,43 @@ def test_pipeline_upsert_overwrites_on_pk(spark, tmp_path):
     assert tasks == {"t0": "Task 0 v2", "t1": "Task 1"}
 
 
+def test_pipeline_landing_maintains_clone_statistic(spark, tmp_path, monkeypatch):
+    """VERDICT r13 Next #1: the REAL land/upsert cycle (not only the
+    sink in isolation) maintains and publishes the clone statistic —
+    after each sync the engine-wide registry holds the landed table's
+    exact (n_rows, clique_pairs), readable with no probe, and a
+    replacing second sync moves the statistic with the data."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import clone_mass
+    from pubic_multi_platform_to_postgres_spark.plans import stats
+
+    monkeypatch.setattr(stats, "CORPUS_STATS", stats.StatsRegistry())
+    raw = _raw_tasks(3)
+    raw[1]["title"] = raw[0]["title"]  # plant one clone pair
+    extracted = {"tasks": raw, "contacts": _raw_contacts()}
+    pipe = _make_pipeline(spark, tmp_path, extracted)
+    pipe.specs[0].clone_stat_col = "title"
+    pipe.run(spark)
+
+    table = tmp_path / "lake" / "tasks"
+    landed = spark.read.parquet(str(table))
+    live = clone_mass(landed, "title")
+    assert stats.CORPUS_STATS.clone_summary(
+        None, "title", source_path=str(table)
+    ) == live == (3, 1)
+
+    # second sync replaces t2's content into the clone class (newer
+    # bookmark so the F3 client filter passes it through)
+    extracted["tasks"] = [{
+        "id": "t2", "title": raw[0]["title"],
+        "updatedDate": "2031-01-01T00:00:00.000Z",
+        "dates": {"start": "2024-05-03"},
+    }]
+    pipe.run(spark)
+    assert stats.CORPUS_STATS.clone_summary(
+        None, "title", source_path=str(table)
+    ) == clone_mass(spark.read.parquet(str(table)), "title") == (3, 3)
+
+
 def test_pipeline_failure_isolation(spark, tmp_path):
     extracted = {"tasks": _raw_tasks(1), "contacts": _raw_contacts()}
     pipe = _make_pipeline(spark, tmp_path, extracted)
