@@ -35,9 +35,12 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # planner rows seated at index 66 by ``queries/__init__.py``. Round 13
 # advances to 116 (VERDICT r12 Next #6): the window [116:166) is
 # disjoint from r12's and re-verifies the rows last driver-sampled in
-# rounds 9–10.
+# rounds 9–10. Round 14 advances to 166 (VERDICT r13 Next #6): the
+# window [166:199)+[0:17) covers the registry tail — the r14 additions
+# seated at 166 by ``queries/__init__.py`` plus the rows last sampled in
+# rounds 10–11 — and is disjoint from r13's [116:166).
 # ``SPARK_GRAFT_REGISTRY_ROT`` overrides for local testing.
-REGISTRY_OFFSET = 116
+REGISTRY_OFFSET = 166
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -376,6 +376,125 @@ def asof_join_salted(
     )
 
 
+def asof_strategy(
+    n_rows: int,
+    top_share: float,
+    min_hot_rows: int = 4_000_000,
+    share_threshold: float = 0.25,
+) -> str:
+    """Planner rule for the as-of join (VERDICT r13 Next #2, modeled on
+    ``dedup.collapse_strategy`` / ``similarity.filtered_strategy``):
+    pure function of two measured numbers — the unioned row count of
+    both sides and the heaviest key's share of it — so the branch
+    decision is unit-testable without a session and reproducible by an
+    external engine.
+
+    ``'salted'`` iff the heaviest key owns ≥ ``share_threshold`` of the
+    rows AND that hot sort group exceeds ``min_hot_rows``. Both
+    conditions matter: without dominance, bucketing buys nothing a
+    normal key distribution doesn't already have (the salted plan's
+    extra aggregate + carry join is pure overhead — measured 1.03 s vs
+    0.41 s on the skew-free events corpus, ``BENCH_SKEW_r13.json``);
+    without size, even a 90%-hot key sorts in one task faster than the
+    stitch costs (measured anchors on the planted 90%-hot fixture:
+    2M rows → base 2.38 s vs salted 3.16 s, but 20M rows → 13.99 vs
+    5.33 and 60M → 64.75 vs 13.77 — the per-key sort group serializes
+    super-linearly while the bucketed plan scales with cores, so the
+    crossover sits at a few million hot rows)."""
+    if n_rows <= 0:
+        return "base"
+    return (
+        "salted"
+        if top_share >= share_threshold
+        and n_rows * top_share >= min_hot_rows
+        else "base"
+    )
+
+
+def asof_route(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    registry=None,
+    source_paths=None,
+    min_hot_rows: int = 4_000_000,
+    share_threshold: float = 0.25,
+) -> tuple[str, int, float]:
+    """Measure (or read) the key-skew statistic and decide base-vs-
+    salted. The statistic is the UNION of both sides' key columns —
+    the window partitions rows from both sides, so the hot sort group's
+    size is the unioned count. Read through the stats registry
+    (``plans/stats.py``): one partial-agg probe per corpus snapshot,
+    cached under the composite (left, right) fingerprint when
+    ``source_paths=(left_path, right_path)`` is given — the same
+    maintained-statistic discipline as the dedup planner. Returns
+    ``(strategy, n_rows, top_share)`` so callers (and the skew bench)
+    can record the decision alongside its inputs."""
+    from pubic_multi_platform_to_postgres_spark.plans.stats import CORPUS_STATS
+
+    reg = registry if registry is not None else CORPUS_STATS
+    keys = None
+    if left is not None and right is not None:
+        keys = left.select(F.col(left_key).alias("__asof_k")).unionByName(
+            right.select(F.col(right_key).alias("__asof_k"))
+        )
+    # keys=None is legal on a registry hit (mirrors clone_summary): the
+    # probe closure only runs on a miss, so a cached statistic never
+    # needs the frames at all
+    n_rows, top_share = reg.key_share(
+        keys, "__asof_k", source_path=source_paths,
+        label=f"{left_key}|{right_key}",
+    )
+    return (
+        asof_strategy(n_rows, top_share, min_hot_rows, share_threshold),
+        n_rows,
+        top_share,
+    )
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    strict: bool = False,
+    tolerance_s: float | None = None,
+    n_buckets: int = 32,
+    registry=None,
+    source_paths=None,
+    min_hot_rows: int = 4_000_000,
+    share_threshold: float = 0.25,
+) -> DataFrame:
+    """As-of join routed by the key-skew statistic: ``asof_join`` when
+    the key distribution is healthy (no salting overhead), ``asof_join_
+    salted`` when one key's sort group is big enough to serialize the
+    window (the market-data shape). Both branches produce the IDENTICAL
+    answer (``test_asof_salted_matches_base``), so the statistic can
+    only cost performance, never correctness — the same contract as the
+    dedup ``_auto`` rows. Backward direction only (the salted plan's
+    carry-in stitch is backward); forward/nearest callers use
+    ``asof_join`` directly."""
+    strategy, _, _ = asof_route(
+        left, right, left_key, right_key,
+        registry=registry, source_paths=source_paths,
+        min_hot_rows=min_hot_rows, share_threshold=share_threshold,
+    )
+    if strategy == "salted":
+        return asof_join_salted(
+            left, right, left_key, right_key, left_ts, right_ts,
+            payload_cols, strict=strict, tolerance_s=tolerance_s,
+            n_buckets=n_buckets,
+        )
+    return asof_join(
+        left, right, left_key, right_key, left_ts, right_ts,
+        payload_cols, strict=strict, tolerance_s=tolerance_s,
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

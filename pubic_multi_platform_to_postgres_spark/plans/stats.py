@@ -250,13 +250,18 @@ class StatsRegistry:
         return int(n), int(cp)
 
     def key_share(
-        self, df: DataFrame, key_col: str, source_path=None
+        self, df: DataFrame, key_col: str, source_path=None,
+        label: str | None = None,
     ) -> tuple[int, float]:
         """(n_rows, top_key_share): total rows and the heaviest key's
         share of them — the skew statistic the as-of planner rule reads
         (``operators/asof.py asof_strategy``). Live probe is ONE
         map-side-combined groupBy reduced to two scalars (the key
-        histogram never leaves the executors whole)."""
+        histogram never leaves the executors whole). ``label`` overrides
+        the statistic id's column part when ``key_col`` is a synthetic
+        name (e.g. the as-of route unions two differently-named key
+        columns — the id must carry the REAL names or two different key
+        pairs over the same tables would collide)."""
 
         def compute():
             row = (
@@ -268,7 +273,8 @@ class StatsRegistry:
             n = int(row["n"] or 0)
             return (n, (float(row["m"]) / n) if n else 0.0)
 
-        n, share = self.scalar(source_path, f"keyshare:{key_col}", compute)
+        stat_id = f"keyshare:{label if label is not None else key_col}"
+        n, share = self.scalar(source_path, stat_id, compute)
         return int(n), float(share)
 
     def selectivity(

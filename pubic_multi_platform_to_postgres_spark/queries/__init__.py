@@ -122,3 +122,20 @@ _order13 = (
 _reseated13 = {n: REGISTRY[n] for n in _order13}
 REGISTRY.clear()
 REGISTRY.update(_reseated13)
+
+# Round-14 additions — seated at index 166 so the round-14 driver window
+# [166:...)+wrap (``__spark_entry__.REGISTRY_OFFSET = 166``) samples
+# each addition in its debut round. Same deterministic committed device
+# as the r11/r12/r13 blocks above.
+_R14_SEAT_AT = 166
+_R14_ADDED = (
+    "corpus_land_clone_stats",
+    "join_asof_auto_events",
+)
+_names14 = [n for n in REGISTRY if n not in _R14_ADDED]
+_order14 = (
+    _names14[:_R14_SEAT_AT] + list(_R14_ADDED) + _names14[_R14_SEAT_AT:]
+)
+_reseated14 = {n: REGISTRY[n] for n in _order14}
+REGISTRY.clear()
+REGISTRY.update(_reseated14)

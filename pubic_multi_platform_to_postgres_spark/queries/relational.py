@@ -935,6 +935,55 @@ def join_asof_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_auto_events",
+    oracle="""
+    SELECT o.o_orderkey,
+           e.event_type AS last_event_type,
+           CAST(e.value AS DOUBLE) AS last_event_value
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+)
+def join_asof_auto_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLANNER row for the as-of join (r14, VERDICT r13 Next #2,
+    modeled on the dedup ``_auto`` rows): ``asof_route`` reads the
+    key-skew statistic — unioned row count + heaviest key's share —
+    through the stats registry (one partial-agg probe per (orders,
+    events) snapshot pair, then free under the composite fingerprint),
+    and the pure rule ``asof_strategy`` picks base-vs-salted. Both
+    branches are output-identical (``test_asof_salted_matches_base``),
+    so ONE oracle gates the row on either branch; this corpus's healthy
+    key distribution routes base (no salting overhead), and the salted
+    branch is decision-tested on the planted 90%-hot fixture by
+    ``test_asof_auto_routes_by_skew`` and measured per corpus by
+    ``tools/bench_skew.py``'s asofauto section."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_join_auto,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    sf = sf_dir.rstrip("/")
+    joined = asof_join_auto(
+        orders, events,
+        left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        payload_cols=["event_type", "value"],
+        source_paths=(f"{sf}/orders.parquet", f"{sf}/events.parquet"),
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_event_value"),
+    )
+
+
+@query(
     "join_asof_forward_events",
     oracle="""
     SELECT o.o_orderkey,

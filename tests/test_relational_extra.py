@@ -1203,6 +1203,92 @@ def test_asof_timestamp_ntz_tolerance_and_nearest(spark):
     assert [float(r["v"]) for r in near.orderBy("lts").collect()] == [1.0, 2.0]
 
 
+def test_asof_strategy_pure_rule():
+    """VERDICT r13 Next #2: the base-vs-salted decision is a pure
+    function of (n_rows, top_share) — no session, reproducible."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_strategy,
+    )
+
+    assert asof_strategy(0, 1.0) == "base"            # empty corpus
+    assert asof_strategy(100_000_000, 0.01) == "base"  # healthy keys
+    assert asof_strategy(2_000_000, 0.9) == "base"     # hot but small
+    assert asof_strategy(20_000_000, 0.9) == "salted"  # the r13 face
+    assert asof_strategy(20_000_000, 0.9, min_hot_rows=10**9) == "base"
+    assert asof_strategy(20_000_000, 0.2, share_threshold=0.25) == "base"
+    assert asof_strategy(20_000_000, 0.2, share_threshold=0.1) == "salted"
+
+
+def test_asof_auto_routes_by_skew(spark, tmp_path):
+    """asof_join_auto picks base on a healthy key distribution and
+    salted on the planted hot key, is output-identical to asof_join on
+    BOTH branches, and reads the skew statistic through the registry —
+    one probe per (left, right) snapshot pair, the cached read deciding
+    identically to the live probe."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_join,
+        asof_join_auto,
+        asof_route,
+    )
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    # 90% of both sides on key 0 (the market-data shape), vs uniform
+    hot_left = [(0 if i % 10 else 7, 3 * i) for i in range(200)]
+    hot_right = [(0 if j % 10 else 7, 5 * j + 1, float(j)) for j in range(100)]
+    uni_left = [(i % 37, 3 * i) for i in range(200)]
+    uni_right = [(j % 37, 5 * j + 1, float(j)) for j in range(100)]
+
+    for name, lrows, rrows, want in (
+        ("hot", hot_left, hot_right, "salted"),
+        ("uniform", uni_left, uni_right, "base"),
+    ):
+        left = spark.createDataFrame(lrows, "k int, lts int")
+        right = spark.createDataFrame(rrows, "k int, rts int, v double")
+        # tiny thresholds so the 300-row fixture exercises the rule
+        kw = dict(min_hot_rows=50, share_threshold=0.5)
+        strategy, n, share = asof_route(
+            left, right, "k", "k", registry=StatsRegistry(), **kw
+        )
+        assert (name, strategy) == (name, want) and n == 300
+        got = asof_join_auto(
+            left, right, "k", "k", "lts", "rts", ["v"],
+            registry=StatsRegistry(), **kw,
+        )
+        base = asof_join(left, right, "k", "k", "lts", "rts", ["v"])
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, base.collect())), name
+
+    # registry discipline: one probe per snapshot pair, cached read
+    # decides identically
+    import pandas as pd
+
+    lp, rp = tmp_path / "l.parquet", tmp_path / "r.parquet"
+    pd.DataFrame(hot_left, columns=["k", "lts"]).to_parquet(lp)
+    pd.DataFrame(hot_right, columns=["k", "rts", "v"]).to_parquet(rp)
+    left = spark.read.parquet(str(lp))
+    right = spark.read.parquet(str(rp))
+    reg = StatsRegistry()
+    calls = {"n": 0}
+    real = reg.scalar
+
+    def counting(source_path, stat, compute):
+        def probed():
+            calls["n"] += 1
+            return compute()
+        return real(source_path, stat, probed)
+
+    reg.scalar = counting
+    probed = asof_route(
+        left, right, "k", "k", registry=reg,
+        source_paths=(str(lp), str(rp)), min_hot_rows=50,
+    )
+    cached = asof_route(
+        None, None, "k", "k", registry=reg,
+        source_paths=(str(lp), str(rp)), min_hot_rows=50,
+    )
+    assert calls["n"] == 1 and probed == cached == ("salted", 300, 0.9)
+
+
 def test_asof_directions_match_pandas_merge_asof(spark):
     """The direction surface (r13) is pinned against pandas
     ``merge_asof`` itself — backward/forward/nearest, each with and

@@ -399,6 +399,15 @@ EXEMPT = {
                               "row_numbers and one aggregate on the "
                               "purchase key — fan-out bounded by "
                               "clicks-per-user-week",
+    "corpus_land_clone_stats": "two PK-upsert landings (the measured sink "
+                               "shape: one pk-window dedup shuffle + "
+                               "staging-swap, same as dedup_exact_keep_min) "
+                               "plus the maintained-histogram fold, which is "
+                               "batch-sized by construction (map-side hash + "
+                               "partial-agg groupBy of the DELTA only, then "
+                               "a histogram-sized merge) — the fold never "
+                               "rescans the corpus, so its growth face IS "
+                               "the sink family's",
 }
 
 
@@ -416,6 +425,16 @@ def emit_census(report: dict) -> list[str]:
                 "disposition": "measured",
                 "sf_points": ["skew1", "skew10", "skew30"],
                 "section": "BENCH_SKEW asof_hot_key",
+            }
+        elif name == "join_asof_auto_events":
+            # the execution plans are the measured base/salted family;
+            # the NEW artifact is the ROUTE, recorded with its inputs
+            # per corpus by the skew bench (skew-free pair -> base,
+            # planted hot key -> salted once past breakeven)
+            census[name] = {
+                "disposition": "measured",
+                "sf_points": ["events_sf0.1", "hot1", "hot10", "hot30"],
+                "section": "BENCH_SKEW asof_auto_route",
             }
         elif name == "geo_grid_radius_join":
             # measured on the density-preserving generated point sets

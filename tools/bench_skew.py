@@ -111,7 +111,7 @@ def main() -> int:
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument(
         "--sections",
-        default="queries,candidates,relational,basket,strategy,urlhot,asofhot",
+        default="queries,candidates,relational,basket,strategy,urlhot,asofhot,asofauto",
         help="comma list of sections to (re)run; others merge from --out",
     )
     args = ap.parse_args()
@@ -138,7 +138,7 @@ def main() -> int:
         prior = json.loads(out_path.read_text())
         for key in ("queries", "candidate_counts", "relational_hot_key",
                     "basket_mega_cap", "collapse_strategy", "url_hot_canon",
-                    "asof_hot_key"):
+                    "asof_hot_key", "asof_auto_route"):
             if key in prior:
                 report[key] = prior[key]
     qs = entry.queries()
@@ -468,6 +468,60 @@ def main() -> int:
         asof[label] = row
         print(f"  asofhot {label}: {row}", file=sys.stderr)
         report["asof_hot_key"] = asof
+        out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # As-of AUTO route (VERDICT r13 Next #2): record the planner
+    # decision + its measured inputs per corpus — the skew-free
+    # orders/events corpus must route base (salting overhead priced in
+    # asof_hot_key/base above), the planted 90%-hot fixture must flip
+    # to salted once the hot sort group clears the breakeven
+    # (default thresholds: share>=0.25 AND hot rows>=4M).
+    if "asofauto" in sections:
+        from pubic_multi_platform_to_postgres_spark.operators.asof import (
+            asof_route,
+        )
+        from pubic_multi_platform_to_postgres_spark.plans.stats import (
+            StatsRegistry,
+        )
+        from pubic_multi_platform_to_postgres_spark.queries.registry import (
+            load,
+        )
+
+        auto: dict = {"design": (
+            "asof_route(default thresholds) per corpus; events = the "
+            "skew-free sf0.1 orders/events pair (the join_asof_auto_"
+            "events gate row), hotN = the planted 90%-hot fixture at "
+            "factor N (the asof_hot_key faces above)"
+        )}
+
+        def _route_events():
+            sf = "/root/testdata/sf0.1"
+            orders = load(spark, sf, "orders")
+            events = load(spark, sf, "events")
+            return asof_route(
+                orders, events, "o_custkey", "user_id",
+                registry=StatsRegistry(),
+            )
+
+        faces = [("events_sf0.1", _route_events)]
+        for f in (1, 10, 30):
+            def _route_hot(f=f):
+                trades, quotes = _asof_fixture(f)
+                return asof_route(
+                    trades, quotes, "sym", "sym", registry=StatsRegistry()
+                )
+            faces.append((f"hot{f}", _route_hot))
+        for label, fn in faces:
+            t0 = time.monotonic()
+            strategy, n_rows, top_share = fn()
+            auto[label] = {
+                "strategy": strategy,
+                "n_rows": n_rows,
+                "top_key_share": round(top_share, 4),
+                "probe_wall_s": round(time.monotonic() - t0, 3),
+            }
+            print(f"  asofauto {label}: {auto[label]}", file=sys.stderr)
+        report["asof_auto_route"] = auto
         out_path.write_text(json.dumps(report, indent=2) + "\n")
 
     # Growth ratios vs skew1, normalized per 10× of data.
