@@ -403,6 +403,8 @@ def topk_cosine_filtered(
     cutoff: float = 0.15,
     n_cells: int = 16,
     nprobe: int = 4,
+    source_path: str | None = None,
+    registry=None,
 ) -> DataFrame:
     """Top-k cosine restricted to rows matching ``predicate``.
 
@@ -423,13 +425,25 @@ def topk_cosine_filtered(
 
     Both branches end in :func:`topk_cosine_bruteforce`'s strict-fold
     scoring, so either plan is hash-reproducible by a SQL engine
-    replaying the same arithmetic. The two ``count()`` jobs behind
-    ``auto`` are metadata-cheap (count-star over parquet row groups /
-    catalog stats at scale) and are skipped when ``strategy`` is forced.
+    replaying the same arithmetic. The ``(total, matched)`` counts
+    behind ``auto`` read through the stats registry (VERDICT r13 Next
+    #3 — they are catalog statistics, same class as the dedup planner's
+    clone summary): pass ``source_path`` so the probe is paid once per
+    (corpus snapshot, predicate) and every later invocation decides for
+    free; without it, the live probe is still ONE conditional-sum job
+    over the corpus, not the two ``count()`` scans it replaced. Probes
+    are skipped entirely when ``strategy`` is forced.
     """
     if strategy == "auto":
-        total = df.count()
-        matched = df.filter(predicate).count()
+        if registry is None:
+            from pubic_multi_platform_to_postgres_spark.plans.stats import (
+                CORPUS_STATS,
+            )
+
+            registry = CORPUS_STATS
+        total, matched = registry.selectivity(
+            df, predicate, source_path=source_path
+        )
         strategy = filtered_strategy(total, matched, cutoff)
     if strategy == "prefilter":
         return topk_cosine_bruteforce(

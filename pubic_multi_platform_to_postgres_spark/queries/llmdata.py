@@ -820,8 +820,11 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine + tie-broken top-k; the branch switch itself is unit-pinned on
     both sides of the cutoff (``tests/test_llmdata.py``).
 
-    Scale: count-star pair (catalog stats at 100 TB) + filtered scan +
-    map-side scoring + TakeOrderedAndProject — no shuffle wider than k."""
+    Scale: the (total, matched) planner inputs are catalog statistics
+    (r14, VERDICT r13 Next #3): read through the stats registry, one
+    conditional-sum probe per (corpus snapshot, predicate), then free —
+    plus filtered scan + map-side scoring + TakeOrderedAndProject — no
+    shuffle wider than k."""
     from pubic_multi_platform_to_postgres_spark.operators.similarity import (
         topk_cosine_filtered,
     )
@@ -830,6 +833,7 @@ def sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_filtered(
         emb, "embedding", "vec_id", _query_vector(spark, sf_dir),
         predicate=F.col("label") == 3, k=10, strategy="auto",
+        source_path=f"{sf_dir.rstrip('/')}/embeddings.parquet",
     )
 
 
@@ -892,7 +896,9 @@ def sim_topk_filtered_post(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, assignment, probing, candidate predicate, and ranking.
 
     Scale: identical plan shape to ``sim_topk_ivf`` (the measured IVF
-    face) plus one candidate-side filter — no new shuffle."""
+    face) plus one candidate-side filter — no new shuffle; the planner's
+    selectivity inputs read through the stats registry like the
+    selective row above (one cached probe per snapshot+predicate)."""
     from pubic_multi_platform_to_postgres_spark.operators.similarity import (
         topk_cosine_filtered,
     )
@@ -901,6 +907,7 @@ def sim_topk_filtered_post(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine_filtered(
         emb, "embedding", "vec_id", _query_vector(spark, sf_dir),
         predicate=F.col("label") < 7, k=10, strategy="auto",
+        source_path=f"{sf_dir.rstrip('/')}/embeddings.parquet",
     )
 
 

@@ -45,3 +45,31 @@ def test_missing_artifact_is_a_failure(tmp_path, monkeypatch):
     monkeypatch.setattr(doccheck, "REPO", tmp_path)
     _, misses = doccheck.check_doc(doc)
     assert misses and misses[0]["artifacts"] == ["NOT_THERE.json"]
+
+
+def test_planted_census_drift_is_caught(tmp_path, monkeypatch):
+    """VERDICT r13 Next #4: census counts are small integers the <1000
+    skip used to hide; any integer attached to a census word must be
+    checked against the artifact regardless of magnitude."""
+    art = tmp_path / "FAKE_SF1.json"
+    art.write_text(json.dumps(
+        {"census": {"n_measured": 106, "n_exempt": 91,
+                    "n_undispositioned": 0}}
+    ))
+    doc = tmp_path / "DOC.md"
+    doc.write_text(
+        "<!-- doccheck: FAKE_SF1.json -->\n"
+        "census 106 measured / 89 exempt / 0 undispositioned\n"
+        "<!-- doccheck:end -->\n"
+    )
+    monkeypatch.setattr(doccheck, "REPO", tmp_path)
+    n, misses = doccheck.check_doc(doc)
+    assert [m["token"] for m in misses] == ["89 exempt"]  # the r13 drift
+    # and the corrected line is clean
+    doc.write_text(
+        "<!-- doccheck: FAKE_SF1.json -->\n"
+        "census 106 measured / 91 exempt / 0 undispositioned\n"
+        "<!-- doccheck:end -->\n"
+    )
+    n, misses = doccheck.check_doc(doc)
+    assert misses == [] and n == 3

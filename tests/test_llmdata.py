@@ -2329,6 +2329,67 @@ def test_filtered_topk_auto_picks_by_selectivity(spark):
     assert [r["vec_id"] for r in auto] == [r["vec_id"] for r in exact]
 
 
+def test_filtered_topk_selectivity_is_a_cached_statistic(spark):
+    """VERDICT r13 Next #3: the (total, matched) planner inputs read
+    through the stats registry — one conditional-sum probe per (corpus
+    snapshot, predicate), repeat invocations decide from the cache, the
+    stat-read decision equals the live-count decision, and distinct
+    predicates cache independently."""
+    from pyspark.sql import functions as F
+
+    from pubic_multi_platform_to_postgres_spark.operators.similarity import (
+        filtered_strategy,
+        topk_cosine_filtered,
+    )
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+    from pubic_multi_platform_to_postgres_spark.queries.registry import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    reg = StatsRegistry()
+    calls = {"n": 0}
+    real = reg.scalar
+
+    def counting(source_path, stat, compute):
+        def probed():
+            calls["n"] += 1
+            return compute()
+        return real(source_path, stat, probed)
+
+    reg.scalar = counting
+    kw = dict(k=5, strategy="auto", registry=reg,
+              source_path=f"{sf}/embeddings.parquet")
+    first = topk_cosine_filtered(
+        emb, "embedding", "vec_id", q, predicate=F.col("label") == 3, **kw
+    ).collect()
+    assert calls["n"] == 1
+    again = topk_cosine_filtered(
+        emb, "embedding", "vec_id", q, predicate=F.col("label") == 3, **kw
+    ).collect()
+    assert calls["n"] == 1  # cached statistic decided the repeat
+    assert [tuple(r) for r in again] == [tuple(r) for r in first]
+
+    # stat-read decision == live-count decision
+    total, matched = reg.selectivity(
+        None, F.col("label") == 3, source_path=f"{sf}/embeddings.parquet"
+    )
+    assert (total, matched) == (
+        emb.count(), emb.filter(F.col("label") == 3).count()
+    )
+    assert filtered_strategy(total, matched) == "prefilter"
+
+    # a different predicate is a different statistic
+    topk_cosine_filtered(
+        emb, "embedding", "vec_id", q, predicate=F.col("label") < 7, **kw
+    ).collect()
+    assert calls["n"] == 2
+    t2, m2 = reg.selectivity(
+        None, F.col("label") < 7, source_path=f"{sf}/embeddings.parquet"
+    )
+    assert filtered_strategy(t2, m2) == "postfilter"
+
+
 def test_url_dedup_collapses_fixture_neighbors(spark):
     """The URL fixture plants doc d (d%5==0) re-citing doc d+1's
     canonical URL — every returned group must be such a pair, keep the

@@ -509,6 +509,45 @@ def measure_stats_registry(spark, timeout_s: float) -> dict:
             )
         section[name] = row
         print(f"  stats  {name}: {row}", file=sys.stderr)
+
+    # r14 (VERDICT r13 Next #3): the filtered-ANN selectivity pair at
+    # sf10 — the statistic the registry now owns, timed alone (the job
+    # the cached read saves per invocation; pre-r14 this was TWO count
+    # scans, the live probe itself is now ONE conditional-sum job) and
+    # through both faces of the selective gate row.
+    from pyspark.sql import functions as F
+
+    emb10 = load(spark, SF10, "embeddings")
+    pred = F.col("label") == 3
+    t0 = _t.perf_counter()
+    total, matched = stats.StatsRegistry().selectivity(emb10, pred)
+    sel_probe = round(_t.perf_counter() - t0, 3)
+    t0 = _t.perf_counter()
+    two_counts = (emb10.count(), emb10.filter(pred).count())
+    section["filtered_ann_selectivity"] = {
+        "design": (
+            "sf10 embeddings, predicate label==3: selectivity_probe_s "
+            "is the ONE conditional-sum job a cold registry pays (and a "
+            "warm one skips); two_count_scans_s is the pre-r14 cost it "
+            "replaced; cold/warm time the sim_topk_filtered gate row "
+            "end-to-end on an empty vs pre-read registry"
+        ),
+        "total": int(total), "matched": int(matched),
+        "selectivity_probe_s": sel_probe,
+        "two_count_scans_s": round(_t.perf_counter() - t0, 3),
+    }
+    assert two_counts == (total, matched)
+    fn = entry.queries()["sim_topk_filtered"]
+    stats.CORPUS_STATS.invalidate(f"{SF10}/embeddings.parquet")
+    for face in ("cold_probe", "warm_stat_read"):
+        el, to = _run_once(spark, fn, SF10, timeout_s)
+        section["filtered_ann_selectivity"][f"{face}_s"] = (
+            {"timed_out": True} if to else round(el, 3)
+        )
+    print(
+        f"  stats  filtered_ann: {section['filtered_ann_selectivity']}",
+        file=sys.stderr,
+    )
     return section
 
 
