@@ -126,6 +126,34 @@ def main() -> int:
     print(f"\n== landing path: 4 batches folded into the histogram -> "
           f"published ({n} docs, {cp:,} clique pairs); planner reads it "
           f"free -> {collapse_strategy(n, cp).upper()}")
+
+    # r14: in production nobody calls merge_batch by hand — the PK
+    # upsert sink maintains and publishes the statistic itself
+    # (clone_stat_col), exactly under at-least-once redelivery. Land
+    # the same corpus in four overlapping deliveries and read the
+    # ingest-published statistic back probe-free.
+    import tempfile
+    from pathlib import Path
+
+    from pubic_multi_platform_to_postgres_spark.operators.upsert import (
+        ParquetUpsertSink,
+    )
+
+    root = Path(tempfile.mkdtemp(prefix="dedup_planner_demo_"))
+    reg2 = StatsRegistry()
+    sink = ParquetUpsertSink(
+        spark, root / "crawl", ["doc_id"],
+        clone_stat_col="text", stats_registry=reg2,
+    )
+    for b in range(4):  # each delivery redelivers the previous batch too
+        sink.write(docs.filter((F.col("doc_id") % 4).isin(max(0, b - 1), b)))
+    n2, cp2 = reg2.clone_summary(  # df=None: throws if it had to probe
+        None, "text", source_path=str(root / "crawl")
+    )
+    assert (n2, cp2) == (n, cp)
+    print(f"== sink-maintained: 4 overlapping deliveries through the PK "
+          f"upsert -> ingest published ({n2} docs, {cp2:,} clique pairs) "
+          f"with zero planner probes")
     print("\ndemo complete: one job, two corpora, two plans, one answer")
     return 0
 
