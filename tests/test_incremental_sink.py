@@ -675,3 +675,62 @@ def test_sink_clone_stat_reader_needs_no_probe_in_fresh_registry(spark, tmp_path
     ))
     later_session = StatsRegistry(path=str(store))
     assert _published(later_session, path) == (3, 1)
+
+
+def test_sink_clone_stat_partitioned_layout_reuses_maintained_table(
+    spark, tmp_path, monkeypatch
+):
+    """partition_by sinks write nested lang=*/part-* layouts; the
+    recursive fingerprint (ADVICE r13) must validate the meta stamp so
+    the second landing REUSES the maintained histogram instead of
+    re-bootstrapping, and the published statistic stays exact."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import clone_mass
+    from pubic_multi_platform_to_postgres_spark.plans import stats
+
+    loads = {"n": 0, "hits": 0}
+    real_load = stats.CloneHistogram.load.__func__
+
+    def counting_load(cls, spark_, path):
+        loads["n"] += 1
+        out = real_load(cls, spark_, path)
+        if out is not None:
+            loads["hits"] += 1
+        return out
+
+    monkeypatch.setattr(
+        stats.CloneHistogram, "load", classmethod(counting_load)
+    )
+
+    path = tmp_path / "docs"
+    reg = stats.StatsRegistry()
+    sink = ParquetUpsertSink(
+        spark, path, keys=["id"], partition_by=["lang"],
+        clone_stat_col="name", stats_registry=reg,
+    )
+    sink.write(spark.createDataFrame([
+        Row(id="1", lang="en", name="dup"),
+        Row(id="2", lang="de", name="dup"),
+        Row(id="3", lang="en", name="solo"),
+    ]))
+    assert (path / "lang=en").is_dir()  # really partitioned
+    assert reg.clone_summary(None, "name", source_path=str(path)) == (3, 1)
+
+    # second landing: meta stamp must validate against the NESTED
+    # layout -> maintained table loaded (cache hit), no bootstrap scan
+    sink.write(spark.createDataFrame([Row(id="4", lang="de", name="dup")]))
+    assert loads["hits"] >= 1  # reused, not re-bootstrapped
+    assert reg.clone_summary(None, "name", source_path=str(path)) \
+        == clone_mass(sink.read(), "name") == (4, 3)
+
+    # an in-place rewrite INSIDE a partition subdir (same name/size,
+    # bumped mtime) must invalidate the registry read for that snapshot
+    import os
+
+    leaf = next((path / "lang=en").glob("part-*.parquet"))
+    os.utime(leaf, ns=(1, 2))
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        # df=None: the stale fingerprint forces a live probe, which
+        # cannot run without a frame -> proves invalidation fired
+        reg.clone_summary(None, "name", source_path=str(path))
