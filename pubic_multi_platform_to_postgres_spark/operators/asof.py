@@ -221,6 +221,7 @@ def asof_join_salted(
     strict: bool = False,
     tolerance_s: float | None = None,
     n_buckets: int = 32,
+    direction: str = "backward",
 ) -> DataFrame:
     """``asof_join`` for HOT keys (VERDICT r12 Next #5): identical
     output, but the window partitions on (key, time-bucket) instead of
@@ -253,7 +254,20 @@ def asof_join_salted(
     hot keys, and carry-across-empty-buckets — is pinned by
     ``tests/test_relational_extra.py::test_asof_salted_matches_base``;
     the hot-key curve is measured in ``BENCH_SKEW_r13.json
-    asof_hot_key``."""
+    asof_hot_key``.
+
+    ``direction='forward'`` (r14) mirrors every piece — the earliest
+    right row at-or-after per (key, bucket) via ``first(ignorenulls)``
+    over current→following, bucket-INITIAL payloads (``min_by``), and a
+    carry-in of the first later-bucket initial — completing the salted
+    plan for the follow-up/label join under the same hot-key shape.
+    ``'nearest'`` has no salted formulation here (both faces would need
+    arbitration across the carry); route nearest to ``asof_join``."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join_salted supports direction 'backward'/'forward', "
+            f"got {direction!r}; use asof_join for 'nearest'"
+        )
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     ts_type = right.schema[right_ts].dataType
@@ -272,6 +286,7 @@ def asof_join_salted(
         return asof_join(
             left, right, left_key, right_key, left_ts, right_ts,
             payload_cols, strict=strict, tolerance_s=tolerance_s,
+            direction=direction,
         )
     lo, hi = float(bounds["lo"]), float(bounds["hi"])
     width = max((hi - lo) / n_buckets, 1e-9)
@@ -282,7 +297,13 @@ def asof_join_salted(
 
     lcols = left.columns
     _check_reserved(lcols, payload_cols)
-    right_rank = 0 if not strict else 1
+    fwd = direction == "forward"
+    # inclusive ties: the qualifying equal-ts right row must fall inside
+    # the left row's frame — before it for backward, after for forward
+    if fwd:
+        right_rank = 1 if not strict else 0
+    else:
+        right_rank = 0 if not strict else 1
     left_rank = 1 - right_rank
     payload_fields = [right.schema[c] for c in payload_cols]
     # the matched right ts always rides along: the tolerance bound needs
@@ -310,15 +331,18 @@ def asof_join_salted(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    w = (
-        Window.partitionBy("__asof_k", "__asof_bkt")
-        .orderBy(F.col("__asof_ts"), F.col("__asof_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wb = Window.partitionBy("__asof_k", "__asof_bkt").orderBy(
+        F.col("__asof_ts"), F.col("__asof_side")
     )
-    filled = unioned.select(
-        "*",
-        F.last(F.col("__asof_payload"), ignorenulls=True).over(w).alias("__asof_in_bucket"),
-    )
+    if fwd:
+        in_bucket = F.first(F.col("__asof_payload"), ignorenulls=True).over(
+            wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    else:
+        in_bucket = F.last(F.col("__asof_payload"), ignorenulls=True).over(
+            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    filled = unioned.select("*", in_bucket.alias("__asof_in_bucket"))
 
     # bucket-final right payloads → running carry shifted one bucket.
     # The carry must exist for every (key, bucket) the LEFT occupies —
@@ -326,22 +350,28 @@ def asof_join_salted(
     # so the running fill runs over the occupied-bucket grid (one
     # map-side-combined distinct, (|keys|·n_buckets)-bounded), not just
     # the buckets holding right rows.
+    edge_of_bucket = F.min_by if fwd else F.max_by
     finals = (
         r_tagged.groupBy("__asof_k", "__asof_bkt")
-        .agg(F.max_by(F.col("__asof_payload"), F.col("__asof_ts")).alias("__asof_final"))
+        .agg(edge_of_bucket(F.col("__asof_payload"), F.col("__asof_ts")).alias("__asof_final"))
     )
     buckets = unioned.select("__asof_k", "__asof_bkt").distinct()
-    wc = (
-        Window.partitionBy("__asof_k")
-        .orderBy("__asof_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    wc = Window.partitionBy("__asof_k").orderBy("__asof_bkt")
+    if fwd:
+        # first bucket-initial payload from any strictly-LATER bucket
+        carry_fill = F.first(F.col("__asof_final"), ignorenulls=True).over(
+            wc.rowsBetween(1, Window.unboundedFollowing)
+        )
+    else:
+        carry_fill = F.last(F.col("__asof_final"), ignorenulls=True).over(
+            wc.rowsBetween(Window.unboundedPreceding, -1)
+        )
     carry = (
         buckets.join(finals, ["__asof_k", "__asof_bkt"], "left")
         .select(
             "__asof_k",
             "__asof_bkt",
-            F.last(F.col("__asof_final"), ignorenulls=True).over(wc).alias("__asof_carry"),
+            carry_fill.alias("__asof_carry"),
         )
         .filter(F.col("__asof_carry").isNotNull())
     )
@@ -356,13 +386,14 @@ def asof_join_salted(
     )
     if tolerance_s is not None:
         lt, rt = F.col("__asof_ts"), F.col("__asof_m.__asof_rts")
+        near, far = (lt, rt) if fwd else (rt, lt)  # dist in match direction
         if is_temporal:
             fresh = (
-                F.unix_micros(lt.cast("timestamp"))
-                - F.unix_micros(rt.cast("timestamp"))
+                F.unix_micros(far.cast("timestamp"))
+                - F.unix_micros(near.cast("timestamp"))
             ) <= F.lit(int(tolerance_s * 1_000_000))
         else:
-            fresh = (lt - rt) <= F.lit(tolerance_s)
+            fresh = (far - near) <= F.lit(tolerance_s)
         return out.select(
             *[F.col(c) for c in lcols],
             *[
@@ -464,6 +495,7 @@ def asof_join_auto(
     strict: bool = False,
     tolerance_s: float | None = None,
     n_buckets: int = 32,
+    direction: str = "backward",
     registry=None,
     source_paths=None,
     min_hot_rows: int = 4_000_000,
@@ -475,9 +507,16 @@ def asof_join_auto(
     window (the market-data shape). Both branches produce the IDENTICAL
     answer (``test_asof_salted_matches_base``), so the statistic can
     only cost performance, never correctness — the same contract as the
-    dedup ``_auto`` rows. Backward direction only (the salted plan's
-    carry-in stitch is backward); forward/nearest callers use
-    ``asof_join`` directly."""
+    dedup ``_auto`` rows. Routes backward and forward (r14: the salted
+    plan mirrors both); ``'nearest'`` always takes the base plan (no
+    salted formulation — both faces would need arbitration across the
+    carry), skipping the probe entirely."""
+    if direction == "nearest":
+        return asof_join(
+            left, right, left_key, right_key, left_ts, right_ts,
+            payload_cols, strict=strict, tolerance_s=tolerance_s,
+            direction=direction,
+        )
     strategy, _, _ = asof_route(
         left, right, left_key, right_key,
         registry=registry, source_paths=source_paths,
@@ -487,11 +526,12 @@ def asof_join_auto(
         return asof_join_salted(
             left, right, left_key, right_key, left_ts, right_ts,
             payload_cols, strict=strict, tolerance_s=tolerance_s,
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, direction=direction,
         )
     return asof_join(
         left, right, left_key, right_key, left_ts, right_ts,
         payload_cols, strict=strict, tolerance_s=tolerance_s,
+        direction=direction,
     )
 
 

@@ -1098,18 +1098,25 @@ def test_asof_salted_matches_base(spark):
             tuple(r) for r in df.select("k", "lts", "tag", "score").collect()
         )
 
-    for strict in (False, True):
-        for tol in (None, 50):
-            base = norm(asof_join(
-                left, right, "k", "k", "lts", "rts", ["tag", "score"],
-                strict=strict, tolerance_s=tol,
-            ))
-            for nb in (1, 3, 32, 500):
-                got = norm(asof_join_salted(
+    for direction in ("backward", "forward"):
+        for strict in (False, True):
+            for tol in (None, 50):
+                base = norm(asof_join(
                     left, right, "k", "k", "lts", "rts", ["tag", "score"],
-                    strict=strict, tolerance_s=tol, n_buckets=nb,
+                    strict=strict, tolerance_s=tol, direction=direction,
                 ))
-                assert got == base, (strict, tol, nb)
+                for nb in (1, 3, 32, 500):
+                    got = norm(asof_join_salted(
+                        left, right, "k", "k", "lts", "rts",
+                        ["tag", "score"], strict=strict, tolerance_s=tol,
+                        n_buckets=nb, direction=direction,
+                    ))
+                    assert got == base, (direction, strict, tol, nb)
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join_salted(
+            left, right, "k", "k", "lts", "rts", ["tag"],
+            direction="nearest",
+        )
 
 
 def test_asof_salted_empty_right_and_collision_guard(spark):
@@ -1250,13 +1257,17 @@ def test_asof_auto_routes_by_skew(spark, tmp_path):
             left, right, "k", "k", registry=StatsRegistry(), **kw
         )
         assert (name, strategy) == (name, want) and n == 300
-        got = asof_join_auto(
-            left, right, "k", "k", "lts", "rts", ["v"],
-            registry=StatsRegistry(), **kw,
-        )
-        base = asof_join(left, right, "k", "k", "lts", "rts", ["v"])
-        assert sorted(map(tuple, got.collect())) == \
-            sorted(map(tuple, base.collect())), name
+        for direction in ("backward", "forward", "nearest"):
+            got = asof_join_auto(
+                left, right, "k", "k", "lts", "rts", ["v"],
+                registry=StatsRegistry(), direction=direction, **kw,
+            )
+            base = asof_join(
+                left, right, "k", "k", "lts", "rts", ["v"],
+                direction=direction,
+            )
+            assert sorted(map(tuple, got.collect())) == \
+                sorted(map(tuple, base.collect())), (name, direction)
 
     # registry discipline: one probe per snapshot pair, cached read
     # decides identically
