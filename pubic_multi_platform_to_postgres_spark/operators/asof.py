@@ -142,12 +142,23 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    # Both fills are GROWING frames (unbounded preceding → current):
+    # Spark evaluates growing frames incrementally in O(n) per
+    # partition, while a current→unbounded-following frame
+    # (UnboundedFollowingWindowFunctionFrame) RECOMPUTES the aggregate
+    # per row — O(n²) per partition, measured 0.56 s vs 25.7 s on one
+    # 20k-row key (r14). Forward therefore sorts DESCENDING (ts, side)
+    # and reuses last-over-preceding; the tie handling is unchanged
+    # because the side ranks are mirrored with the sort.
     wb = Window.partitionBy("__asof_k").orderBy(F.col("__asof_ts"), F.col("__asof_side"))
+    wf = Window.partitionBy("__asof_k").orderBy(
+        F.col("__asof_ts").desc(), F.col("__asof_side").desc()
+    )
     back_fill = F.last(F.col("__asof_payload"), ignorenulls=True).over(
         wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fwd_fill = F.first(F.col("__asof_payload"), ignorenulls=True).over(
-        wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    fwd_fill = F.last(F.col("__asof_payload"), ignorenulls=True).over(
+        wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
     # the union coerces the ts column to the common type, so compare in
@@ -331,17 +342,21 @@ def asof_join_salted(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    wb = Window.partitionBy("__asof_k", "__asof_bkt").orderBy(
-        F.col("__asof_ts"), F.col("__asof_side")
-    )
+    # growing frames only (see asof_join: a current→unbounded-following
+    # frame recomputes per row, O(n²) per sort group — exactly the hot
+    # bucket this plan exists to protect); forward sorts DESCENDING and
+    # reuses last-over-preceding with the side ranks mirrored
     if fwd:
-        in_bucket = F.first(F.col("__asof_payload"), ignorenulls=True).over(
-            wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        wb = Window.partitionBy("__asof_k", "__asof_bkt").orderBy(
+            F.col("__asof_ts").desc(), F.col("__asof_side").desc()
         )
     else:
-        in_bucket = F.last(F.col("__asof_payload"), ignorenulls=True).over(
-            wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wb = Window.partitionBy("__asof_k", "__asof_bkt").orderBy(
+            F.col("__asof_ts"), F.col("__asof_side")
         )
+    in_bucket = F.last(F.col("__asof_payload"), ignorenulls=True).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     filled = unioned.select("*", in_bucket.alias("__asof_in_bucket"))
 
     # bucket-final right payloads → running carry shifted one bucket.
@@ -356,16 +371,14 @@ def asof_join_salted(
         .agg(edge_of_bucket(F.col("__asof_payload"), F.col("__asof_ts")).alias("__asof_final"))
     )
     buckets = unioned.select("__asof_k", "__asof_bkt").distinct()
-    wc = Window.partitionBy("__asof_k").orderBy("__asof_bkt")
-    if fwd:
-        # first bucket-initial payload from any strictly-LATER bucket
-        carry_fill = F.first(F.col("__asof_final"), ignorenulls=True).over(
-            wc.rowsBetween(1, Window.unboundedFollowing)
-        )
-    else:
-        carry_fill = F.last(F.col("__asof_final"), ignorenulls=True).over(
-            wc.rowsBetween(Window.unboundedPreceding, -1)
-        )
+    # forward iterates the (tiny) bucket grid in DESCENDING bucket
+    # order, so "nearest strictly-later bucket's initial" is again a
+    # growing-frame last-over-(preceding, -1)
+    order = F.col("__asof_bkt").desc() if fwd else F.col("__asof_bkt")
+    wc = Window.partitionBy("__asof_k").orderBy(order)
+    carry_fill = F.last(F.col("__asof_final"), ignorenulls=True).over(
+        wc.rowsBetween(Window.unboundedPreceding, -1)
+    )
     carry = (
         buckets.join(finals, ["__asof_k", "__asof_bkt"], "left")
         .select(
