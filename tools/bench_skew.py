@@ -111,7 +111,7 @@ def main() -> int:
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument(
         "--sections",
-        default="queries,candidates,relational,basket,strategy,urlhot,asofhot,asofauto",
+        default="queries,candidates,relational,basket,strategy,urlhot,asofhot,asoffwd,asofauto",
         help="comma list of sections to (re)run; others merge from --out",
     )
     args = ap.parse_args()
@@ -138,7 +138,7 @@ def main() -> int:
         prior = json.loads(out_path.read_text())
         for key in ("queries", "candidate_counts", "relational_hot_key",
                     "basket_mega_cap", "collapse_strategy", "url_hot_canon",
-                    "asof_hot_key", "asof_auto_route"):
+                    "asof_hot_key", "asof_hot_key_forward", "asof_auto_route"):
             if key in prior:
                 report[key] = prior[key]
     qs = entry.queries()
@@ -468,6 +468,50 @@ def main() -> int:
         asof[label] = row
         print(f"  asofhot {label}: {row}", file=sys.stderr)
         report["asof_hot_key"] = asof
+        out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # FORWARD salted mirror (r14): the follow-up/label join under the
+    # same hot key — base forward (first-over-following, one sort
+    # group) vs the forward-salted stitch (bucket-initial min_by +
+    # later-bucket carry), measured at 1×/10× with output equality
+    # asserted at 1×.
+    if "asoffwd" in sections:
+        fwd: dict = report.get("asof_hot_key_forward", {})
+        fwd["design"] = (
+            "same 90%-hot fixture as asof_hot_key; direction='forward'; "
+            "salted n_buckets=32"
+        )
+
+        def _fwd_face(f: int, salted: bool):
+            trades, quotes = _asof_fixture(f)
+            fn = asof_join_salted if salted else asof_join
+            kw = {"n_buckets": 32} if salted else {}
+            joined = fn(
+                trades, quotes, "sym", "sym", "tts", "qts", ["bid"],
+                direction="forward", **kw
+            )
+            return joined.where(F.col("bid").isNotNull())
+
+        for label, factor in (("skew1", 1), ("skew10", 10)):
+            row = {}
+            for face, salted in (("base", False), ("salted", True)):
+                wall, rows_, to = _run_guarded(
+                    spark, lambda s=salted, f=factor: _fwd_face(f, s),
+                    args.timeout,
+                )
+                row[face] = (
+                    {"timed_out": True, "timeout_s": args.timeout}
+                    if to
+                    else {"wall_s": round(wall, 3), "output_rows": rows_}
+                )
+            if factor == 1:
+                b, s_ = _fwd_face(1, False), _fwd_face(1, True)
+                row["outputs_identical"] = bool(
+                    b.exceptAll(s_).isEmpty() and s_.exceptAll(b).isEmpty()
+                )
+            fwd[label] = row
+            print(f"  asoffwd {label}: {row}", file=sys.stderr)
+        report["asof_hot_key_forward"] = fwd
         out_path.write_text(json.dumps(report, indent=2) + "\n")
 
     # As-of AUTO route (VERDICT r13 Next #2): record the planner
