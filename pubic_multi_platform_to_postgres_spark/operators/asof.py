@@ -272,13 +272,25 @@ def asof_join_salted(
     over current→following, bucket-INITIAL payloads (``min_by``), and a
     carry-in of the first later-bucket initial — completing the salted
     plan for the follow-up/label join under the same hot-key shape.
-    ``'nearest'`` has no salted formulation here (both faces would need
-    arbitration across the carry); route nearest to ``asof_join``."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(
-            f"asof_join_salted supports direction 'backward'/'forward', "
-            f"got {direction!r}; use asof_join for 'nearest'"
-        )
+
+    ``direction='nearest'`` (r15, VERDICT r14 Next #1) runs BOTH faces
+    over the same (key, bucket) partitioning — one exchange, two sorts
+    — and arbitrates per left row exactly like the base plan: each
+    side's candidate is ``coalesce(in-bucket fill, cross-bucket
+    carry)``, which equals that side's base match (an in-bucket match
+    is always nearer than any carry: bucketing is monotone in ts, so a
+    row in a strictly earlier/later bucket is strictly farther), and
+    nearest-by-distance with exact-backward-ties-win is a pure per-row
+    function of the two per-side matches. The bucket-edge aggregate
+    computes both ``max_by`` and ``min_by`` in ONE pass; the two carry
+    windows share the tiny (|keys|·n_buckets) grid. ``strict`` is
+    rejected for nearest, matching ``asof_join``."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
+    near = direction == "nearest"
+    if near and strict:
+        raise ValueError("strict/exclusive matching is not supported "
+                         "for direction='nearest'")
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
     ts_type = right.schema[right_ts].dataType
@@ -344,69 +356,112 @@ def asof_join_salted(
 
     # growing frames only (see asof_join: a current→unbounded-following
     # frame recomputes per row, O(n²) per sort group — exactly the hot
-    # bucket this plan exists to protect); forward sorts DESCENDING and
-    # reuses last-over-preceding with the side ranks mirrored
-    if fwd:
-        wb = Window.partitionBy("__asof_k", "__asof_bkt").orderBy(
-            F.col("__asof_ts").desc(), F.col("__asof_side").desc()
-        )
-    else:
-        wb = Window.partitionBy("__asof_k", "__asof_bkt").orderBy(
-            F.col("__asof_ts"), F.col("__asof_side")
-        )
-    in_bucket = F.last(F.col("__asof_payload"), ignorenulls=True).over(
-        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # bucket this plan exists to protect); the forward face sorts
+    # DESCENDING and reuses last-over-preceding with the side ranks
+    # mirrored. nearest needs both faces: two window specs over the
+    # SAME (key, bucket) partitioning — one exchange, two sorts.
+    want_back = direction in ("backward", "nearest")
+    want_fwd = direction in ("forward", "nearest")
+    w_asc = Window.partitionBy("__asof_k", "__asof_bkt").orderBy(
+        F.col("__asof_ts"), F.col("__asof_side")
     )
-    filled = unioned.select("*", in_bucket.alias("__asof_in_bucket"))
+    w_desc = Window.partitionBy("__asof_k", "__asof_bkt").orderBy(
+        F.col("__asof_ts").desc(), F.col("__asof_side").desc()
+    )
 
-    # bucket-final right payloads → running carry shifted one bucket.
+    def _fill(w):
+        return F.last(F.col("__asof_payload"), ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    fills = []
+    if want_back:
+        fills.append(_fill(w_asc).alias("__asof_in_b"))
+    if want_fwd:
+        fills.append(_fill(w_desc).alias("__asof_in_f"))
+    filled = unioned.select("*", *fills)
+
+    # bucket-edge right payloads → running carry shifted one bucket.
     # The carry must exist for every (key, bucket) the LEFT occupies —
     # a bucket with no right rows still inherits from earlier buckets —
     # so the running fill runs over the occupied-bucket grid (one
     # map-side-combined distinct, (|keys|·n_buckets)-bounded), not just
-    # the buckets holding right rows.
-    edge_of_bucket = F.min_by if fwd else F.max_by
-    finals = (
-        r_tagged.groupBy("__asof_k", "__asof_bkt")
-        .agg(edge_of_bucket(F.col("__asof_payload"), F.col("__asof_ts")).alias("__asof_final"))
-    )
+    # the buckets holding right rows. One aggregate pass computes both
+    # edges when nearest needs them.
+    edges = []
+    if want_back:
+        edges.append(
+            F.max_by(F.col("__asof_payload"), F.col("__asof_ts")).alias("__asof_final_b")
+        )
+    if want_fwd:
+        edges.append(
+            F.min_by(F.col("__asof_payload"), F.col("__asof_ts")).alias("__asof_final_f")
+        )
+    finals = r_tagged.groupBy("__asof_k", "__asof_bkt").agg(*edges)
     buckets = unioned.select("__asof_k", "__asof_bkt").distinct()
-    # forward iterates the (tiny) bucket grid in DESCENDING bucket
-    # order, so "nearest strictly-later bucket's initial" is again a
-    # growing-frame last-over-(preceding, -1)
-    order = F.col("__asof_bkt").desc() if fwd else F.col("__asof_bkt")
-    wc = Window.partitionBy("__asof_k").orderBy(order)
-    carry_fill = F.last(F.col("__asof_final"), ignorenulls=True).over(
-        wc.rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # the forward carry iterates the (tiny) bucket grid in DESCENDING
+    # bucket order, so "nearest strictly-later bucket's initial" is
+    # again a growing-frame last-over-(preceding, -1)
+    wc_asc = Window.partitionBy("__asof_k").orderBy(F.col("__asof_bkt"))
+    wc_desc = Window.partitionBy("__asof_k").orderBy(F.col("__asof_bkt").desc())
+    carries = []
+    keep = F.lit(False)
+    if want_back:
+        carries.append(
+            F.last(F.col("__asof_final_b"), ignorenulls=True)
+            .over(wc_asc.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("__asof_carry_b")
+        )
+        keep = keep | F.col("__asof_carry_b").isNotNull()
+    if want_fwd:
+        carries.append(
+            F.last(F.col("__asof_final_f"), ignorenulls=True)
+            .over(wc_desc.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("__asof_carry_f")
+        )
+        keep = keep | F.col("__asof_carry_f").isNotNull()
     carry = (
         buckets.join(finals, ["__asof_k", "__asof_bkt"], "left")
-        .select(
-            "__asof_k",
-            "__asof_bkt",
-            carry_fill.alias("__asof_carry"),
-        )
-        .filter(F.col("__asof_carry").isNotNull())
+        .select("__asof_k", "__asof_bkt", *carries)
+        .filter(keep)
     )
 
-    out = (
-        filled.filter(F.col("__asof_side") == left_rank)
-        .join(carry, ["__asof_k", "__asof_bkt"], "left")
-        .select(
-            "*",
-            F.coalesce(F.col("__asof_in_bucket"), F.col("__asof_carry")).alias("__asof_m"),
-        )
+    joined = filled.filter(F.col("__asof_side") == left_rank).join(
+        carry, ["__asof_k", "__asof_bkt"], "left"
     )
+    # per-side match = coalesce(in-bucket fill, carry): monotone
+    # bucketing makes the in-bucket match never farther than any carry,
+    # so each side reproduces its base-plan match exactly
+    if direction == "backward":
+        m = F.coalesce(F.col("__asof_in_b"), F.col("__asof_carry_b"))
+    elif direction == "forward":
+        m = F.coalesce(F.col("__asof_in_f"), F.col("__asof_carry_f"))
+    else:  # nearest: the base plan's arbitration over the per-side matches
+        bwd = F.coalesce(F.col("__asof_in_b"), F.col("__asof_carry_b"))
+        fwd_m = F.coalesce(F.col("__asof_in_f"), F.col("__asof_carry_f"))
+        bd = _num(F.col("__asof_ts")) - _num(bwd["__asof_rts"])
+        fd = _num(fwd_m["__asof_rts"]) - _num(F.col("__asof_ts"))
+        m = (
+            F.when(bwd.isNull(), fwd_m)
+            .when(fwd_m.isNull(), bwd)
+            .when(fd < bd, fwd_m)
+            .otherwise(bwd)  # ties -> backward (pandas rule)
+        )
+    out = joined.select("*", m.alias("__asof_m"))
     if tolerance_s is not None:
         lt, rt = F.col("__asof_ts"), F.col("__asof_m.__asof_rts")
-        near, far = (lt, rt) if fwd else (rt, lt)  # dist in match direction
-        if is_temporal:
-            fresh = (
-                F.unix_micros(far.cast("timestamp"))
-                - F.unix_micros(near.cast("timestamp"))
-            ) <= F.lit(int(tolerance_s * 1_000_000))
+        if direction == "backward":
+            dist = _num(lt) - _num(rt)
+        elif direction == "forward":
+            dist = _num(rt) - _num(lt)
         else:
-            fresh = (far - near) <= F.lit(tolerance_s)
+            dist = F.abs(_num(rt) - _num(lt))
+        tol = (
+            F.lit(int(tolerance_s * 1_000_000))
+            if is_temporal
+            else F.lit(tolerance_s)
+        )
+        fresh = dist <= tol
         return out.select(
             *[F.col(c) for c in lcols],
             *[
@@ -520,16 +575,10 @@ def asof_join_auto(
     window (the market-data shape). Both branches produce the IDENTICAL
     answer (``test_asof_salted_matches_base``), so the statistic can
     only cost performance, never correctness — the same contract as the
-    dedup ``_auto`` rows. Routes backward and forward (r14: the salted
-    plan mirrors both); ``'nearest'`` always takes the base plan (no
-    salted formulation — both faces would need arbitration across the
-    carry), skipping the probe entirely."""
-    if direction == "nearest":
-        return asof_join(
-            left, right, left_key, right_key, left_ts, right_ts,
-            payload_cols, strict=strict, tolerance_s=tolerance_s,
-            direction=direction,
-        )
+    dedup ``_auto`` rows. Routes ALL THREE directions through the same
+    key-share statistic (r15: the salted plan arbitrates nearest's two
+    faces across the carry, so the last direction whose hot-key cost
+    was the single-task sort now salts too)."""
     strategy, _, _ = asof_route(
         left, right, left_key, right_key,
         registry=registry, source_paths=source_paths,

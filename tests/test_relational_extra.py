@@ -1098,8 +1098,10 @@ def test_asof_salted_matches_base(spark):
             tuple(r) for r in df.select("k", "lts", "tag", "score").collect()
         )
 
-    for direction in ("backward", "forward"):
-        for strict in (False, True):
+    for direction in ("backward", "forward", "nearest"):
+        # strict has no nearest formulation (rejected on both entry
+        # points); the inclusive grid runs for all three directions
+        for strict in (False,) if direction == "nearest" else (False, True):
             for tol in (None, 50):
                 base = norm(asof_join(
                     left, right, "k", "k", "lts", "rts", ["tag", "score"],
@@ -1115,7 +1117,7 @@ def test_asof_salted_matches_base(spark):
     with pytest.raises(ValueError, match="nearest"):
         asof_join_salted(
             left, right, "k", "k", "lts", "rts", ["tag"],
-            direction="nearest",
+            direction="nearest", strict=True,
         )
 
 
@@ -1322,7 +1324,7 @@ def test_asof_plans_use_only_growing_window_frames(spark):
     ] + [
         asof_join_salted(left, right, "k", "k", "lts", "rts", ["v"],
                          n_buckets=4, direction=d)
-        for d in ("backward", "forward")
+        for d in ("backward", "forward", "nearest")
     ]
     for df in plans:
         plan = df._jdf.queryExecution().analyzed().toString().lower()
