@@ -38,9 +38,13 @@ _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # rounds 9–10. Round 14 advances to 166 (VERDICT r13 Next #6): the
 # window [166:199)+[0:17) covers the registry tail — the r14 additions
 # seated at 166 by ``queries/__init__.py`` plus the rows last sampled in
-# rounds 10–11 — and is disjoint from r13's [116:166).
+# rounds 10–11 — and is disjoint from r13's [116:166). Round 15 advances
+# to 17 (VERDICT r14 Next #6): the window [17:67) re-verifies the rows
+# last driver-sampled in round 11 — the stalest slice — plus the r15
+# additions seated at 17 by ``queries/__init__.py``, and is disjoint
+# from r14's window.
 # ``SPARK_GRAFT_REGISTRY_ROT`` overrides for local testing.
-REGISTRY_OFFSET = 166
+REGISTRY_OFFSET = 17
 
 
 def entry(spark: SparkSession) -> DataFrame:

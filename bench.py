@@ -68,10 +68,16 @@ def main() -> None:
     # metric/value/unit/sf schema (plus the five slowest queries and a
     # pointer to the full table) so any tail window ending at EOF
     # contains one complete, valid JSON line.
+    #
+    # Default out is the UNCOMMITTED run file (gitignored) — VERDICT
+    # r14 Next #4: the committed BENCH_LOCAL.json is written only by
+    # the round-close protocol (SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json
+    # on a controlled 3-repeat run), so ad-hoc and driver benches stop
+    # dirtying the tree.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_LOCAL.json"),
+                     "BENCH_LOCAL_run.json"),
     )
     try:
         with open(out_path, "w") as fh:

@@ -105,6 +105,17 @@ class ParquetUpsertSink:
     land); any torn state is detected as stale on the next landing and
     re-bootstrapped from the landed table — one recovery scan, never a
     wrong statistic.
+
+    ``key_stat_cols`` (r15, VERDICT r14 Next #5) is the symmetric
+    maintenance for JOIN-KEY skew: each named column gets an on-disk
+    ``KeyHistogram`` folded the same delta way and a published
+    ``keyshare:<col>`` ``(n_rows, top_share)``, so the as-of route
+    (``operators/asof.py asof_route``) can derive its union statistic
+    from two landed tables with ZERO live probes
+    (``plans/stats.py union_key_share``). All maintained histograms
+    share one crash contract and one replaced-rows retraction join —
+    null-safe per key (ADVICE r14: the window dedup groups NULL keys,
+    so a null-rejecting semi-join would silently leak retractions).
     """
 
     def __init__(
@@ -115,6 +126,7 @@ class ParquetUpsertSink:
         order_col: str | None = None,
         partition_by: list[str] | None = None,
         clone_stat_col: str | None = None,
+        key_stat_cols: list[str] | None = None,
         stats_registry=None,
     ) -> None:
         if not keys:
@@ -125,7 +137,10 @@ class ParquetUpsertSink:
         self.order_col = order_col
         self.partition_by = partition_by or []
         self.clone_stat_col = clone_stat_col
-        if stats_registry is None and clone_stat_col is not None:
+        self.key_stat_cols = key_stat_cols or []
+        if stats_registry is None and (
+            clone_stat_col is not None or self.key_stat_cols
+        ):
             from pubic_multi_platform_to_postgres_spark.plans.stats import (
                 CORPUS_STATS,
             )
@@ -184,122 +199,144 @@ class ParquetUpsertSink:
             merged = batch.withColumn("_batch_seq", F.lit(1))
         tagged = dedup_latest(merged, self.keys, self.order_col)
         result = tagged.drop("_batch_seq")
-        # Fold the landing's clone-statistic delta and WRITE it to the
-        # staging dir before the table swap (the fold reads the
-        # pre-swap files); activated only after the swap succeeds.
-        hist_staging = self._fold_clone_stats(tagged, existing)
-        self._swap_in(result)
-        if hist_staging is not None:
-            self._publish_clone_stats(hist_staging)
+        # Fold the landing's statistic deltas and WRITE them to staging
+        # dirs before the table swap (the folds read the pre-swap
+        # files); activated only after the swap succeeds. A failed swap
+        # removes the stagings (ADVICE r14: they used to orphan).
+        folds = self._fold_stats(tagged, existing)
+        try:
+            self._swap_in(result)
+        except BaseException:
+            for _, _, _, staging in folds:
+                shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self._publish_stats(folds)
 
-    def _fold_clone_stats(
-        self, tagged: DataFrame, existing: DataFrame | None
-    ) -> Path | None:
-        """Maintain the clone histogram for this landing: +1 the batch
-        rows that won the PK dedup (``_batch_seq == 1`` — folding the
-        raw batch would double-count rows the dedup dropped), −1 the
-        existing rows those winners replaced (semi-join on the keys —
-        the same rows the merge itself just rewrote). Net effect:
-        redelivered-identical rows cancel; re-sent content moves mass
-        between classes; genuinely new rows add mass. Returns the
-        staging dir holding the folded table (materialized NOW, while
-        the pre-swap files still exist), or None when maintenance is
-        off / the column is absent (schema evolution)."""
-        col = self.clone_stat_col
-        if col is None or col not in tagged.columns:
-            return None
+    def _stat_plans(self) -> list[tuple]:
+        """(histogram class, column, on-disk path) per maintained
+        statistic: the clone histogram plus one key histogram per
+        configured join-key column."""
         from pubic_multi_platform_to_postgres_spark.plans.stats import (
             CloneHistogram,
+            KeyHistogram,
+            key_hist_path,
+        )
+
+        plans: list[tuple] = []
+        if self.clone_stat_col is not None:
+            plans.append((CloneHistogram, self.clone_stat_col, self._hist_path))
+        at = key_hist_path(self.path)
+        for c in self.key_stat_cols:
+            plans.append((KeyHistogram, c, at(c)))
+        return plans
+
+    def _fold_stats(
+        self, tagged: DataFrame, existing: DataFrame | None
+    ) -> list[tuple]:
+        """Maintain every configured histogram for this landing: +1 the
+        batch rows that won the PK dedup (``_batch_seq == 1`` — folding
+        the raw batch would double-count rows the dedup dropped), −1
+        the existing rows those winners replaced — joined NULL-SAFE per
+        key (ADVICE r14: ``dedup_latest``'s window groups NULL keys, so
+        a null-rejecting semi-join would rewrite such rows without ever
+        retracting them and the statistic would silently drift). Net
+        effect: redelivered-identical rows cancel; re-sent content
+        moves mass between classes; genuinely new rows add mass.
+        Returns ``(cls, col, hist_path, staging)`` per fold, each
+        staging materialized NOW while the pre-swap files still exist;
+        a statistic whose column is absent even after the merge is
+        skipped (nothing to maintain yet)."""
+        from pubic_multi_platform_to_postgres_spark.plans.stats import (
+            hist_meta_stamp,
+            jsonable_fp,
             source_fingerprint,
         )
 
-        hist = None
-        if existing is not None:
-            # a landed row predating this column (schema evolution) is a
-            # NULL-content row in the merged table — fold it as such so
-            # the maintained table matches what a live probe would see
-            if col not in existing.columns:
-                existing = existing.withColumn(
-                    col, F.lit(None).cast(tagged.schema[col].dataType)
-                )
-            # reuse the maintained table only if it matches the CURRENT
-            # landed snapshot (meta written post-swap last cycle); any
-            # torn/missing state re-bootstraps from the landed table
-            meta = self._read_hist_meta()
-            if meta == self._jsonable_fp(source_fingerprint(str(self.path))):
-                hist = CloneHistogram.load(self.spark, str(self._hist_path))
-            if hist is None:
-                hist = CloneHistogram().merge_batch(existing, col)
-        else:
-            hist = CloneHistogram()
+        plans = [p for p in self._stat_plans() if p[1] in tagged.columns]
+        if not plans:
+            return []
+        fp_now = jsonable_fp(source_fingerprint(str(self.path)))
         winners = tagged.filter(F.col("_batch_seq") == 1)
-        hist.merge_batch(winners, col)
+        replaced = None
         if existing is not None:
-            replaced = existing.join(
-                winners.select(*self.keys).distinct(), self.keys, "left_semi"
-            )
-            hist.merge_batch(replaced, col, weight=-1)
-        staging = self._hist_path.with_name(
-            f"{self._hist_path.name}__staging_{uuid.uuid4().hex[:8]}"
-        )
-        base = (
-            hist.hist
-            if hist.hist is not None
-            else self.spark.createDataFrame([], CloneHistogram.SCHEMA)
-        )
-        base.write.mode("overwrite").parquet(str(staging))
-        return staging
+            wk = winners.select(*[
+                F.col(k).alias(f"__stat_k{i}") for i, k in enumerate(self.keys)
+            ]).distinct()
+            cond = F.lit(True)
+            for i, k in enumerate(self.keys):
+                cond = cond & existing[k].eqNullSafe(wk[f"__stat_k{i}"])
+            replaced = existing.join(wk, cond, "left_semi")
 
-    def _publish_clone_stats(self, staging: Path) -> None:
-        """Post-swap half: move the folded histogram into place, stamp
+        folds = []
+        for cls, col, hist_path in plans:
+            hist = None
+            ex = existing
+            rep = replaced
+            if ex is not None:
+                # a landed row predating this column (schema evolution)
+                # is a NULL-content row in the merged table — fold it as
+                # such so the maintained table matches a live probe
+                if col not in ex.columns:
+                    typed_null = F.lit(None).cast(tagged.schema[col].dataType)
+                    ex = ex.withColumn(col, typed_null)
+                    rep = rep.withColumn(col, typed_null)
+                # reuse the maintained table only if it matches the
+                # CURRENT landed snapshot (meta written post-swap last
+                # cycle); torn/missing state re-bootstraps from the table
+                if hist_meta_stamp(hist_path) == fp_now:
+                    hist = cls.load(self.spark, str(hist_path))
+                if hist is None:
+                    hist = cls().merge_batch(ex, col)
+            else:
+                hist = cls()
+            hist.merge_batch(winners, col)
+            if rep is not None:
+                hist.merge_batch(rep, col, weight=-1)
+            staging = hist_path.with_name(
+                f"{hist_path.name}__staging_{uuid.uuid4().hex[:8]}"
+            )
+            base = (
+                hist.hist
+                if hist.hist is not None
+                else self.spark.createDataFrame([], cls.SCHEMA)
+            )
+            base.write.mode("overwrite").parquet(str(staging))
+            folds.append((cls, col, hist_path, staging))
+        return folds
+
+    def _publish_stats(self, folds: list[tuple]) -> None:
+        """Post-swap half: move each folded histogram into place, stamp
         it with the NEW table fingerprint, and publish the summary so
         planner reads are free. A crash anywhere in here leaves meta ≠
         table fingerprint → next landing re-bootstraps."""
         import json
 
         from pubic_multi_platform_to_postgres_spark.plans.stats import (
-            CloneHistogram,
+            jsonable_fp,
             source_fingerprint,
         )
 
-        old = self._hist_path.with_name(
-            f"{self._hist_path.name}__old_{uuid.uuid4().hex[:8]}"
-        )
-        had_old = self._hist_path.exists()
-        if had_old:
-            self._hist_path.rename(old)
-        staging.rename(self._hist_path)
-        if had_old:
-            shutil.rmtree(old)
+        if not folds:
+            return
         fp = source_fingerprint(str(self.path))
-        self._hist_path.with_name(
-            f"{self._hist_path.name}.meta.json"
-        ).write_text(
-            json.dumps({"fingerprint": self._jsonable_fp(fp)})
-        )
-        hist = CloneHistogram.load(self.spark, str(self._hist_path))
-        if self.stats_registry is not None and fp is not None:
-            hist.publish(
-                self.stats_registry, str(self.path), self.clone_stat_col,
-                fingerprint=fp,
+        for cls, col, hist_path, staging in folds:
+            old = hist_path.with_name(
+                f"{hist_path.name}__old_{uuid.uuid4().hex[:8]}"
             )
-
-    def _read_hist_meta(self):
-        import json
-
-        try:
-            raw = json.loads(
-                self._hist_path.with_name(
-                    f"{self._hist_path.name}.meta.json"
-                ).read_text()
+            had_old = hist_path.exists()
+            if had_old:
+                hist_path.rename(old)
+            staging.rename(hist_path)
+            if had_old:
+                shutil.rmtree(old)
+            hist_path.with_name(f"{hist_path.name}.meta.json").write_text(
+                json.dumps({"fingerprint": jsonable_fp(fp)})
             )
-            return raw["fingerprint"]
-        except (OSError, ValueError, KeyError):
-            return None
-
-    @staticmethod
-    def _jsonable_fp(fp):
-        return None if fp is None else [list(e) for e in fp]
+            hist = cls.load(self.spark, str(hist_path))
+            if self.stats_registry is not None and fp is not None:
+                hist.publish(
+                    self.stats_registry, str(self.path), col, fingerprint=fp
+                )
 
     def _swap_in(self, result: DataFrame) -> None:
         tmp = self.path.with_name(f"{self.path.name}__staging_{uuid.uuid4().hex[:8]}")

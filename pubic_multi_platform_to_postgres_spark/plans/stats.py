@@ -121,12 +121,16 @@ class StatsRegistry:
     ``clone_summary`` / ``key_share`` / ``selectivity`` are the planner
     read paths (each with its own live-probe fallback); ``scalar`` is
     the generic primitive under them; ``put`` is how a landing pipeline
-    publishes a statistic it maintains (see :class:`CloneHistogram`) so
-    the planner never probes at all."""
+    publishes a statistic it maintains (see :class:`CloneHistogram` /
+    :class:`KeyHistogram`) so the planner never probes at all.
+    ``probe_count`` counts the LIVE corpus probes this registry has
+    paid (compute fallbacks inside ``scalar``) — the observable a
+    maintained-statistics path asserts stays at zero."""
 
     def __init__(self, path: str | None = None) -> None:
         self._entries: dict[tuple[str, str], tuple[_Fingerprint, tuple]] = {}
         self._path = path
+        self.probe_count = 0
         if path:
             self._load()
 
@@ -206,11 +210,24 @@ class StatsRegistry:
             hit = self._entries.get(key)
             if hit is not None and hit[0] == fp:
                 return hit[1]
+        self.probe_count += 1
         values = tuple(compute())
         if fp is not None:
             self._entries[key] = (fp, values)
             self._save()
         return values
+
+    def get(self, source_path, stat: str) -> tuple | None:
+        """Pure cache peek: the stored values iff the source snapshot
+        is unchanged, else None — NEVER computes. The read path for
+        callers that have a cheaper-than-probe derivation to try on a
+        miss (``operators/asof.py asof_route`` merging two maintained
+        key histograms)."""
+        fp = _fingerprint_of(source_path)
+        if fp is None:
+            return None
+        hit = self._entries.get((_key_of(source_path), stat))
+        return hit[1] if hit is not None and hit[0] == fp else None
 
     def put(
         self,
@@ -373,34 +390,14 @@ class CloneHistogram:
         ).first()
         return int(row["n"] or 0), int(row["cp"] or 0)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, spark: SparkSession | None = None) -> None:
         """Persist the histogram table (parquet, staging + rename): a
         crash mid-write leaves the previous table intact. An empty
         histogram writes an empty-but-typed table so ``load`` can tell
-        "maintained and empty" from "never maintained"."""
-        import shutil
-        import uuid
-
-        spark = SparkSession.getActiveSession()
-        hist = (
-            self.hist
-            if self.hist is not None
-            else spark.createDataFrame([], self.SCHEMA)
-        )
-        tmp = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-        hist.write.mode("overwrite").parquet(tmp)
-        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        had_old = os.path.exists(path)
-        if had_old:
-            os.rename(path, old)
-        try:
-            os.rename(tmp, path)
-        except BaseException:
-            if had_old and not os.path.exists(path):
-                os.rename(old, path)
-            raise
-        if had_old:
-            shutil.rmtree(old)
+        "maintained and empty" from "never maintained" — that branch
+        needs a session (pass ``spark`` or have an active one; ADVICE
+        r14: no session used to die as ``AttributeError`` on None)."""
+        _save_hist_dir(self.hist, self.SCHEMA, path, spark)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "CloneHistogram | None":
@@ -425,3 +422,196 @@ class CloneHistogram:
             source_path, f"clone:{text_col}", summary, fingerprint=fingerprint
         )
         return summary
+
+
+def _save_hist_dir(
+    hist: DataFrame | None,
+    schema: str,
+    path: str,
+    spark: SparkSession | None = None,
+) -> None:
+    """Crash-safe persist of a histogram table (staging + rename —
+    shared by :class:`CloneHistogram` and :class:`KeyHistogram`)."""
+    import shutil
+    import uuid
+
+    if hist is None:
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "saving an empty histogram needs a SparkSession: pass "
+                "spark= or call inside an active session"
+            )
+        hist = spark.createDataFrame([], schema)
+    tmp = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    hist.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    had_old = os.path.exists(path)
+    if had_old:
+        os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        if had_old and not os.path.exists(path):
+            os.rename(old, path)
+        raise
+    if had_old:
+        shutil.rmtree(old)
+
+
+class KeyHistogram:
+    """Maintained per-key count table for a join-key column — the
+    ingest-side half of the as-of route's skew statistic (VERDICT r14
+    Next #5, the symmetric closure of r14's clone-stat maintenance).
+
+    Same delta-fold contract as :class:`CloneHistogram`: a landing
+    folds only the batch rows that changed the corpus (+1 winners, −1
+    replaced), so at-least-once redelivery nets to zero and the table
+    is never rescanned after bootstrap. The key is stored CAST TO
+    STRING — value-exact for the atomic join-key types, and it makes
+    two tables' histograms mergeable on equal key VALUES regardless of
+    physical width (int vs bigint), which is what
+    :func:`union_key_share` needs. ``top_share()`` reduces to the
+    planner rule's two scalars ``(n_rows, top_key_share)``."""
+
+    SCHEMA = "__kh_k string, __kh_c long"
+
+    def __init__(self) -> None:
+        self.hist: DataFrame | None = None  # columns: __kh_k, __kh_c
+
+    def merge_batch(
+        self, df: DataFrame, key_col: str, weight: int = 1
+    ) -> "KeyHistogram":
+        batch = df.groupBy(
+            F.col(key_col).cast("string").alias("__kh_k")
+        ).agg((F.count(F.lit(1)) * F.lit(int(weight))).alias("__kh_c"))
+        if self.hist is None:
+            merged = batch
+        else:
+            merged = (
+                self.hist.unionByName(batch)
+                .groupBy("__kh_k")
+                .agg(F.sum("__kh_c").alias("__kh_c"))
+            )
+        if weight < 0:
+            merged = merged.filter(F.col("__kh_c") > 0)
+        self.hist = merged.localCheckpoint(eager=False)
+        return self
+
+    def top_share(self) -> tuple[int, float]:
+        """(n_rows, top_key_share) from the histogram alone — the
+        exact pair ``StatsRegistry.key_share``'s live probe measures,
+        derived without touching the corpus."""
+        if self.hist is None:
+            return 0, 0.0
+        row = self.hist.agg(
+            F.sum("__kh_c").alias("n"), F.max("__kh_c").alias("m")
+        ).first()
+        n = int(row["n"] or 0)
+        return n, (float(row["m"]) / n) if n else 0.0
+
+    def save(self, path: str, spark: SparkSession | None = None) -> None:
+        _save_hist_dir(self.hist, self.SCHEMA, path, spark)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "KeyHistogram | None":
+        if not os.path.isdir(path):
+            return None
+        out = cls()
+        out.hist = spark.read.schema(cls.SCHEMA).parquet(path)
+        return out
+
+    def publish(
+        self,
+        registry: StatsRegistry,
+        source_path: str,
+        key_col: str,
+        fingerprint: _Fingerprint | None = None,
+    ) -> tuple[int, float]:
+        """Record (n_rows, top_share) under ``keyshare:<col>`` so
+        single-table skew reads are free."""
+        vals = self.top_share()
+        registry.put(
+            source_path, f"keyshare:{key_col}", vals, fingerprint=fingerprint
+        )
+        return vals
+
+
+def hist_meta_stamp(hist_path) -> object | None:
+    """The fingerprint a sink stamped beside a maintained histogram
+    (``<hist>.meta.json``), in JSON-able form; None when absent/torn."""
+    import json
+    from pathlib import Path
+
+    p = Path(hist_path)
+    try:
+        raw = json.loads(p.with_name(f"{p.name}.meta.json").read_text())
+        return raw["fingerprint"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def jsonable_fp(fp: _Fingerprint | None):
+    """Fingerprint in the JSON-able shape meta stamps use (nested
+    lists), so stamp-vs-current comparisons are representation-exact."""
+    if fp is None:
+        return None
+    return [
+        jsonable_fp(e) if e and isinstance(e[0], tuple) else list(e)
+        for e in fp
+    ]
+
+
+def key_hist_path(table_path):
+    """Where the sink keeps a table's maintained key histogram:
+    ``_stats_<table>_keyhist_<col>`` beside the table (underscore
+    prefix = identity-neutral to :func:`source_fingerprint`)."""
+    from pathlib import Path
+
+    def at(key_col: str):
+        p = Path(table_path)
+        return p.with_name(f"_stats_{p.name}_keyhist_{key_col}")
+
+    return at
+
+
+def maintained_key_histogram(
+    spark: SparkSession, table_path: str, key_col: str
+) -> KeyHistogram | None:
+    """The sink-maintained key histogram beside ``table_path`` — iff
+    its meta stamp matches the table's CURRENT fingerprint (a stale or
+    missing stamp returns None and the caller falls back to a probe;
+    same cache contract as the clone histogram)."""
+    hist_path = key_hist_path(table_path)(key_col)
+    fp = source_fingerprint(str(table_path))
+    if fp is None or hist_meta_stamp(hist_path) != jsonable_fp(fp):
+        return None
+    return KeyHistogram.load(spark, str(hist_path))
+
+
+def union_key_share(
+    spark: SparkSession,
+    left: tuple[str, str],
+    right: tuple[str, str],
+) -> tuple[int, float] | None:
+    """(n_rows, top_key_share) of the UNION of two tables' key columns
+    derived purely from their maintained histograms — the as-of
+    route's statistic with ZERO corpus probes. ``left``/``right`` are
+    ``(table_path, key_col)`` pairs; returns None unless BOTH sides'
+    histograms are fresh under their tables' current fingerprints.
+    Cost: one histogram-sized aggregate (key-cardinality rows, string
+    keys merged on VALUE), never a scan of either table."""
+    lh = maintained_key_histogram(spark, *left)
+    rh = maintained_key_histogram(spark, *right)
+    if lh is None or rh is None or lh.hist is None or rh.hist is None:
+        return None
+    merged = (
+        lh.hist.unionByName(rh.hist)
+        .groupBy("__kh_k")
+        .agg(F.sum("__kh_c").alias("__kh_c"))
+    )
+    row = merged.agg(
+        F.sum("__kh_c").alias("n"), F.max("__kh_c").alias("m")
+    ).first()
+    n = int(row["n"] or 0)
+    return n, (float(row["m"]) / n) if n else 0.0

@@ -139,3 +139,20 @@ _order14 = (
 _reseated14 = {n: REGISTRY[n] for n in _order14}
 REGISTRY.clear()
 REGISTRY.update(_reseated14)
+
+# Round-15 additions — seated at index 17 so the round-15 driver window
+# [17:67) (``__spark_entry__.REGISTRY_OFFSET = 17``) samples each
+# addition in its debut round. Same deterministic committed device as
+# the r11–r14 blocks above.
+_R15_SEAT_AT = 17
+_R15_ADDED = (
+    "join_asof_salted_nearest_events",
+    "corpus_land_key_share",
+)
+_names15 = [n for n in REGISTRY if n not in _R15_ADDED]
+_order15 = (
+    _names15[:_R15_SEAT_AT] + list(_R15_ADDED) + _names15[_R15_SEAT_AT:]
+)
+_reseated15 = {n: REGISTRY[n] for n in _order15}
+REGISTRY.clear()
+REGISTRY.update(_reseated15)

@@ -1092,6 +1092,161 @@ def join_asof_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_salted_nearest_events",
+    oracle="""
+    WITH b AS (
+        SELECT o.o_orderkey, e.ts AS bts, e.event_type AS btag,
+               CAST(e.value AS DOUBLE) AS bval
+        FROM orders o
+        ASOF LEFT JOIN events e
+          ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    ),
+    f AS (
+        SELECT o.o_orderkey, e.ts AS fts, e.event_type AS ftag,
+               CAST(e.value AS DOUBLE) AS fval
+        FROM orders o
+        ASOF LEFT JOIN events e
+          ON o.o_custkey = e.user_id
+         AND -epoch_ns(e.ts) <= -epoch_ns(o.o_orderdate)
+    )
+    SELECT o.o_orderkey,
+           CASE WHEN bts IS NULL THEN ftag
+                WHEN fts IS NULL THEN btag
+                WHEN epoch_ns(fts) - epoch_ns(o.o_orderdate)
+                     < epoch_ns(o.o_orderdate) - epoch_ns(bts) THEN ftag
+                ELSE btag END AS nearest_event_type,
+           CASE WHEN bts IS NULL THEN fval
+                WHEN fts IS NULL THEN bval
+                WHEN epoch_ns(fts) - epoch_ns(o.o_orderdate)
+                     < epoch_ns(o.o_orderdate) - epoch_ns(bts) THEN fval
+                ELSE bval END AS nearest_event_value
+    FROM orders o
+    JOIN b USING (o_orderkey)
+    JOIN f USING (o_orderkey)
+    """,
+)
+def join_asof_salted_nearest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-KEY plan for the NEAREST direction (r15, VERDICT r14
+    Next #1 — the last as-of face whose hot-key cost was still the
+    single-task sort): ``asof_join_salted(direction='nearest')`` runs
+    BOTH directional faces over one (key, time-bucket) window
+    partitioning — in-bucket fills plus cross-bucket carries per side,
+    the two bucket edges computed in one aggregate pass — and
+    arbitrates per row by distance with the pandas backward-on-tie
+    rule. Output-identical to the base nearest plan
+    (``test_asof_salted_matches_base``'s nearest grid), so the same
+    two-ASOF-arbitration SQL gates this row as ``join_asof_nearest_
+    events`` directly above; on this skew-free fixture it prices the
+    two-face salting overhead, and the 90%-hot curve is measured in
+    ``BENCH_SKEW_r15.json asof_hot_key_nearest``."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_join_salted,
+    )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    joined = asof_join_salted(
+        orders, events,
+        left_key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts",
+        payload_cols=["event_type", "value"],
+        direction="nearest",
+        n_buckets=32,
+    )
+    return joined.select(
+        "o_orderkey",
+        F.col("event_type").alias("nearest_event_type"),
+        F.col("value").alias("nearest_event_value"),
+    )
+
+
+@query(
+    "corpus_land_key_share",
+    oracle="""
+    WITH k AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS kk FROM orders
+        UNION ALL
+        SELECT CAST(user_id AS VARCHAR) AS kk FROM events
+    ),
+    g AS (SELECT kk, COUNT(*) AS m FROM k GROUP BY kk)
+    SELECT CAST(SUM(m) AS BIGINT) AS n_rows,
+           CAST(MAX(m) AS BIGINT) AS top_key_rows,
+           CASE WHEN MAX(m) * 4 >= SUM(m) AND MAX(m) >= 4000000
+                THEN 'salted' ELSE 'base' END AS strategy,
+           CAST(0 AS BIGINT) AS live_probes
+    FROM g
+    """,
+)
+def corpus_land_key_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-path-MAINTAINED key-share statistic (r15, VERDICT r14
+    Next #5 — the symmetric closure of r14's ``corpus_land_clone_
+    stats``): orders and events are landed through the real PK-upsert
+    sink with ``key_stat_cols`` configured (orders in two at-least-once
+    deliveries — doc %3 ∈ {0,1} then a redelivery of {1} plus {2} — so
+    the delta-fold's redelivery contract is exercised), each landing
+    folding a per-key count histogram beside its table and publishing
+    ``keyshare:<col>`` under the landed snapshot's fingerprint. The
+    as-of route then decides base-vs-salted for the (orders, events)
+    pair with ZERO live corpus probes: ``asof_route`` merges the two
+    maintained histograms (``plans/stats.py union_key_share`` — a
+    histogram-sized aggregate) and records the composite statistic.
+    The row RAISES if the registry's probe counter moves (a silent
+    fallback to the live probe must fail the gate, not pass it), and
+    the oracle recomputes the unioned per-key statistic from the raw
+    tables in SQL — published must equal ground truth exactly. At
+    100 TB this is the difference between a route that costs one
+    key-histogram merge and one that re-scans two corpora."""
+    import tempfile
+    from pathlib import Path
+
+    from pubic_multi_platform_to_postgres_spark.operators.asof import (
+        asof_route,
+        asof_strategy,
+    )
+    from pubic_multi_platform_to_postgres_spark.operators.upsert import (
+        ParquetUpsertSink,
+    )
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    events = load(spark, sf_dir, "events").select("event_id", "user_id")
+    root = Path(tempfile.mkdtemp(prefix="spark_graft_land_keyshare_"))
+    reg = StatsRegistry()  # hermetic per-row registry; prod uses CORPUS_STATS
+    osink = ParquetUpsertSink(
+        spark, root / "orders", ["o_orderkey"],
+        key_stat_cols=["o_custkey"], stats_registry=reg,
+    )
+    esink = ParquetUpsertSink(
+        spark, root / "events", ["event_id"],
+        key_stat_cols=["user_id"], stats_registry=reg,
+    )
+    osink.write(orders.filter(F.col("o_orderkey") % 3 != 2))
+    osink.write(orders.filter(F.col("o_orderkey") % 3 != 0))  # redelivers %3==1
+    esink.write(events)
+    reg.probe_count = 0  # count only the route's reads
+    strategy, n_rows, top_share = asof_route(
+        None, None, "o_custkey", "user_id",
+        registry=reg,
+        source_paths=(str(root / "orders"), str(root / "events")),
+    )
+    if reg.probe_count:
+        raise RuntimeError(
+            "asof_route fell back to a live probe; the maintained key "
+            "histograms were not used"
+        )
+    assert strategy == asof_strategy(n_rows, top_share)
+    top_key_rows = int(round(n_rows * top_share))
+    return spark.createDataFrame(
+        [(n_rows, top_key_rows, strategy, reg.probe_count)],
+        "n_rows long, top_key_rows long, strategy string, live_probes long",
+    )
+
+
+@query(
     "join_range_followup_events",
     oracle="""
     SELECT a.event_id AS id_a,

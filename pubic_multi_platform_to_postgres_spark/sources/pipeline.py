@@ -67,6 +67,10 @@ class StreamSpec:
     # summary publishes to the stats registry — the dedup planner's
     # input becomes catalog state no query ever re-probes
     clone_stat_col: str | None = None
+    # join-key columns whose skew statistic ingest maintains (r15):
+    # per-key count histograms beside the table + a published
+    # keyshare:<col>, feeding the as-of route's zero-probe path
+    key_stat_cols: list[str] | None = None
 
 
 @dataclass
@@ -200,12 +204,17 @@ class Pipeline:
                         for f in stream.schema.fields
                     ])
                 keys = stream.key_properties or stream.columns()[:1]
+                # stat columns pass through UNCONDITIONALLY (ADVICE
+                # r14): the sink's own fold handles an absent column —
+                # a column-less batch still folds typed NULLs via the
+                # evolved merge, so the meta stamp stays fresh instead
+                # of forcing a full re-bootstrap scan next landing
                 sink = ParquetUpsertSink(
                     spark, self.sink_root / table, keys,
                     order_col=stream.replication_key
                     if stream.replication_key in df.columns else None,
-                    clone_stat_col=spec.clone_stat_col
-                    if spec.clone_stat_col in df.columns else None,
+                    clone_stat_col=spec.clone_stat_col,
+                    key_stat_cols=spec.key_stat_cols,
                 )
                 sink.write(df)
                 report.tables[table] = df.count()

@@ -734,3 +734,185 @@ def test_sink_clone_stat_partitioned_layout_reuses_maintained_table(
         # df=None: the stale fingerprint forces a live probe, which
         # cannot run without a frame -> proves invalidation fired
         reg.clone_summary(None, "name", source_path=str(path))
+
+
+# ---------------------------------------------------------------------------
+# Maintained key-share statistics on the landing path (VERDICT r14 Next #5)
+
+
+def _live_key_share(df, col):
+    from pyspark.sql import functions as F
+
+    row = (
+        df.groupBy(col).count()
+        .agg(F.sum("count").alias("n"), F.max("count").alias("m"))
+        .first()
+    )
+    n = int(row["n"] or 0)
+    return n, (float(row["m"]) / n) if n else 0.0
+
+
+def test_sink_maintains_key_share_exactly_across_landing_cycles(spark, tmp_path):
+    """The r15 symmetric closure of the clone-stat maintenance: a sink
+    configured with ``key_stat_cols`` publishes ``keyshare:<col>`` that
+    equals a fresh per-key probe of the landed table after EVERY cycle
+    — new rows, at-least-once redelivery, and a replacement that MOVES
+    a row between keys (retraction shifts mass)."""
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    path = tmp_path / "events"
+    reg = StatsRegistry()
+    sink = ParquetUpsertSink(
+        spark, path, keys=["id"], order_col="ts",
+        key_stat_cols=["user"], stats_registry=reg,
+    )
+
+    def check():
+        live = _live_key_share(sink.read(), "user")
+        pub = reg.key_share(None, "user", source_path=str(path))
+        assert pub == live
+        return pub
+
+    b1 = spark.createDataFrame([
+        Row(id="1", user="u0", ts="t1"),
+        Row(id="2", user="u0", ts="t1"),
+        Row(id="3", user="u1", ts="t1"),
+    ])
+    sink.write(b1)
+    assert check() == (3, 2 / 3)
+    sink.write(b1)  # redelivery is a statistic no-op
+    assert check() == (3, 2 / 3)
+    # id=3 MOVES from u1 to u0 (retract u1, add u0); id=4 is new
+    sink.write(spark.createDataFrame([
+        Row(id="3", user="u0", ts="t2"),
+        Row(id="4", user="u2", ts="t2"),
+    ]))
+    assert check() == (4, 3 / 4)
+
+
+def test_sink_stat_retraction_is_null_safe(spark, tmp_path):
+    """ADVICE r14: dedup_latest's window groups NULL keys, so an upsert
+    REPLACES a row whose (composite) key holds a NULL — but the old
+    retraction semi-join was null-rejecting, leaking the replaced row's
+    mass forever. Both maintained statistics must stay exact through a
+    null-key replacement."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import clone_mass
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    path = tmp_path / "docs"
+    reg = StatsRegistry()
+    sink = ParquetUpsertSink(
+        spark, path, keys=["k1", "k2"], order_col="ts",
+        clone_stat_col="name", key_stat_cols=["grp"], stats_registry=reg,
+    )
+    sink.write(spark.createDataFrame([
+        Row(k1="a", k2=None, name="old", grp="g1", ts="t1"),
+        Row(k1="b", k2="x", name="old", grp="g1", ts="t1"),
+    ]))
+    # replace BOTH rows, including the null-key one: 'old' mass must
+    # fully retract and g1 must shrink
+    sink.write(spark.createDataFrame([
+        Row(k1="a", k2=None, name="new", grp="g2", ts="t2"),
+        Row(k1="b", k2="x", name="new", grp="g2", ts="t2"),
+    ]))
+    landed = sink.read()
+    assert landed.count() == 2
+    assert reg.clone_summary(None, "name", source_path=str(path)) \
+        == clone_mass(landed, "name") == (2, 1)
+    assert reg.key_share(None, "grp", source_path=str(path)) \
+        == _live_key_share(landed, "grp") == (2, 1.0)
+
+
+def test_sink_stat_staging_cleaned_on_failed_swap(spark, tmp_path, monkeypatch):
+    """ADVICE r14: a table swap that fails after the stat fold used to
+    orphan the histogram staging directory. The failed landing must
+    leave the table intact, the staging gone, and the NEXT landing
+    healthy."""
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    path = tmp_path / "docs"
+    reg = StatsRegistry()
+    sink = ParquetUpsertSink(
+        spark, path, keys=["id"],
+        clone_stat_col="name", key_stat_cols=["grp"], stats_registry=reg,
+    )
+    sink.write(spark.createDataFrame([Row(id="1", name="a", grp="g")]))
+
+    real_swap = ParquetUpsertSink._swap_in
+
+    def boom(self, result):
+        raise RuntimeError("planted swap failure")
+
+    monkeypatch.setattr(ParquetUpsertSink, "_swap_in", boom)
+    with pytest.raises(RuntimeError, match="planted"):
+        sink.write(spark.createDataFrame([Row(id="2", name="b", grp="g")]))
+    monkeypatch.setattr(ParquetUpsertSink, "_swap_in", real_swap)
+
+    leftovers = [p for p in tmp_path.iterdir() if "__staging_" in p.name]
+    assert leftovers == []
+    assert sink.read().count() == 1  # old table intact
+    sink.write(spark.createDataFrame([Row(id="2", name="b", grp="g")]))
+    assert reg.clone_summary(None, "name", source_path=str(path)) == (2, 0)
+    assert reg.key_share(None, "grp", source_path=str(path)) == (2, 1.0)
+
+
+def test_histograms_save_without_session_raise_cleanly(tmp_path, monkeypatch):
+    """ADVICE r14: saving an EMPTY histogram needs a session to write
+    the typed empty table; with none active it used to die as
+    AttributeError on None. Now: a descriptive error, and an explicit
+    ``spark=`` parameter is accepted instead."""
+    from pyspark.sql import SparkSession
+
+    from pubic_multi_platform_to_postgres_spark.plans.stats import (
+        CloneHistogram,
+        KeyHistogram,
+    )
+
+    monkeypatch.setattr(SparkSession, "getActiveSession", staticmethod(lambda: None))
+    for cls in (CloneHistogram, KeyHistogram):
+        with pytest.raises(RuntimeError, match="SparkSession"):
+            cls().save(str(tmp_path / "h"))
+
+
+def test_asof_route_zero_probes_from_sink_maintained_histograms(spark, tmp_path):
+    """VERDICT r14 Next #5 end-to-end: two tables landed by sinks that
+    maintain ``key_stat_cols`` let ``asof_route`` decide with ZERO live
+    corpus probes (registry probe counter stays 0), the derived union
+    statistic equals the live probe exactly, and the composite entry is
+    cached for the next reader."""
+    from pubic_multi_platform_to_postgres_spark.operators.asof import asof_route
+    from pubic_multi_platform_to_postgres_spark.plans.stats import StatsRegistry
+
+    lp, rp = tmp_path / "trades", tmp_path / "quotes"
+    reg = StatsRegistry()
+    lsink = ParquetUpsertSink(
+        spark, lp, keys=["id"], key_stat_cols=["sym"], stats_registry=reg,
+    )
+    rsink = ParquetUpsertSink(
+        spark, rp, keys=["id"], key_stat_cols=["sym"], stats_registry=reg,
+    )
+    # 90%-hot key on both sides, landed in two overlapping deliveries
+    lrows = [Row(id=str(i), sym=("h" if i % 10 else "c%d" % i)) for i in range(100)]
+    rrows = [Row(id=str(j), sym=("h" if j % 10 else "c%d" % j)) for j in range(50)]
+    lsink.write(spark.createDataFrame(lrows[:70]))
+    lsink.write(spark.createDataFrame(lrows[50:]))  # redelivers 20
+    rsink.write(spark.createDataFrame(rrows))
+    reg.probe_count = 0  # count only the route's reads
+
+    got = asof_route(
+        None, None, "sym", "sym", registry=reg,
+        source_paths=(str(lp), str(rp)), min_hot_rows=50,
+    )
+    assert reg.probe_count == 0  # derived from maintained histograms
+    # pinned against the live probe on a throwaway registry
+    live = asof_route(
+        spark.read.parquet(str(lp)), spark.read.parquet(str(rp)),
+        "sym", "sym", registry=StatsRegistry(), min_hot_rows=50,
+    )
+    assert got == live == ("salted", 150, 0.9)
+    # second read: composite cache hit, still zero probes
+    again = asof_route(
+        None, None, "sym", "sym", registry=reg,
+        source_paths=(str(lp), str(rp)), min_hot_rows=50,
+    )
+    assert again == got and reg.probe_count == 0

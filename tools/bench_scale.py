@@ -408,6 +408,15 @@ EXEMPT = {
                                "a histogram-sized merge) — the fold never "
                                "rescans the corpus, so its growth face IS "
                                "the sink family's",
+    "corpus_land_key_share": "three PK-upsert landings (the measured sink "
+                             "shape, as corpus_land_clone_stats) plus "
+                             "per-key histogram folds that are batch-sized "
+                             "by construction, and a route decision that is "
+                             "one key-cardinality histogram merge — by "
+                             "design NOTHING in this row scans a corpus "
+                             "after bootstrap (the row raises if the live "
+                             "probe fires), so its growth face is the sink "
+                             "family's plus an O(|keys|) aggregate",
 }
 
 
@@ -435,6 +444,14 @@ def emit_census(report: dict) -> list[str]:
                 "disposition": "measured",
                 "sf_points": ["events_sf0.1", "hot1", "hot10", "hot30"],
                 "section": "BENCH_SKEW asof_auto_route",
+            }
+        elif name == "join_asof_salted_nearest_events":
+            # like join_asof_salted_events: the hot-key fixture is the
+            # honest scale face for the two-face salted nearest plan
+            census[name] = {
+                "disposition": "measured",
+                "sf_points": ["skew1", "skew10", "skew30"],
+                "section": "BENCH_SKEW asof_hot_key_nearest",
             }
         elif name == "geo_grid_radius_join":
             # measured on the density-preserving generated point sets
@@ -476,10 +493,17 @@ def emit_census(report: dict) -> list[str]:
 
 def measure_stats_registry(spark, timeout_s: float) -> dict:
     """VERDICT r12 Next #1 done-criterion: the sf10 auto rows
-    re-measured WITHOUT the extra corpus scan. First invocation per
-    corpus pays the live ``clone_mass`` probe (cold registry), the
-    second reads the stored statistic — the delta should track the
-    separately-timed probe cost."""
+    re-measured WITHOUT the extra corpus scan. r15 (VERDICT r14 Next
+    #3): the r14 artifact recorded ONE cold and ONE warm run per row,
+    and the documented ±2-3× sf10 ambient band (larger than the
+    ~0.6-0.9 s probe saving) inverted them. Now each row runs 3
+    INTERLEAVED cold/warm pairs (invalidate→cold, warm; the
+    interleaving cancels drift) and reports medians, plus — the
+    noise-immune instrument — the probe stage timed ALONE inside each
+    cold run via a wrapped ``StatsRegistry.scalar``, with the warm
+    runs asserting zero probe calls. The per-stage number is what the
+    cached read saves regardless of where the ambient band sits."""
+    import statistics as _st
     import time as _t
 
     from pubic_multi_platform_to_postgres_spark.operators.dedup import (
@@ -489,26 +513,72 @@ def measure_stats_registry(spark, timeout_s: float) -> dict:
     from pubic_multi_platform_to_postgres_spark.queries.registry import load
 
     section: dict = {"design": (
-        "per auto row at sf10: cold run (live clone_mass probe, empty "
-        "registry) vs warm run (fingerprint-cached stat); probe_s is "
-        "the scan the registry saves, timed alone"
+        "per auto row at sf10: 3 interleaved (invalidate->cold, warm) "
+        "pairs, medians reported; probe_in_cold_s times the live probe "
+        "stage alone inside each cold run (the job the registry "
+        "saves), warm_probe_calls must be 0; probe_s is the same scan "
+        "timed standalone"
     )}
     docs = load(spark, SF10, "documents")
     t0 = _t.perf_counter()
     n_rows, cp = clone_mass(docs, "text")
     section["probe_s"] = round(_t.perf_counter() - t0, 3)
     section["clone_mass"] = {"n_rows": n_rows, "clique_pairs": cp}
-    for name in ("dedup_ngram_jaccard_auto", "dedup_containment_pairs_auto"):
-        stats.CORPUS_STATS.invalidate(f"{SF10}/documents.parquet")
-        fn = entry.queries()[name]
-        row = {}
-        for face in ("cold_probe", "warm_stat_read"):
-            el, to = _run_once(spark, fn, SF10, timeout_s)
-            row[f"{face}_s"] = (
-                {"timed_out": True} if to else round(el, 3)
-            )
-        section[name] = row
-        print(f"  stats  {name}: {row}", file=sys.stderr)
+
+    # time the probe stage alone inside each run: every live compute
+    # the engine registry pays during a query is accumulated here
+    probe_t = {"s": 0.0, "n": 0}
+    real_scalar = stats.CORPUS_STATS.scalar
+
+    def timed_scalar(source_path, stat, compute):
+        def timed_compute():
+            t0 = _t.perf_counter()
+            try:
+                return compute()
+            finally:
+                probe_t["s"] += _t.perf_counter() - t0
+                probe_t["n"] += 1
+        return real_scalar(source_path, stat, timed_compute)
+
+    stats.CORPUS_STATS.scalar = timed_scalar
+    try:
+        for name in (
+            "dedup_ngram_jaccard_auto", "dedup_containment_pairs_auto"
+        ):
+            fn = entry.queries()[name]
+            row = {
+                "cold_runs_s": [], "warm_runs_s": [],
+                "probe_in_cold_s": [], "warm_probe_calls": 0,
+            }
+            for _rep in range(3):
+                stats.CORPUS_STATS.invalidate(f"{SF10}/documents.parquet")
+                probe_t["s"], probe_t["n"] = 0.0, 0
+                el, to = _run_once(spark, fn, SF10, timeout_s)
+                if to:
+                    row["timed_out"] = True
+                    break
+                row["cold_runs_s"].append(round(el, 3))
+                row["probe_in_cold_s"].append(round(probe_t["s"], 3))
+                probe_t["s"], probe_t["n"] = 0.0, 0
+                el, to = _run_once(spark, fn, SF10, timeout_s)
+                if to:
+                    row["timed_out"] = True
+                    break
+                row["warm_runs_s"].append(round(el, 3))
+                row["warm_probe_calls"] += probe_t["n"]
+            if row["cold_runs_s"] and row["warm_runs_s"]:
+                row["cold_median_s"] = round(_st.median(row["cold_runs_s"]), 3)
+                row["warm_median_s"] = round(_st.median(row["warm_runs_s"]), 3)
+                row["probe_in_cold_median_s"] = round(
+                    _st.median(row["probe_in_cold_s"]), 3
+                )
+                row["warm_le_cold"] = (
+                    row["warm_median_s"] <= row["cold_median_s"]
+                )
+            section[name] = row
+            print(f"  stats  {name}: {row}", file=sys.stderr)
+    finally:
+        stats.CORPUS_STATS.scalar = real_scalar
 
     # r14 (VERDICT r13 Next #3): the filtered-ANN selectivity pair at
     # sf10 — the statistic the registry now owns, timed alone (the job
@@ -538,12 +608,26 @@ def measure_stats_registry(spark, timeout_s: float) -> dict:
     }
     assert two_counts == (total, matched)
     fn = entry.queries()["sim_topk_filtered"]
-    stats.CORPUS_STATS.invalidate(f"{SF10}/embeddings.parquet")
-    for face in ("cold_probe", "warm_stat_read"):
+    ann = section["filtered_ann_selectivity"]
+    ann["cold_runs_s"], ann["warm_runs_s"] = [], []
+    for _rep in range(3):
+        stats.CORPUS_STATS.invalidate(f"{SF10}/embeddings.parquet")
         el, to = _run_once(spark, fn, SF10, timeout_s)
-        section["filtered_ann_selectivity"][f"{face}_s"] = (
-            {"timed_out": True} if to else round(el, 3)
-        )
+        if to:
+            ann["timed_out"] = True
+            break
+        ann["cold_runs_s"].append(round(el, 3))
+        el, to = _run_once(spark, fn, SF10, timeout_s)
+        if to:
+            ann["timed_out"] = True
+            break
+        ann["warm_runs_s"].append(round(el, 3))
+    if ann["cold_runs_s"] and ann["warm_runs_s"]:
+        import statistics as _st
+
+        ann["cold_median_s"] = round(_st.median(ann["cold_runs_s"]), 3)
+        ann["warm_median_s"] = round(_st.median(ann["warm_runs_s"]), 3)
+        ann["warm_le_cold"] = ann["warm_median_s"] <= ann["cold_median_s"]
     print(
         f"  stats  filtered_ann: {section['filtered_ann_selectivity']}",
         file=sys.stderr,

@@ -111,7 +111,7 @@ def main() -> int:
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument(
         "--sections",
-        default="queries,candidates,relational,basket,strategy,urlhot,asofhot,asoffwd,asofauto",
+        default="queries,candidates,relational,basket,strategy,urlhot,asofhot,asoffwd,asofnear,asofauto",
         help="comma list of sections to (re)run; others merge from --out",
     )
     args = ap.parse_args()
@@ -138,7 +138,8 @@ def main() -> int:
         prior = json.loads(out_path.read_text())
         for key in ("queries", "candidate_counts", "relational_hot_key",
                     "basket_mega_cap", "collapse_strategy", "url_hot_canon",
-                    "asof_hot_key", "asof_hot_key_forward", "asof_auto_route"):
+                    "asof_hot_key", "asof_hot_key_forward",
+                    "asof_hot_key_nearest", "asof_auto_route"):
             if key in prior:
                 report[key] = prior[key]
     qs = entry.queries()
@@ -471,32 +472,34 @@ def main() -> int:
         out_path.write_text(json.dumps(report, indent=2) + "\n")
 
     # FORWARD salted mirror (r14): the follow-up/label join under the
-    # same hot key — base forward (first-over-following, one sort
-    # group) vs the forward-salted stitch (bucket-initial min_by +
-    # later-bucket carry), measured at 1×/10× with output equality
+    # same hot key — base forward (descending growing-frame fill, one
+    # sort group) vs the forward-salted stitch (bucket-initial min_by +
+    # later-bucket carry). r15 (VERDICT r14 Next #2): the curve runs to
+    # 30× like backward's, pinning the base plan's super-linear
+    # single-sort-group growth at the same depth. Output equality
     # asserted at 1×.
-    if "asoffwd" in sections:
-        fwd: dict = report.get("asof_hot_key_forward", {})
-        fwd["design"] = (
-            "same 90%-hot fixture as asof_hot_key; direction='forward'; "
-            "salted n_buckets=32"
+    def _dir_face(f: int, salted: bool, direction: str):
+        trades, quotes = _asof_fixture(f)
+        fn = asof_join_salted if salted else asof_join
+        kw = {"n_buckets": 32} if salted else {}
+        joined = fn(
+            trades, quotes, "sym", "sym", "tts", "qts", ["bid"],
+            direction=direction, **kw
         )
+        return joined.where(F.col("bid").isNotNull())
 
-        def _fwd_face(f: int, salted: bool):
-            trades, quotes = _asof_fixture(f)
-            fn = asof_join_salted if salted else asof_join
-            kw = {"n_buckets": 32} if salted else {}
-            joined = fn(
-                trades, quotes, "sym", "sym", "tts", "qts", ["bid"],
-                direction="forward", **kw
-            )
-            return joined.where(F.col("bid").isNotNull())
-
-        for label, factor in (("skew1", 1), ("skew10", 10)):
+    def _dir_section(section_key: str, direction: str, tag: str):
+        sec: dict = report.get(section_key, {})
+        sec["design"] = (
+            f"same 90%-hot fixture as asof_hot_key; direction="
+            f"'{direction}'; salted n_buckets=32"
+        )
+        for label, factor in (("skew1", 1), ("skew10", 10), ("skew30", 30)):
             row = {}
             for face, salted in (("base", False), ("salted", True)):
                 wall, rows_, to = _run_guarded(
-                    spark, lambda s=salted, f=factor: _fwd_face(f, s),
+                    spark,
+                    lambda s=salted, f=factor: _dir_face(f, s, direction),
                     args.timeout,
                 )
                 row[face] = (
@@ -505,14 +508,25 @@ def main() -> int:
                     else {"wall_s": round(wall, 3), "output_rows": rows_}
                 )
             if factor == 1:
-                b, s_ = _fwd_face(1, False), _fwd_face(1, True)
+                b = _dir_face(1, False, direction)
+                s_ = _dir_face(1, True, direction)
                 row["outputs_identical"] = bool(
                     b.exceptAll(s_).isEmpty() and s_.exceptAll(b).isEmpty()
                 )
-            fwd[label] = row
-            print(f"  asoffwd {label}: {row}", file=sys.stderr)
-        report["asof_hot_key_forward"] = fwd
-        out_path.write_text(json.dumps(report, indent=2) + "\n")
+            sec[label] = row
+            print(f"  {tag} {label}: {row}", file=sys.stderr)
+            report[section_key] = sec
+            out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    if "asoffwd" in sections:
+        _dir_section("asof_hot_key_forward", "forward", "asoffwd")
+
+    # NEAREST two-face salted plan (r15, VERDICT r14 Next #1): the last
+    # as-of direction gains its hot-key remedy — base nearest (both
+    # fills in one sort group) vs the salted arbitration of per-side
+    # coalesce(in-bucket, carry), measured on the same fixture.
+    if "asofnear" in sections:
+        _dir_section("asof_hot_key_nearest", "nearest", "asofnear")
 
     # As-of AUTO route (VERDICT r13 Next #2): record the planner
     # decision + its measured inputs per corpus — the skew-free
