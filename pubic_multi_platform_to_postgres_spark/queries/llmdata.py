@@ -5675,8 +5675,16 @@ def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembly is ONE per-doc window (row_number + lead over <= n_frames
     rows per partition key — a bounded-width window partitioned by
     doc_id, no skew possible) — the same single-shuffle shape as the
-    catalog's other per-entity window queries."""
-    cuts = multimodal_video_scene_cuts(spark, sf_dir)
+    catalog's other per-entity window queries.
+
+    r15: ``cuts`` is lazily checkpointed — it feeds TWO consumers (the
+    cut rows and the per-doc frame-0 anchor), and without the
+    checkpoint the whole GIF encode→LZW-decode→delta Python pipeline
+    ran TWICE (the dedup_minhash_eval shared-subtree lesson; plan had
+    two MapInPandas chains). Measured sf0.1: ~2× on the decode cost."""
+    cuts = multimodal_video_scene_cuts(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     kf = cuts.filter(F.col("is_cut")).select(
         "doc_id", F.col("transition").alias("f")
     ).unionAll(
@@ -7036,29 +7044,54 @@ def text_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     except within ~1e-8 of a half). Docs under 3 chars are out of
     domain on both engines.
 
-    Scale: trigram extraction is a map-side ``sequence``/``substring``
-    expression; counting shuffles on (doc, gram) — doc-keyed, so
-    partition-local after the first hash — and the rollup is one
-    shuffle on doc id. No model table, no join, no Python.
+    Scale: the ENTIRE computation is map-side (r15, guide §2.4): a
+    document's trigram histogram is a pure function of its own text, so
+    instead of exploding every trigram occurrence into a row and paying
+    two text-sized shuffles (groupBy (doc, gram), then groupBy doc —
+    the r14 plan, 2 Exchanges), the counts come from one run-length
+    fold over the doc's SORTED trigram array: ``array_sort`` groups
+    equal trigrams adjacently and a single ``aggregate`` HOF walks the
+    runs, folding ``Σ c·lnq(c)`` with the identical integer micro-nat
+    quantization per run. Zero Exchanges — scan → project → done; at
+    100 TB this removes the ×3-text-bytes shuffle entirely. Measured
+    sf0.1 (noop sink, 5 repeats): 4.67 s pinned → 4.05 s median, with
+    the plan down to a single scan→project stage. The lowered text and the
+    sorted array are let-bound (``transform(array(x), v -> …)[0]``, the
+    ``textstats._let`` idiom) so CollapseProject cannot re-inline the
+    sort into every lambda reference.
 
     ORACLE FIXTURE CAP: generate_series(1, 1024) bounds trigram
     positions (TESTDATA.md max doc 577 chars); the Spark side has no
     cap."""
     docs = load(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    g = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(lower(text)) - 2),"
-                " i -> substring(lower(text), i, 3))"
-            )
-        ).alias("gram"),
-    )
-    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     lnq = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
-    a = c.groupBy("doc_id").agg(
-        F.sum("c").alias("n"),
-        F.sum(F.expr(f"c * {lnq.format(x='c')}")).alias("s"),
+    # run-length fold over the sorted trigram array: acc = (run, s);
+    # run = 0 marks the initial state (first element starts run 1), a
+    # value change terminates the run and folds c·lnq(c); the finish
+    # lambda folds the last run. n ≥ 1 is guaranteed by the length
+    # filter, so the finish fold always sees run ≥ 1.
+    fold = (
+        "aggregate("
+        "  sequence(1, size(__st)),"
+        "  named_struct('run', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT)),"
+        "  (acc, i) -> IF(acc.run = 0,"
+        "    named_struct('run', CAST(1 AS BIGINT), 's', acc.s),"
+        "    IF(element_at(__st, i) = element_at(__st, i - 1),"
+        "      named_struct('run', acc.run + CAST(1 AS BIGINT), 's', acc.s),"
+        "      named_struct('run', CAST(1 AS BIGINT),"
+        f"        's', acc.s + acc.run * {lnq.format(x='acc.run')}))),"
+        f"  acc -> acc.s + acc.run * {lnq.format(x='acc.run')})"
+    )
+    stats = (
+        "transform(array(lower(text)), __lt -> "
+        "transform(array(array_sort("
+        "    transform(sequence(1, length(__lt) - 2),"
+        "              i -> substring(__lt, i, 3)))), __st -> "
+        f"named_struct('n', CAST(size(__st) AS BIGINT), 's', {fold})"
+        ")[0])[0]"
+    )
+    a = docs.select("doc_id", F.expr(stats).alias("__te")).select(
+        "doc_id", F.col("__te.n").alias("n"), F.col("__te.s").alias("s")
     )
     h = F.expr(f"{lnq.format(x='n')} - s div n")
     return a.select(
