@@ -132,48 +132,63 @@ def remove_repeated_windows(
     word windows, drop every window whose exact text already appeared
     earlier in the SAME document, and reassemble.
 
-    Entirely JVM built-ins — ``split``/``sequence``/``transform``/``slice``
-    build the windows map-side (no Python), ``row_number`` over
-    ``(doc, window_text)`` marks re-occurrences, and the reassembly is a
-    ``collect_list`` of kept windows re-sorted by position. Two shuffles
-    (dedup window partition + per-doc reassembly), both on bounded groups:
-    a document's window count is its word count / W, so state per key is
-    the document itself — hot-key safe at 100 TB where a *corpus*-wide
-    shuffle on raw text would not be.
+    Entirely JVM built-ins, and entirely MAP-SIDE (r15: the
+    ``text_char_trigram_entropy`` lesson — every output column is a pure
+    function of the document's own text, so the previous
+    (id, window_text) ``row_number`` partition + per-doc ``collect_list``
+    reassembly pair of shuffles is computed per row instead): windows
+    build with let-bound ``split``/``sequence``/``transform``/``slice``
+    (``_let`` — one tokenization per document, immune to
+    CollapseProject's per-lambda re-inlining), duplicates are marked by
+    sorting ``(wtext, pos)`` structs and comparing each element to its
+    predecessor (any earlier same-text window sorts immediately before
+    it — exactly ``row_number > 1`` on the old plan), and the cleaned
+    digest re-sorts the survivors by position. Zero shuffles at any
+    scale; per-row state is one document's windows, the same bound the
+    old per-key groups had.
 
     Output: ``(id, n_windows, n_dup_windows, cleaned_md5)`` — the cleaned
     text is exported as a digest so the result stays narrow; callers that
     need the text itself take ``cleaned`` before the final select.
     """
-    from pyspark.sql import Window
-
     w = window_words
-    wins = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) / {w}.0)) - 1),"
-                f" i -> array_join(slice(split({text_col}, ' '), i * {w} + 1, {w}), ' '))"
-            )
-        ).alias("pos", "wtext"),
+    # struct field order (wtext, pos) makes array_sort order by text
+    # then position; the CASE (not a bare AND) keeps ANSI element_at
+    # from seeing index 0 on the first element.
+    flags = _let(
+        f"split({text_col}, ' ')",
+        "__rw_t",
+        _let(
+            f"transform(sequence(0, int(ceil(size(__rw_t) / {w}.0)) - 1),"
+            f" i -> array_join(slice(__rw_t, i * {w} + 1, {w}), ' '))",
+            "__rw_w",
+            _let(
+                "array_sort(transform(__rw_w,"
+                " (x, i) -> struct(x AS wtext, i AS pos)))",
+                "__rw_s",
+                "transform(__rw_s, (s, i) -> struct("
+                "s.pos AS pos, s.wtext AS wtext,"
+                " CASE WHEN i > 0 THEN element_at(__rw_s, i).wtext = s.wtext"
+                " ELSE false END AS dup))",
+            ),
+        ),
     )
-    first = Window.partitionBy("id", "wtext").orderBy("pos")
-    marked = wins.withColumn("rn", F.row_number().over(first))
-    return marked.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_windows"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("rn") == 1, F.struct("pos", "wtext"))
-                        )
-                    ),
-                    lambda s: s["wtext"],
-                ),
-                " ",
-            )
+    # two projections: the flag array is computed once in the lower one
+    # (CollapseProject declines to inline a non-cheap alias referenced
+    # three times; verified in the committed plan pin — the HOF chain
+    # appears once)
+    flagged = df.select(F.col(id_col).alias("id"), F.expr(flags).alias("__rw_f"))
+    return flagged.select(
+        "id",
+        F.size("__rw_f").cast("long").alias("n_windows"),
+        F.expr("size(filter(__rw_f, f -> f.dup))")
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.expr(
+            "md5(array_join(transform(array_sort(transform("
+            "filter(__rw_f, f -> NOT f.dup),"
+            " f -> struct(f.pos AS pos, f.wtext AS wtext))),"
+            " s -> s.wtext), ' '))"
         ).alias("cleaned_md5"),
     )
 
@@ -212,54 +227,76 @@ def scrub_boilerplate_windows(
     shares it, and stride-1 removal would make the survivor reassembly
     ill-defined under overlaps).
 
-    Plan: aligned windows and shingles both build map-side (``split``/
-    ``sequence``/``transform``/``slice`` — no Python; shingles are
-    ``w``× the aligned row count, still linear in corpus words);
-    cross-doc document frequency is one shuffle on shingle text; the
-    flagged set joins back by window-text equi-join with NO broadcast
-    hint — though note the flagged set is bounded by construction at
-    ANY corpus size: a window needs ≥ ``min_docs`` docs, so |flagged| ≤
-    total shingles / min_docs ≈ (mean words per doc) / frac —
-    corpus-size-independent when ``min_docs`` is a fraction of |docs|,
-    so AQE will in practice always broadcast it; the final reassembly
-    is one shuffle on doc id. Output: ``(id, n_windows,
+    Plan (r15 rewrite — guide §2.3 "shuffle keys and metadata instead
+    of payloads": the corpus text now crosses ZERO exchanges). Aligned
+    windows and shingles build map-side with let-bound tokenization
+    (``_let`` — one ``split`` per document instead of one per window;
+    CollapseProject re-inlines a projected alias into every lambda
+    reference, which made the old build O(words²) characters per doc).
+    Document frequency pre-distincts shingles PER DOC map-side
+    (``array_distinct`` before the explode), so the old
+    ``count_distinct(id)`` expand-shuffle becomes a plain map-side-
+    combinable ``count`` — identical df by definition. The flagged set
+    is corpus-size-INDEPENDENT by construction (a window needs ≥
+    ``min_docs`` docs, so |flagged| ≤ total shingles / min_docs ≈ mean
+    words per doc / frac), so the window⨝flagged probe broadcasts; only
+    the BOILER window positions — (id, pos) int pairs, the rare hits —
+    are aggregated per doc and joined back (AQE broadcast again) to the
+    per-doc window ARRAY row, where counts and the cleaned digest are
+    computed map-side. The old plan shuffled every window row twice
+    (count_distinct expand + per-doc reassembly); this one shuffles the
+    tiny boiler-position stream once. Output: ``(id, n_windows,
     n_boiler_windows, cleaned_md5)`` — ``cleaned_md5`` is NULL when every
     window was boilerplate (nothing survives).
     """
     w = window_words
-    wins = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) / {w}.0)) - 1),"
-                f" i -> array_join(slice(split({text_col}, ' '), i * {w} + 1, {w}), ' '))"
-            )
-        ).alias("pos", "wtext"),
+    wins_build = _let(
+        f"split({text_col}, ' ')",
+        "__bp_t",
+        f"transform(sequence(0, int(ceil(size(__bp_t) / {w}.0)) - 1),"
+        f" i -> array_join(slice(__bp_t, i * {w} + 1, {w}), ' '))",
+    )
+    wins_arr = df.select(
+        F.col(id_col).alias("id"), F.expr(wins_build).alias("__bp_w")
     )
     shingles = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.expr(
-                f"transform(sequence(0, size(split({text_col}, ' ')) - 1),"
-                f" i -> array_join(slice(split({text_col}, ' '), i + 1, {w}), ' '))"
+                _let(
+                    f"split({text_col}, ' ')",
+                    "__bp_t",
+                    f"array_distinct(transform(sequence(0, size(__bp_t) - 1),"
+                    f" i -> array_join(slice(__bp_t, i + 1, {w}), ' ')))",
+                )
             )
         ).alias("wtext"),
     )
     flagged = (
         shingles.groupBy("wtext")
-        .agg(F.count_distinct("id").alias("bdf"))
+        .agg(F.count(F.lit(1)).alias("bdf"))
         .filter(F.col("bdf") >= F.lit(min_docs))
-        .select("wtext", F.lit(True).alias("boiler"))
+        .select("wtext")
     )
-    marked = wins.join(flagged, "wtext", "left").select(
-        "id", "pos", "wtext", F.coalesce("boiler", F.lit(False)).alias("boiler")
+    boiler_pos = (
+        wins_arr.select(
+            "id", F.posexplode("__bp_w").alias("pos", "wtext")
+        )
+        .join(flagged, "wtext")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("__bp_pos"))
     )
-    kept = F.array_sort(
-        F.collect_list(F.when(~F.col("boiler"), F.struct("pos", "wtext")))
+    out = wins_arr.join(boiler_pos, "id", "left")
+    kept = F.expr(
+        "filter(transform(__bp_w, (x, i) -> struct(x AS wtext, i AS pos)),"
+        " s -> __bp_pos IS NULL OR NOT array_contains(__bp_pos, s.pos))"
     )
-    return marked.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(F.col("boiler").cast("long")).alias("n_boiler_windows"),
+    return out.select(
+        "id",
+        F.size("__bp_w").cast("long").alias("n_windows"),
+        F.coalesce(F.size("__bp_pos"), F.lit(0))
+        .cast("long")
+        .alias("n_boiler_windows"),
         F.when(
             F.size(kept) > 0,
             F.md5(F.array_join(F.transform(kept, lambda s: s["wtext"]), " ")),

@@ -1357,60 +1357,54 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     no data collect). At 100 TB each edge costs what its join would —
     orphan checks ride the same co-partitioning the landed tables
     already bucket by."""
-    # Each relation contributes three 1-row partial frames (child-side,
-    # parent-side, referenced-side) carrying NULLs for the columns it
-    # doesn't compute; a final groupBy(relation) stitches them. Unions +
-    # one 5-group aggregate — NO 1-row joins, which Catalyst would
-    # constant-fold into nested-loop products.
-    nul = F.lit(None).cast("long")
+    # r15 (guide §2.3/§2.4 — aggregate before you shuffle, then shuffle
+    # once): each relation is ONE full-outer join of two key-level
+    # aggregates — the child keys pre-counted map-side (groupBy ckey
+    # with partial aggregation, so the child table crosses the wire as
+    # combined key counts, never as rows) against the distinct parent
+    # keys. All four statistics fall out of a single 1-row aggregate
+    # over that join: child-only rows are orphans, matched parent rows
+    # are referenced, parent-row count is the key cardinality. The old
+    # shape scanned the child twice and the parent three times per
+    # relation (orphan left join + countDistinct + semi join; 35
+    # exchanges total) and needed a groupBy(relation) stitch of 15
+    # NULL-padded partials; this one is 3 exchanges per relation and
+    # each relation row is complete at its own aggregate. NULL child
+    # keys never equi-match, so they count as orphans in both shapes;
+    # count(pk) ignores the NULL-key parent row exactly as
+    # countDistinct did.
     partials = []
     for rel, child, ckey, parent, pkey in _FK_RELATIONS:
         c = load(spark, sf_dir, child)
         p = load(spark, sf_dir, parent)
-        pkeys = p.select(F.col(pkey)).distinct()
-        joined = c.join(pkeys, c[ckey] == pkeys[pkey], "left")
+        ck = c.groupBy(F.col(ckey).alias("ck")).agg(
+            F.count(F.lit(1)).alias("nc")
+        )
+        pkeys = p.select(F.col(pkey).alias("pk")).distinct()
+        j = ck.join(pkeys, ck.ck == pkeys.pk, "full_outer")
         partials.append(
-            joined.agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            j.agg(
+                F.coalesce(F.sum("nc"), F.lit(0)).cast("long")
+                .alias("n_rows"),
                 F.coalesce(
-                    F.sum(F.when(pkeys[pkey].isNull(), 1)), F.lit(0)
+                    F.sum(F.when(F.col("pk").isNull(), F.col("nc"))),
+                    F.lit(0),
                 ).cast("long").alias("n_orphans"),
+                F.count("pk").cast("long").alias("n_parents"),
+                F.count(
+                    F.when(
+                        F.col("pk").isNotNull() & F.col("nc").isNotNull(),
+                        F.lit(1),
+                    )
+                ).cast("long").alias("n_referenced"),
             ).select(
                 F.lit(rel).alias("relation"), "n_rows", "n_orphans",
-                nul.alias("n_parents"), nul.alias("n_referenced"),
+                "n_parents", "n_referenced",
             )
         )
-        partials.append(
-            p.agg(
-                F.countDistinct(pkey).cast("long").alias("n_parents")
-            ).select(
-                F.lit(rel).alias("relation"), nul.alias("n_rows"),
-                nul.alias("n_orphans"), "n_parents",
-                nul.alias("n_referenced"),
-            )
-        )
-        partials.append(
-            pkeys.join(
-                c.select(F.col(ckey)).distinct(),
-                pkeys[pkey] == c[ckey],
-                "left_semi",
-            ).agg(
-                F.count(F.lit(1)).cast("long").alias("n_referenced")
-            ).select(
-                F.lit(rel).alias("relation"), nul.alias("n_rows"),
-                nul.alias("n_orphans"), nul.alias("n_parents"),
-                "n_referenced",
-            )
-        )
-    stacked = partials[0]
+    merged = partials[0]
     for frame in partials[1:]:
-        stacked = stacked.unionByName(frame)
-    merged = stacked.groupBy("relation").agg(
-        F.max("n_rows").alias("n_rows"),
-        F.max("n_orphans").alias("n_orphans"),
-        F.max("n_parents").alias("n_parents"),
-        F.max("n_referenced").alias("n_referenced"),
-    )
+        merged = merged.unionByName(frame)
     return merged.select(
         "relation",
         "n_rows",

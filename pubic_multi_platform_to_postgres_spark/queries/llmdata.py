@@ -1872,15 +1872,23 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. Shingling is pure JVM array functions; counts are exact
     integers (no float thresholds to drift cross-engine)."""
     docs = load(spark, sf_dir, "documents")
+    # r15: let-bound tokenization (one split per doc — CollapseProject
+    # re-inlines the alias into every lambda element otherwise) and
+    # per-doc array_distinct BEFORE the explode, which makes the global
+    # (doc_id, shingle) .distinct() exchange redundant — rows are unique
+    # by construction, so the corpus-side shuffle disappears entirely
+    # (the broadcast probe + per-doc rollup are the only moves left).
     shingles = docs.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-                " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+                "transform(array(split(text, ' ')), __cc_t ->"
+                " array_distinct(transform("
+                "sequence(1, greatest(size(__cc_t) - 2, 1)),"
+                " i -> array_join(slice(__cc_t, i, 3), ' '))))[0]"
             )
         ).alias("shingle"),
-    ).distinct()
+    )
     bench = (
         shingles.filter(F.col("doc_id") % 97 == 0)
         .select("shingle")
