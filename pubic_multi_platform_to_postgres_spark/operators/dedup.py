@@ -858,16 +858,25 @@ def connected_components(
             yield pd.DataFrame({"node": nodes, "label": [find(x) for x in nodes]})
 
     schema = "node long, label long"
-    n_part = max(2, edges.rdd.getNumPartitions() // 4)
+    # r15: floor 1, not 2 — when the (AQE-coalesced) edge list already
+    # fits a handful of partitions, one task closes the graph exactly in
+    # a single round, skipping a whole repartition+UF+star-edge+isEmpty
+    # cycle; big edge lists (partitions ≥ 8) are unaffected.
+    n_part = max(1, edges.rdd.getNumPartitions() // 4)
     mappings: list[DataFrame] = []
     for _ in range(max_iter):
         part_edges = edges.repartition(n_part, "src") if n_part > 1 else edges.coalesce(1)
         # (node, local root) — possibly several roots per node when its
         # edges spanned partitions
         raw = part_edges.mapInPandas(local_uf, schema)
-        nmin = (
-            raw.groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
-        )
+        nmin = raw.groupBy("node").agg(F.min("label").alias("label"))
+        if n_part > 1:
+            # non-final rounds: nmin feeds BOTH the star-edge join and
+            # the label composition — checkpoint so the per-partition
+            # union-find runs once. The final round's mapping is read
+            # exactly once (composition only), so the eager
+            # materialization job would be pure overhead there.
+            nmin = nmin.localCheckpoint()
         mappings.append(nmin)
         if n_part == 1:
             break  # one task saw the whole condensed graph: labels exact
