@@ -56,6 +56,79 @@ D_NUM, D_DEN = 17, 20
 TELEPORT = SCALE * (D_DEN - D_NUM) // D_DEN
 
 
+_RANK_ROW_BYTES = 32  # (node, rank) longs + HashedRelation per-row overhead
+
+
+def _parse_spark_bytes(raw: str) -> int:
+    """Parse a Spark byte-size conf value (``10485760``, ``10485760b``,
+    ``10MB``, ``-1``) into bytes; unit-less values are bytes."""
+    s = raw.strip().lower()
+    for suffix, mult in (
+        ("gb", 1 << 30), ("g", 1 << 30),
+        ("mb", 1 << 20), ("m", 1 << 20),
+        ("kb", 1 << 10), ("k", 1 << 10),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * mult
+    return int(s)
+
+
+def _rank_vector_broadcastable(nodes: DataFrame) -> bool:
+    """True when a round's |nodes|-sized rank vector fits the session's
+    broadcast threshold — the regime question the iteration plan routes
+    on. ``nodes`` must already be checkpointed (the count is then a
+    cached-partition scan, not a recompute)."""
+    spark = nodes.sparkSession
+    try:
+        thr = _parse_spark_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        )
+    except ValueError:
+        thr = 10 << 20
+    if thr <= 0:
+        return False
+    return nodes.count() * _RANK_ROW_BYTES <= thr
+
+
+def _checkpoint_partitioned(df: DataFrame, key: str, level) -> DataFrame:
+    """``repartition(key).localCheckpoint`` with the hash partitioning
+    actually RECORDED on the checkpoint.
+
+    Under AQE the executed root of the materialization job is
+    ``AdaptiveSparkPlanExec``, whose ``outputPartitioning`` is
+    ``UnknownPartitioning`` — so the checkpointed ``LogicalRDD`` forgets
+    the repartition and EVERY downstream join re-Exchanges the
+    "stationary" table (measured: the 10-round PageRank re-shuffled the
+    edge table each round). Scoping AQE off for just this materialization
+    keeps ``hashpartitioning(key, N)`` (N = ``spark.sql.shuffle.partitions``,
+    which the session factory sizes to cores locally / lets AQE govern
+    elsewhere) and ``sortWithinPartitions`` additionally records the
+    ordering, so a sort-merge consumer skips both its Exchange and its
+    Sort on this side. Results are unaffected — only the physical plan of
+    the one materialization job changes."""
+    spark = df.sparkSession
+    # Phase 1: materialize the (possibly heavy) upstream build with AQE
+    # ON — scoping AQE off around the whole build would lose its runtime
+    # broadcast conversion and partition coalescing exactly where they
+    # matter (measured +2-5 s on the sf0.1 edge build). Phase 2 then
+    # reshuffles the already-cached rows — one bounded exchange + sort —
+    # under scoped-off AQE so the final checkpoint records the
+    # partitioning. The phase-1 cache is dereferenced on return and
+    # reclaimed by the ContextCleaner.
+    staged = df.localCheckpoint(eager=True, storageLevel=level)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return (
+            staged.repartition(F.col(key))
+            .sortWithinPartitions(key)
+            .localCheckpoint(eager=True, storageLevel=level)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def _pagerank_loop(
     nodes: DataFrame,
     edges: DataFrame,
@@ -114,26 +187,48 @@ def _pagerank_loop(
     # dereferenced (49 s at sf10 in a loaded session, 6.4× growth for
     # 100× data).
     level = StorageLevel.MEMORY_AND_DISK  # serialized in PySpark
-    e = (
-        edges.join(deg, "src")
-        .select("src", "dst", "w", "wdeg")
-        .repartition(F.col("src"))
-        .localCheckpoint(eager=True, storageLevel=level)
-    )
     nodes = (
         nodes.select("node")
         .repartition(F.col("node"))
         .localCheckpoint(eager=True, storageLevel=level)
     )
+    built = edges.join(deg, "src").select("src", "dst", "w", "wdeg")
+    # r15 regime route (measured both ways at sf0.1, see
+    # OPTIMIZATION_r15.md): when the rank vector fits the session's
+    # broadcast threshold, AQE turns every round into scan+broadcast and
+    # the edge table is never re-shuffled at runtime — the r14 plan is
+    # already optimal there, and RECORDING partitioning on the
+    # checkpoints only flips the per-round joins off their broadcast
+    # plans and adds a second materialization (interleaved A/B:
+    # 10.3/9.5/11.2 s base vs 13.6-18.5 s stationary at sf0.1). When the
+    # rank vector is NOT broadcastable (the 100 TB regime), each round
+    # would instead re-Exchange AND re-sort both the edge table and the
+    # rank vector; there the stationary shape — partitioning + ordering
+    # RECORDED on the checkpoints (AQE otherwise erases them:
+    # ``AdaptiveSparkPlanExec`` reports ``UnknownPartitioning`` to the
+    # checkpointed LogicalRDD), merge-hinted joins — runs the whole
+    # K-round chain with zero edge-table movement and exactly one
+    # map-side-combined contribution Exchange per round.
+    stationary = not _rank_vector_broadcastable(nodes)
+    if stationary:
+        e = _checkpoint_partitioned(built, "src", level)
+        nodes = _checkpoint_partitioned(nodes, "node", level)
+    else:
+        e = built.repartition(F.col("src")).localCheckpoint(
+            eager=True, storageLevel=level
+        )
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("r"))
     prev_checked = ranks
     rounds_executed = iters
     for i in range(iters):
-        contrib = e.join(ranks, e.src == ranks.node).select(
+        rk = ranks.hint("merge") if stationary else ranks
+        contrib = e.join(rk, e.src == rk.node).select(
             "dst",
             F.expr(f"({D_NUM} * r * w) DIV ({D_DEN} * wdeg)").alias("c"),
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        if stationary:
+            sums = sums.hint("merge")
         ranks = nodes.join(sums, nodes.node == sums.dst, "left").select(
             "node",
             (F.lit(TELEPORT) + F.coalesce(F.col("s"), F.lit(0)))

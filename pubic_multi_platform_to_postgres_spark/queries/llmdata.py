@@ -5961,10 +5961,27 @@ def _minhash_eval_metrics(docs: DataFrame) -> DataFrame:
         word_shingles,
     )
 
-    grams = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokenize(F.col("text")), 3)).alias("grams"),
-    ).localCheckpoint(eager=False)  # feeds BOTH sides of the pair join
+    # r15 (guide §8 — decide with small rows): the exact-verification
+    # gram arrays are only ever probed at pred's ids (both joins below
+    # are inner on id_a/id_b), so the expensive string-shingle build
+    # runs on the prediction NEIGHBORHOOD — a left-semi join against the
+    # exploded prediction ids (AQE broadcasts the tiny id list) — not on
+    # the whole corpus. Output-identical by construction; at 100 TB the
+    # predicted-pair doc set is the sketch's hit surface, orders of
+    # magnitude under the corpus.
+    pred_ids = pred.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    grams = (
+        docs.join(pred_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                word_shingles(tokenize(F.col("text")), 3)
+            ).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
+    )  # feeds BOTH sides of the pair join
     ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
     gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
@@ -6808,6 +6825,10 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds BOTH the first-occurrence aggregate and the scoring join —
     # checkpoint it lazily so it runs once (the dedup_minhash_eval
     # shared-subtree lesson; measured ~2x at sf0.1)
+    # (r15: a one-window rewrite — min(doc_id) over partitionBy(gh) —
+    # was measured at 5.69 s vs 4.59 s for this plan and rejected; the
+    # window's full sort of the gram stream costs more than the hash
+    # aggregate + join-probe it replaces)
     grams = (
         docs.select(
             "doc_id",
@@ -7486,7 +7507,13 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORACLE FIXTURE CAP: generate_series(1, 1024) bounds token positions
     (TESTDATA.md max doc ≈ 110 tokens); the Spark side has no cap."""
     docs = load(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # r15 (guide §1.2/§5): the token arrays feed THREE consumers (pair
+    # stream, unigram counts, and the two corpus scalars) — checkpoint
+    # them lazily so the corpus is scanned + tokenized once, not three
+    # times per action chain.
+    t = docs.select("doc_id", tokenize(F.col("text")).alias("toks")).localCheckpoint(
+        eager=False
+    )
     # size >= 2 guard: sequence(a, b) runs DESCENDING when a > b, so a
     # 1-token doc would fabricate out-of-range pairs instead of none
     prs = (
@@ -7511,7 +7538,26 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n = cu.agg(F.sum("cw")).first()[0]
-    np_ = cp.agg(F.sum("cab")).first()[0]
+    # r15 (guide §1.2): the total-pair scalar used to be sum(cab) over
+    # the materialized pair groupBy — which forced the query's most
+    # expensive stage (pair explode + shuffle) to run TWICE, once for
+    # this 1-row fetch and once for the final scoring chain. The count
+    # of forward-window pairs is a closed form of the doc's token count
+    # alone (Σ_{d=1..L-1} min(W, d)), so fetch it map-side from the
+    # checkpointed token arrays instead: identical value, no pair
+    # materialization.
+    _L = F.size("toks")
+    _W = _PMI_WINDOW
+    np_ = t.select(
+        F.sum(
+            F.when(
+                _L - 1 >= _W,
+                F.lit(_W) * _L.cast("long") - F.lit(_W * (_W + 1) // 2),
+            )
+            .when(_L >= 2, (_L * (_L - 1) / 2).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("np")
+    ).first()["np"]
     lnq = "CAST(round(ln({x}) * 1000000, 0) AS BIGINT)"
     if not n or not np_:  # empty / pairless corpus: nothing to score
         return spark.createDataFrame(
