@@ -4719,11 +4719,17 @@ def corpus_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     scored = quality_features(docs, "text", "doc_id", keep_cols=("lang", "text"))
+    # r15 (guide §5): three consumers read this projection — the
+    # threshold histogram, nearest_rank_multi's boundary join, and the
+    # final decile aggregate — and the quality_features + lang_id
+    # regex battery is the query's dominant map-side cost; the lazy
+    # checkpoint computes the (4-narrow-column) frame once instead of
+    # three times. At 100 TB this is one text pass instead of three.
     s = scored.select(
         "doc_id", "lang",
         lang_id(F.col("text")).alias("detected"),
         F.floor(F.col("quality_score") * 1e6).cast("long").alias("q_int"),
-    )
+    ).localCheckpoint(eager=False)
     ks = {d: f"(sum(c) over () * {d} + 9) div 10" for d in range(1, 10)}
     th = nearest_rank_multi(s, "q_int", F.expr("q_int div 65536"), ks)
     decile = F.lit(10)
@@ -5958,17 +5964,19 @@ def _minhash_eval_metrics(docs: DataFrame) -> DataFrame:
     ).select("id_a", "id_b").localCheckpoint(eager=False)
 
     from pubic_multi_platform_to_postgres_spark.operators.dedup import (
-        word_shingles,
+        hashed_gram_sets,
     )
 
     # r15 (guide §8 — decide with small rows): the exact-verification
     # gram arrays are only ever probed at pred's ids (both joins below
-    # are inner on id_a/id_b), so the expensive string-shingle build
-    # runs on the prediction NEIGHBORHOOD — a left-semi join against the
+    # are inner on id_a/id_b), so the expensive shingle build runs on
+    # the prediction NEIGHBORHOOD — a left-semi join against the
     # exploded prediction ids (AQE broadcasts the tiny id list) — not on
     # the whole corpus. Output-identical by construction; at 100 TB the
     # predicted-pair doc set is the sketch's hit surface, orders of
-    # magnitude under the corpus.
+    # magnitude under the corpus. The verification only intersects the
+    # sets, so grams are hash-equivalence classes (hashed_gram_sets) —
+    # no shingle strings built at all.
     pred_ids = pred.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id")
     ).distinct()
@@ -5976,9 +5984,7 @@ def _minhash_eval_metrics(docs: DataFrame) -> DataFrame:
         docs.join(pred_ids, "doc_id", "left_semi")
         .select(
             "doc_id",
-            F.array_distinct(
-                word_shingles(tokenize(F.col("text")), 3)
-            ).alias("grams"),
+            hashed_gram_sets(F.col("text"), 3).alias("grams"),
         )
         .localCheckpoint(eager=False)
     )  # feeds BOTH sides of the pair join

@@ -2880,3 +2880,77 @@ def test_clone_histogram_retraction_and_disk_roundtrip(spark, tmp_path):
     loaded = CloneHistogram.load(spark, str(tmp_path / "empty.parquet"))
     assert loaded is not None and loaded.summary() == (0, 0)
     assert CloneHistogram.load(spark, str(tmp_path / "nowhere")) is None
+
+
+def test_hashed_gram_sets_equivalence_classes_match_string_path(spark):
+    """r15 optimization contract: ``hashed_gram_sets`` (multi-arg
+    xxhash64 over the token window, no shingle strings) must induce the
+    SAME per-doc set sizes and the same cross-doc equality classes as
+    hashing the ``word_shingles`` strings — the property the SSJoin
+    prefix filters and array_intersect verification actually consume.
+    Covers: >=n tokens, the <n-token full-text fallback, repeated grams
+    (distinctness), the empty string, and multi-whitespace collapsing."""
+    from pubic_multi_platform_to_postgres_spark.operators.dedup import (
+        hashed_gram_sets,
+        tokenize,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),          # clone of 1 -> same class
+        (3, "x  y\tz"),            # multi-whitespace, exactly n tokens
+        (4, "x y z"),              # same token stream as 3 -> same class
+        (5, "short one"),          # <3 tokens -> full-text fallback
+        (6, "short  one"),         # fallback after whitespace collapse = 5
+        (7, ""),                   # empty text
+        (8, "a b c a b c a b c"),  # repeated grams -> distinctness
+        (9, "e d c b a"),          # same tokens, different order -> distinct
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        old = docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    word_shingles(tokenize(F.col("text")), n),
+                    lambda g: F.xxhash64(g),
+                )
+            ).alias("g"),
+        ).collect()
+        new = docs.select(
+            "doc_id", hashed_gram_sets(F.col("text"), n).alias("g")
+        ).collect()
+        old_sets = {r["doc_id"]: frozenset(r["g"]) for r in old}
+        new_sets = {r["doc_id"]: frozenset(r["g"]) for r in new}
+        # per-doc set sizes match
+        assert {k: len(v) for k, v in old_sets.items()} == {
+            k: len(v) for k, v in new_sets.items()
+        }, f"set sizes diverge at n={n}"
+        # cross-doc equality classes match: docs share a gram set under
+        # the old hashing iff they share it under the new hashing
+        ids = sorted(old_sets)
+        for i in ids:
+            for j in ids:
+                assert (old_sets[i] == old_sets[j]) == (
+                    new_sets[i] == new_sets[j]
+                ), f"class partition diverges at n={n} for {(i, j)}"
+        # pairwise intersection sizes match too (what verification uses)
+        for i in ids:
+            for j in ids:
+                assert len(old_sets[i] & old_sets[j]) == len(
+                    new_sets[i] & new_sets[j]
+                ), f"intersection size diverges at n={n} for {(i, j)}"
+    # ngram=1 is the identical expression either way
+    one = docs.select(
+        "doc_id", hashed_gram_sets(F.col("text"), 1).alias("g")
+    ).collect()
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(tokenize(F.col("text")), lambda t: F.xxhash64(t))
+        ).alias("g"),
+    ).collect()
+    assert {r["doc_id"]: r["g"] for r in one} == {
+        r["doc_id"]: r["g"] for r in base
+    }
