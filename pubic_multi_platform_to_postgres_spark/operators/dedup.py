@@ -72,13 +72,29 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
 
     Documents shorter than ``n`` tokens get their full text as the single
     shingle (so they still participate in hashing).
+
+    The ``tokens`` expression is LET-BOUND through the
+    ``transform(array(tokens), t -> ...)[0]`` idiom: HOF lambdas are
+    interpreted, so a tokenizer captured inline in the lambda body
+    re-evaluates its ``split`` once PER SHINGLE POSITION (r15 measured
+    4.2 s vs 0.84 s for the sf0.1 md5-gram stream). The per-position
+    ``concat_ws`` over three element lookups emits the exact same
+    single-space-joined strings as the previous ``slice`` +
+    ``array_join`` form, so every md5-replaying oracle is unchanged.
     """
-    joined = F.array_join(tokens, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tokens) - n),
-        lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
-    )
-    return F.when(F.size(tokens) >= n, grams).otherwise(F.array(joined))
+
+    def _per_doc(t: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, grams).otherwise(
+            F.array(F.array_join(t, " "))
+        )
+
+    return F.transform(F.array(tokens), _per_doc)[0]
 
 
 def hashed_gram_sets(text: Column, ngram: int) -> Column:
