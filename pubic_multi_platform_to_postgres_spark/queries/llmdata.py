@@ -6320,15 +6320,19 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = []
 
     def on_step(step, pa, pb, pc, v):
-        units = v.agg(
-            F.sum(F.col("c") * F.size("syms")).cast("long").alias("u")
-        ).collect()[0]["u"]
-        nsym = (
-            v.select(F.explode("syms").alias("s")).agg(
-                F.countDistinct("s").alias("n")
-            ).collect()[0]["n"]
+        # r15: one exploded aggregate yields BOTH audit numbers — over
+        # the exploded (symbol, c) rows, sum(c) = Σ c·|syms| is exactly
+        # the post-merge unit total and countDistinct(s) the symbol
+        # count — halving the per-step driver jobs (2 collects → 1).
+        row = (
+            v.select(F.explode("syms").alias("s"), "c")
+            .agg(
+                F.countDistinct("s").alias("n"),
+                F.sum("c").cast("long").alias("u"),
+            )
+            .collect()[0]
         )
-        out.append((step, pa, pb, pc, int(nsym), int(units)))
+        out.append((step, pa, pb, pc, int(row["n"]), int(row["u"])))
 
     _bpe_train(docs, _BPE_MERGES, on_step)
     return spark.createDataFrame(
