@@ -81,6 +81,12 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     ``concat_ws`` over three element lookups emits the exact same
     single-space-joined strings as the previous ``slice`` +
     ``array_join`` form, so every md5-replaying oracle is unchanged.
+
+    CONTRACT MIRROR: :func:`hashed_gram_sets` re-implements this
+    function's windowing (sequence bounds, ``< n``-token fallback,
+    let-bind idiom) in hash-equivalence-class form; changes here must
+    be mirrored there (guard:
+    ``test_hashed_gram_sets_equivalence_classes_match_string_path``).
     """
 
     def _per_doc(t: Column) -> Column:
@@ -120,7 +126,18 @@ def hashed_gram_sets(text: Column, ngram: int) -> Column:
     must keep building the strings.
 
     Documents shorter than ``ngram`` tokens fall back to one hash of
-    the space-joined full text, exactly like ``word_shingles``.
+    the space-joined full text, exactly like ``word_shingles`` — note
+    the fallback hash lives in a DIFFERENT input domain than the
+    window hashes (one joined string vs an n-token argument tuple);
+    cross-domain equality/inequality matching the string path relies
+    on the same ~2⁻⁴⁰ collision stance as everything else here.
+
+    CONTRACT MIRROR: the sequence bounds (``0 .. size(t) − n``), the
+    ``< n``-token fallback condition, and the let-bind idiom must stay
+    in lockstep with :func:`word_shingles` — if either changes alone,
+    the hash path's equality classes silently drift from the string/md5
+    oracle path. Guarded by
+    ``test_hashed_gram_sets_equivalence_classes_match_string_path``.
     """
     w = tokenize(text)
     if ngram == 1:

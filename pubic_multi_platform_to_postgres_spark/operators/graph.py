@@ -74,11 +74,18 @@ def _parse_spark_bytes(raw: str) -> int:
     return int(s)
 
 
-def _rank_vector_broadcastable(nodes: DataFrame) -> bool:
+def _rank_vector_broadcastable(
+    nodes: DataFrame, n_nodes: int | None = None
+) -> bool:
     """True when a round's |nodes|-sized rank vector fits the session's
     broadcast threshold — the regime question the iteration plan routes
-    on. ``nodes`` must already be checkpointed (the count is then a
-    cached-partition scan, not a recompute)."""
+    on. ``n_nodes`` is the caller-supplied node count (a catalog/manifest
+    statistic — ``plans/stats.py parquet_rows`` for table-backed graphs);
+    when None the fallback is one ``count()`` job (``nodes`` must then
+    already be checkpointed so the count is a cached-partition scan, not
+    a recompute). VERDICT r15 Next #1: the gate query threads the
+    footer-metadata count, so the benched broadcast regime runs ZERO
+    route-probe jobs."""
     spark = nodes.sparkSession
     try:
         thr = _parse_spark_bytes(
@@ -88,7 +95,9 @@ def _rank_vector_broadcastable(nodes: DataFrame) -> bool:
         thr = 10 << 20
     if thr <= 0:
         return False
-    return nodes.count() * _RANK_ROW_BYTES <= thr
+    if n_nodes is None:
+        n_nodes = nodes.count()
+    return n_nodes * _RANK_ROW_BYTES <= thr
 
 
 def _checkpoint_partitioned(df: DataFrame, key: str, level) -> DataFrame:
@@ -136,6 +145,7 @@ def _pagerank_loop(
     checkpoint_every: int | None,
     tol_q: int | None,
     check_every: int,
+    n_nodes: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Shared iteration engine for :func:`weighted_pagerank` (fixed
     rounds) and :func:`weighted_pagerank_converged` (tol_q early-exit).
@@ -187,10 +197,13 @@ def _pagerank_loop(
     # dereferenced (49 s at sf10 in a loaded session, 6.4× growth for
     # 100× data).
     level = StorageLevel.MEMORY_AND_DISK  # serialized in PySpark
+    # lazy (r16): materializes inside the first consuming job — the
+    # count-probe fallback, the stationary re-checkpoint, or round 1 —
+    # instead of paying a dedicated job launch per run.
     nodes = (
         nodes.select("node")
         .repartition(F.col("node"))
-        .localCheckpoint(eager=True, storageLevel=level)
+        .localCheckpoint(eager=False, storageLevel=level)
     )
     built = edges.join(deg, "src").select("src", "dst", "w", "wdeg")
     # r15 regime route (measured both ways at sf0.1, see
@@ -209,13 +222,17 @@ def _pagerank_loop(
     # checkpointed LogicalRDD), merge-hinted joins — runs the whole
     # K-round chain with zero edge-table movement and exactly one
     # map-side-combined contribution Exchange per round.
-    stationary = not _rank_vector_broadcastable(nodes)
+    stationary = not _rank_vector_broadcastable(nodes, n_nodes)
     if stationary:
         e = _checkpoint_partitioned(built, "src", level)
         nodes = _checkpoint_partitioned(nodes, "node", level)
     else:
+        # r16 (VERDICT r15 Next #6): LAZY checkpoint — the broadcast
+        # regime consumes the edge table only inside the final query
+        # job, so an eager materialization is one extra job launch per
+        # run for the same work (the CC final-round template).
         e = built.repartition(F.col("src")).localCheckpoint(
-            eager=True, storageLevel=level
+            eager=False, storageLevel=level
         )
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("r"))
     prev_checked = ranks
@@ -259,6 +276,7 @@ def weighted_pagerank(
     edges: DataFrame,
     iters: int = 10,
     checkpoint_every: int | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """Fixed-round integer-exact PageRank → ``(node, rank_q)``.
 
@@ -266,8 +284,14 @@ def weighted_pagerank(
     (:func:`purchase_pagerank_oracle_sql`) replays every round
     bit-faithful. For the convergence early-exit use
     :func:`weighted_pagerank_converged` (split out per round-10 advice:
-    the return type must not depend on an argument)."""
-    out, _ = _pagerank_loop(nodes, edges, iters, checkpoint_every, None, 2)
+    the return type must not depend on an argument). ``n_nodes`` — the
+    node count as a catalog statistic, when the caller has one — removes
+    the regime route's only live probe job (see
+    :func:`_rank_vector_broadcastable`); routing is identical either way
+    because the statistic is the exact count."""
+    out, _ = _pagerank_loop(
+        nodes, edges, iters, checkpoint_every, None, 2, n_nodes
+    )
     return out
 
 
@@ -277,6 +301,7 @@ def weighted_pagerank_converged(
     iters: int = 10,
     tol_q: int = 0,
     check_every: int = 2,
+    n_nodes: int | None = None,
 ) -> tuple[DataFrame, int]:
     """PageRank with the integer-L1 convergence early-exit → always
     ``(ranks, rounds_executed)``. ``iters`` is the hard cap; the loop
@@ -284,7 +309,7 @@ def weighted_pagerank_converged(
     falls to ≤ ``tol_q`` quantized units (see :func:`_pagerank_loop`'s
     docstring for the check-cost/round-savings trade measured at
     1×/10×/100×)."""
-    return _pagerank_loop(nodes, edges, iters, None, tol_q, check_every)
+    return _pagerank_loop(nodes, edges, iters, None, tol_q, check_every, n_nodes)
 
 
 def purchase_pagerank_oracle_sql(iters: int = 10) -> str:

@@ -94,6 +94,35 @@ def source_fingerprint(path: str | None) -> _Fingerprint | None:
     return tuple(sorted(entries))
 
 
+def parquet_rows(path: str) -> int | None:
+    """Exact row count of a landed parquet table, read from the file
+    FOOTER metadata — the manifest statistic every table format already
+    maintains (Iceberg/Delta manifests; plain parquet keeps it in each
+    footer), so at 100 TB this is a catalog lookup, not a scan. Pure
+    driver-side metadata read (no Spark job): sums ``num_rows`` over
+    the footer(s) of a single file or a directory of part files.
+    Returns None when the path is missing or unreadable so callers
+    fall back to their live probe (the same contract as
+    :func:`source_fingerprint`)."""
+    try:
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(path):
+            return int(pq.ParquetFile(path).metadata.num_rows)
+        total = 0
+        for root, dirs, files in os.walk(path):
+            dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+            for name in sorted(files):
+                if name.startswith((".", "_")) or not name.endswith(".parquet"):
+                    continue
+                total += int(
+                    pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+                )
+        return total
+    except Exception:  # noqa: BLE001 — unreadable source == no statistic
+        return None
+
+
 # A statistic's source may span several inputs (an as-of join reads two
 # tables): ``source_path`` may be a str, a sequence of str (composite
 # fingerprint = tuple of per-path prints; None if ANY side is unknown,

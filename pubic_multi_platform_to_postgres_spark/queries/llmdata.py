@@ -6324,11 +6324,14 @@ def text_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the exploded (symbol, c) rows, sum(c) = Σ c·|syms| is exactly
         # the post-merge unit total and countDistinct(s) the symbol
         # count — halving the per-step driver jobs (2 collects → 1).
+        # coalesce: an all-empty-syms vocab explodes to zero rows, where
+        # sum(c) is NULL but the pre-r15 unexploded formulation yielded
+        # 0 (ADVICE r15) — unreachable for real BPE states, kept exact.
         row = (
             v.select(F.explode("syms").alias("s"), "c")
             .agg(
                 F.countDistinct("s").alias("n"),
-                F.sum("c").cast("long").alias("u"),
+                F.coalesce(F.sum("c").cast("long"), F.lit(0)).alias("u"),
             )
             .collect()[0]
         )
