@@ -1145,50 +1145,15 @@ def graph_cluster_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .localCheckpoint(eager=False)
     )
-    # r15 (guide §2.3/§3): the near-dup pair graph is clique-heavy by
-    # nature (measured at sf0.1: 238k edges, 12.2M wedges, 97% of wedges
-    # closing into 11.8M triangles), so the oriented wedge enumeration —
-    # edge⨝edge then a 12M-row verification probe against the edge list,
-    # then a ×3 explode of every triangle — shuffles work proportional to
-    # Σ deg² twice. Count per-EDGE common neighbors instead: attach each
-    # endpoint's sorted adjacency array (Σ deg bytes, linear) and take
-    # |N(a)∩N(b)| map-side with codegen'd array_intersect. A triangle at
-    # node v lies on exactly two of v's incident edges, so
-    # n_triangles(v) = Σ_{e∋v} t_e / 2 — same exact integers the
-    # enumeration produced, with the quadratic wedge stream never built.
-    nbrs = (
-        p.select(F.col("id_a").alias("node"), F.col("id_b").alias("u"))
-        .unionAll(p.select(F.col("id_b").alias("node"), F.col("id_a").alias("u")))
-        .groupBy("node")
-        .agg(F.array_sort(F.collect_list("u")).alias("nb"))
-        .localCheckpoint(eager=False)  # feeds both endpoint joins + degree
-    )
-    ecnt = (
-        p.join(nbrs.select(F.col("node").alias("id_a"), F.col("nb").alias("nb_a")), "id_a")
-        .join(nbrs.select(F.col("node").alias("id_b"), F.col("nb").alias("nb_b")), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.size(F.array_intersect("nb_a", "nb_b")).alias("t"),
-        )
-    )
-    tcnt = (
-        ecnt.select(F.explode(F.array("id_a", "id_b")).alias("node"), "t")
-        .groupBy("node")
-        .agg(F.expr("sum(t) DIV 2").cast("long").alias("n_triangles"))
-    )
-    deg = nbrs.select("node", F.size("nb").cast("long").alias("degree"))
-    return deg.join(tcnt, "node", "left").select(
-        F.col("node").alias("doc_id"),
-        "degree",
-        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
-        F.when(
-            F.col("degree") >= 2,
-            (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
-            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("clustering_coef"),
-    )
+    # r15 (guide §2.3/§3): per-edge common-neighbor counting replaced the
+    # oriented wedge enumeration (12.2M wedge rows at sf0.1). r16
+    # (VERDICT r15 Next #5): the adjacency attach is now degree-CAPPED —
+    # a hub endpoint's array never ships per-edge; hub-incident edges
+    # count candidates through a narrow-row membership join instead.
+    # Same exact integers; see operators/graph.py local_clustering for
+    # the payload bound and the planted-hub measurements
+    # (BENCH_SKEW_r16.json: 50k-degree hub 14.7–28.1 s → 3.2 s).
+    return _graph.local_clustering(p)
 
 
 @query(

@@ -806,6 +806,59 @@ def test_pagerank_n_nodes_statistic_routes_identically(spark):
     assert got == want
 
 
+def test_local_clustering_cap_faces_identical(spark):
+    """r16 (VERDICT r15 Next #5): ``local_clustering``'s degree-capped
+    attach must produce the same exact integers as the uncapped face and
+    as a direct Python count, on a graph that exercises ALL THREE paths:
+    small-small edges (map-side intersect), hub-spoke edges (attached
+    capped array exploded into the membership join), and hub-hub edges
+    (both endpoints over the cap — the fetch join)."""
+    import itertools
+
+    from pubic_multi_platform_to_postgres_spark.operators.graph import (
+        local_clustering,
+    )
+
+    # two hubs (degree 8 and 7) joined to each other, sharing spokes
+    # (hub-hub triangles), plus a 4-clique and a pendant chain
+    edges = set()
+    h1, h2 = 100, 200
+    for i in range(1, 9):
+        edges.add((h1, h1 + i) if h1 < h1 + i else (h1 + i, h1))
+    for i in range(1, 7):
+        edges.add((h2, h2 + i))
+    edges.add((h1, h2))
+    edges.add((h1, h2 + 1))          # triangle h1-h2-(h2+1)
+    edges.add((h2, h1 + 1))          # triangle h2-h1-(h1+1)
+    for a, b in itertools.combinations([1, 2, 3, 4], 2):
+        edges.add((a, b))
+    edges.add((4, 5))
+    edges = sorted(edges)
+
+    # direct python model
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in edges:
+        t = len(adj[a] & adj[b])
+        tri[a] += t  # a triangle at v lies on exactly two of v's
+        tri[b] += t  # incident edges -> halve below
+    want = {v: (len(adj[v]), tri[v] // 2) for v in adj}
+
+    p = spark.createDataFrame(edges, "id_a long, id_b long")
+    # cap=4: hubs (deg 8/9 and 7/8) are OVER the cap -> hub-hub edge
+    # (h1,h2) takes the fetch path, hub-spoke edges the attached path,
+    # clique/chain edges the map-side path
+    for cap in (4, 10**6):
+        got = {
+            r["doc_id"]: (r["degree"], r["n_triangles"])
+            for r in local_clustering(p, deg_cap=cap).collect()
+        }
+        assert got == want, f"cap={cap}: {got} != {want}"
+
+
 def test_parquet_rows_footer_statistic_exact():
     """``plans.stats.parquet_rows`` must equal the engine's own row
     count for a single-file table, sum part files for a directory, and

@@ -111,7 +111,7 @@ def main() -> int:
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument(
         "--sections",
-        default="queries,candidates,relational,basket,strategy,urlhot,asofhot,asoffwd,asofnear,asofauto",
+        default="queries,candidates,relational,basket,strategy,urlhot,asofhot,asoffwd,asofnear,asofauto,cchub",
         help="comma list of sections to (re)run; others merge from --out",
     )
     args = ap.parse_args()
@@ -139,7 +139,7 @@ def main() -> int:
         for key in ("queries", "candidate_counts", "relational_hot_key",
                     "basket_mega_cap", "collapse_strategy", "url_hot_canon",
                     "asof_hot_key", "asof_hot_key_forward",
-                    "asof_hot_key_nearest", "asof_auto_route"):
+                    "asof_hot_key_nearest", "asof_auto_route", "cc_hub_star"):
             if key in prior:
                 report[key] = prior[key]
     qs = entry.queries()
@@ -581,6 +581,124 @@ def main() -> int:
             print(f"  asofauto {label}: {auto[label]}", file=sys.stderr)
         report["asof_auto_route"] = auto
         out_path.write_text(json.dumps(report, indent=2) + "\n")
+
+    # Planted-hub clustering (r16, VERDICT r15 Next #5): a star hub of
+    # degree D plus background 30-cliques. The r15 shape ships the hub's
+    # full adjacency array onto every incident edge (O(D²) payload); the
+    # degree-capped local_clustering ships at most deg_cap longs per
+    # edge and counts hub-edge candidates through a narrow-row
+    # membership join. Output equality asserted at the smallest point.
+    if "cchub" in sections:
+        from pubic_multi_platform_to_postgres_spark.operators.graph import (
+            local_clustering,
+        )
+
+        def _hub_graph(n_spokes: int):
+            rows = [(0, i) for i in range(1, n_spokes + 1)]
+            rows += [(i, i + 1) for i in range(1, n_spokes)]
+            base = n_spokes + 10
+            for c in range(200):
+                ids = [base + c * 30 + j for j in range(30)]
+                for x in range(30):
+                    for y in range(x + 1, 30):
+                        rows.append((ids[x], ids[y]))
+            return (
+                spark.createDataFrame(rows, "id_a long, id_b long")
+                .repartition(32)
+                .localCheckpoint(eager=True)
+            )
+
+        def _cc_uncapped(p):
+            # the r15 reference shape: full adjacency attached per edge
+            nbrs = (
+                p.select(F.col("id_a").alias("node"), F.col("id_b").alias("u"))
+                .unionAll(p.select(F.col("id_b").alias("node"),
+                                   F.col("id_a").alias("u")))
+                .groupBy("node")
+                .agg(F.array_sort(F.collect_list("u")).alias("nb"))
+                .localCheckpoint(eager=False)
+            )
+            ecnt = (
+                p.join(nbrs.select(F.col("node").alias("id_a"),
+                                   F.col("nb").alias("nb_a")), "id_a")
+                .join(nbrs.select(F.col("node").alias("id_b"),
+                                  F.col("nb").alias("nb_b")), "id_b")
+                .select("id_a", "id_b",
+                        F.size(F.array_intersect("nb_a", "nb_b")).alias("t"))
+            )
+            tcnt = (
+                ecnt.select(F.explode(F.array("id_a", "id_b")).alias("node"), "t")
+                .groupBy("node")
+                .agg(F.expr("sum(t) DIV 2").cast("long").alias("n_triangles"))
+            )
+            deg = nbrs.select("node", F.size("nb").cast("long").alias("degree"))
+            return deg.join(tcnt, "node", "left").select(
+                F.col("node").alias("doc_id"), "degree",
+                F.coalesce("n_triangles", F.lit(0)).cast("long")
+                .alias("n_triangles"),
+            )
+
+        cch: dict = report.get("cc_hub_star", {})
+        cch["design"] = (
+            "star hub degree D + spoke chain + 200 background 30-cliques; "
+            "uncapped = r15 full-adjacency attach, capped = "
+            "local_clustering(deg_cap=1024); timed with the NOOP SINK "
+            "(a bare .count() lets Catalyst prune the triangle subtree "
+            "through the final left join and times only the degree scan)"
+        )
+        def _noop_guarded(fn):
+            """(wall_s, timed_out) for one noop-sink materialization."""
+            group = f"cchub-{time.monotonic_ns()}"
+            sc = spark.sparkContext
+            done = threading.Event()
+
+            def watchdog():
+                if not done.wait(args.timeout):
+                    sc.cancelJobGroup(group)
+
+            t = threading.Thread(target=watchdog, daemon=True)
+            sc.setJobGroup(group, "bench_skew cchub", interruptOnCancel=True)
+            t.start()
+            t0 = time.perf_counter()
+            try:
+                fn().write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0, False
+            except Exception:  # noqa: BLE001
+                el = time.perf_counter() - t0
+                if el < args.timeout:
+                    raise
+                return el, True
+            finally:
+                done.set()
+                sc.setJobGroup("", "")
+
+        for label, d in (("hub20k", 20_000), ("hub50k", 50_000),
+                         ("hub100k", 100_000)):
+            p = _hub_graph(d)
+            row = {}
+            for face, fn in (
+                ("uncapped_r15", lambda: _cc_uncapped(p)),
+                ("capped", lambda: local_clustering(p).drop("clustering_coef")),
+            ):
+                wall, to = _noop_guarded(fn)
+                row[face] = (
+                    {"timed_out": True, "timeout_s": args.timeout}
+                    if to
+                    else {
+                        "wall_s": round(wall, 3),
+                        "output_rows": int(fn().count()),
+                    }
+                )
+            if d == 20_000:
+                a = _cc_uncapped(p)
+                b = local_clustering(p).drop("clustering_coef")
+                row["outputs_identical"] = bool(
+                    a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+                )
+            cch[label] = row
+            print(f"  cchub {label}: {row}", file=sys.stderr)
+            report["cc_hub_star"] = cch
+            out_path.write_text(json.dumps(report, indent=2) + "\n")
 
     # Growth ratios vs skew1, normalized per 10× of data.
     for section in ("queries",):
