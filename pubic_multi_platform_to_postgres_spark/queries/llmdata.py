@@ -1239,10 +1239,14 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = winnow_fingerprints(docs, "text", "doc_id", k=_WN_K, w=_WN_W, token_hash="md5").select(
         F.col("id").alias("doc_id"), F.explode_outer("fps").alias("sel")
     )
+    # count(1) == count_distinct(doc_id) here: fps is array_distinct per
+    # doc, so (doc_id, sel) rows are unique by construction — the plain
+    # count keeps the aggregate a single partial-agg shuffle (r16;
+    # measured 1.33 -> 0.92 s on the shared-substrings ok-aggregate)
     shared = (
         fp.filter(F.col("sel").isNotNull())
         .groupBy("sel")
-        .agg(F.count_distinct("doc_id").alias("wdf"))
+        .agg(F.count(F.lit(1)).alias("wdf"))
         .filter(F.col("wdf") >= 2)
         .select("sel", F.lit(True).alias("is_shared"))
     )
@@ -1303,9 +1307,12 @@ def dedup_shared_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), F.explode("fps").alias("sel"))
         .localCheckpoint(eager=False)
     )
+    # count(1) == count_distinct(doc_id): (doc_id, sel) unique by
+    # construction (fps is array_distinct per doc) — plain count keeps
+    # this a single partial-agg shuffle (r16)
     ok = (
         fp.groupBy("sel")
-        .agg(F.count_distinct("doc_id").alias("wdf"))
+        .agg(F.count(F.lit(1)).alias("wdf"))
         .filter((F.col("wdf") >= 2) & (F.col("wdf") <= _WN_MAX_DF))
         .select("sel")
     )
